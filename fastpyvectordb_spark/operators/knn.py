@@ -1,0 +1,192 @@
+"""kNN search operators (reference: ``vectordb_optimized.py:507-721``,
+``parallel_search.py:184-368``).
+
+Two physical strategies, same semantics:
+
+1. **Exact declarative** (`knn`, `knn_batch`): distance expression +
+   ``ORDER BY dist, id LIMIT k`` → Catalyst compiles this to
+   ``TakeOrderedAndProject`` — per-partition partial top-k then a
+   driver-side merge of k-row partials. This *is* the reference's
+   chunked-parallel search (``parallel_search.py:313-368``) as a native
+   physical plan, and it scales: no shuffle of the full table, only k
+   rows per partition move.
+
+2. **GEMM batch kernel** (`knn_batch_gemm`): the reference's all-pairs
+   ``Q·Vᵀ`` BLAS trick (``parallel_search.py:246-311``) re-expressed as
+   ``mapInPandas`` — queries broadcast to every partition, one NumPy
+   GEMM per Arrow batch, partial top-k per partition, then a global
+   window-rank merge over only ``num_queries × k × num_partitions``
+   candidate rows. At 100 TB this reads each vector exactly once,
+   never shuffles the vector table, and keeps Python work
+   Arrow-batched.
+
+Filters are **pre-filters** (WHERE before top-k, pushed down to the
+parquet scan). The reference post-filters ANN results with a ×10
+over-fetch (``vectordb_optimized.py:531-532``) and can silently return
+fewer than k rows under selective filters; exact pre-filtering is
+strictly better recall and is our pinned semantics (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from fastpyvectordb_spark.functions.distances import distance
+
+ROUND_DIGITS = 6  # FIXTURES.md §6: scores rounded to 6 decimals, ties by id
+
+
+def _qvec_lit(query_vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)).cast("float") for v in query_vec])
+
+
+def knn(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    metric: str = "cosine",
+    pre_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = ROUND_DIGITS,
+) -> DataFrame:
+    """Exact top-k nearest neighbours of a single query vector.
+
+    Plan: scan → (pushed-down) filter → distance expr → TakeOrdered(k).
+    """
+    if pre_filter is not None:
+        df = df.filter(pre_filter)
+    dist = distance(F.col(vec_col), _qvec_lit(query_vec), metric)
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    return (
+        df.select(F.col(id_col), dist.alias("dist"))
+        .orderBy("dist", id_col)
+        .limit(k)
+    )
+
+
+def knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_digits: int | None = ROUND_DIGITS,
+) -> DataFrame:
+    """Exact batch kNN: broadcast the (small) query set against the
+    vector table and rank within each query.
+
+    Returns ``(query_id, rank, id, dist)``. The window shuffles only by
+    ``query_id`` over ``num_queries × N`` scored rows — for large query
+    batches prefer :func:`knn_batch_gemm`, which pre-reduces to
+    ``queries × k`` per partition before any shuffle.
+    """
+    dist = distance(F.col(vec_col), F.col(query_vec_col), metric)
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    scored = vectors.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        dist.alias("dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy("dist", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "dist")
+    )
+
+
+def knn_batch_gemm(
+    vectors: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch kNN via per-partition NumPy GEMM + partial top-k.
+
+    ``queries_pdf`` must have columns ``query_id`` (int64) and
+    ``query_vec`` (list[float32]); it is closure-broadcast to executors.
+    Output: ``(query_id, rank, <id_col>, dist)`` — globally exact.
+    """
+    import numpy as np
+
+    eps = 1e-10
+    qids = queries_pdf["query_id"].to_numpy()
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in queries_pdf["query_vec"]]
+    )
+    if metric == "cosine":
+        qnorm = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True) + eps)
+    else:
+        qnorm = qmat
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("dist", DoubleType()),
+        ]
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            vmat = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+            )
+            if metric == "cosine":
+                vnorm = np.linalg.norm(vmat, axis=1, keepdims=True) + eps
+                sims = (vmat / vnorm) @ qnorm.T  # (N, Q) one GEMM
+                dists = 1.0 - sims
+            elif metric == "l2":
+                v_sq = np.einsum("ij,ij->i", vmat, vmat)[:, None]
+                q_sq = np.einsum("ij,ij->i", qnorm, qnorm)[None, :]
+                dists = np.sqrt(np.maximum(v_sq + q_sq - 2.0 * (vmat @ qnorm.T), 0.0))
+            else:  # ip
+                dists = -(vmat @ qnorm.T)
+            kk = min(k, len(ids))
+            # partial top-k per query within this Arrow batch
+            idx = np.argpartition(dists, kk - 1, axis=0)[:kk]  # (k, Q)
+            rows = []
+            for qi in range(dists.shape[1]):
+                sel = idx[:, qi]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            id_col: ids[sel],
+                            "dist": dists[sel, qi].astype("float64"),
+                        }
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    partials = vectors.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy("dist", id_col)
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "dist")
+    )
