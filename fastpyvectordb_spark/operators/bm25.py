@@ -1,0 +1,178 @@
+"""BM25 inverted index + keyword search (reference ``hybrid_search.py:40-179``).
+
+The reference maintains a mutable in-memory inverted index
+(``term -> {doc_id: tf}`` + doc lengths + avgdl). Spark-first, the
+index *is* a derived DataFrame pipeline:
+
+    tokenize → explode → groupBy(term, doc) count      (postings)
+    groupBy(doc) size                                   (doc lengths)
+    one global agg                                      (N, avgdl)
+
+and a query is: broadcast the (tiny) query-term table, semi-join the
+postings, evaluate the BM25 expression JVM-side, partial-agg per doc,
+top-k. At 100 TB the postings build is a single shuffle keyed by term,
+and queries touch only the matching postings partitions — no Python in
+the loop anywhere.
+
+Pinned formulas (k1=1.5, b=0.75):
+    idf(t)        = ln((N - df + 0.5) / (df + 0.5) + 1)
+    score(d)      = Σ_t qtf_t · idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·len_d/avgdl))
+(qtf multiplicity: the reference loops over query tokens, so a term
+repeated in the query contributes once per occurrence.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.functions.text import tokenize, duckdb_tokenize
+
+K1 = 1.5
+B = 0.75
+ROUND = 6
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (postings(doc_id, term, tf), doc_lengths(doc_id, doc_len))."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("tokens")
+    )
+    doc_lengths = toks.select("doc_id", F.size("tokens").alias("doc_len"))
+    postings = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return postings, doc_lengths
+
+
+def bm25_score_df(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Scores every candidate doc (≥1 query term) → (doc_id, score)."""
+    spark = docs.sparkSession
+    postings, doc_lengths = build_postings(docs, id_col, text_col)
+
+    # tiny: query terms with multiplicity
+    qtoks = spark.range(1).select(
+        F.explode(tokenize(F.lit(query))).alias("term")
+    )
+    qterms = qtoks.groupBy("term").agg(F.count("*").alias("qtf"))
+
+    stats = doc_lengths.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    # document frequency per term — only needed for query terms
+    df_per_term = (
+        postings.join(F.broadcast(qterms), "term")
+        .groupBy("term", "qtf")
+        .agg(F.count("*").alias("df"))
+    )
+
+    scored = (
+        postings.join(F.broadcast(df_per_term), "term")
+        .join(doc_lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("qtf")
+            * F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("doc_len") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = ROUND,
+) -> DataFrame:
+    """T5: top-k by BM25 score desc, ties by doc_id (rounded scores)."""
+    scores = bm25_score_df(docs, query, id_col, text_col)
+    score = F.col("score")
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (
+        scores.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin (same CTE pipeline, same formula shape)
+# ---------------------------------------------------------------------------
+
+def duckdb_bm25_scores_cte(
+    query: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """CTE chain ending in ``bm25_scores(doc_id, score)`` (unrounded)."""
+    q = query.replace("'", "''")
+    return f"""
+toks AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokenize(text_col)} AS tokens FROM {table}
+),
+doc_lengths AS (SELECT doc_id, len(tokens) AS doc_len FROM toks),
+postings AS (
+  SELECT doc_id, unnest(tokens) AS term FROM toks
+),
+postings_tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM postings GROUP BY doc_id, term
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(doc_len) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doc_lengths
+),
+qterms AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS qtf
+  FROM (SELECT unnest({duckdb_tokenize(f"'{q}'")}) AS term)
+  GROUP BY term
+),
+df_per_term AS (
+  SELECT p.term, q.qtf, CAST(COUNT(*) AS BIGINT) AS df
+  FROM postings_tf p JOIN qterms q USING (term)
+  GROUP BY p.term, q.qtf
+),
+bm25_scores AS (
+  SELECT p.doc_id,
+         SUM(
+           d.qtf * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (p.tf * ({k1} + 1))
+           / (p.tf + {k1} * (1 - {b} + {b} * l.doc_len / s.avgdl))
+         ) AS score
+  FROM postings_tf p
+  JOIN df_per_term d ON p.term = d.term
+  JOIN doc_lengths l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)"""

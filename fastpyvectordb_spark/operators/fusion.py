@@ -1,0 +1,108 @@
+"""Hybrid vector+keyword score fusion (reference ``hybrid_search.py:360-477``).
+
+Pinned semantics:
+- fetch_k = k*5 candidates from each side
+- vector side: cosine distances → normalized similarity
+  ``1 - dist/max_dist`` where ``max_dist`` is the max over the fetched
+  vector candidate set (per-result-set normalization)
+- keyword side: BM25 ``score/max_score`` over the fetched keyword set
+- candidate union, missing side contributes 0
+- combined = ``alpha·v + (1-alpha)·kw``, sort desc, ties by id, head k
+
+Spark shape: two small top-k sub-DataFrames (each already reduced to
+k*5 rows by TakeOrdered) → window ``max() over ()`` for the per-set
+max → **full outer join** on id → ``coalesce(score, 0)`` → weighted
+sum → TakeOrdered(k). The expensive parts (corpus scans) happen before
+the join; the fusion itself touches ≤ 2·k·5 rows regardless of corpus
+size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.operators.bm25 import bm25_score_df
+from fastpyvectordb_spark.operators.knn import knn
+
+ROUND = 6
+
+
+def hybrid_search(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    query_text: str | None,
+    k: int = 10,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    text_col: str = "text",
+) -> DataFrame:
+    """Returns (doc_id, score, vector_score, keyword_score), score desc.
+
+    ``corpus`` needs both an embedding column and a text column.
+    """
+    fetch_k = k * 5
+
+    vec_top = knn(
+        corpus, query_vec, k=fetch_k, metric="cosine",
+        id_col=id_col, vec_col=vec_col,
+    ).withColumnRenamed(id_col, "doc_id")
+    # per-result-set normalization: 1 - dist/max_dist (max==0 → 1.0)
+    wall = Window.partitionBy()
+    vec_norm = vec_top.withColumn("max_dist", F.max("dist").over(wall)).select(
+        "doc_id",
+        F.when(F.col("max_dist") > 0, 1.0 - F.col("dist") / F.col("max_dist"))
+        .otherwise(F.lit(1.0))
+        .alias("vector_score"),
+    )
+
+    if not query_text:
+        return (
+            vec_norm.select(
+                "doc_id",
+                F.round(F.col("vector_score"), ROUND).alias("score"),
+                F.round(F.col("vector_score"), ROUND).alias("vector_score"),
+                F.lit(0.0).alias("keyword_score"),
+            )
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(k)
+        )
+
+    kw_top = (
+        bm25_score_df(corpus, query_text, id_col=id_col, text_col=text_col)
+        .select("doc_id", F.round(F.col("score"), ROUND).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(fetch_k)
+    )
+    kw_norm = kw_top.withColumn("max_score", F.max("score").over(wall)).select(
+        "doc_id",
+        F.when(F.col("max_score") > 0, F.col("score") / F.col("max_score"))
+        .otherwise(F.lit(0.0))
+        .alias("keyword_score"),
+    )
+
+    fused = (
+        vec_norm.join(kw_norm, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("vector_score", F.lit(0.0)).alias("vector_score"),
+            F.coalesce("keyword_score", F.lit(0.0)).alias("keyword_score"),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                alpha * F.col("vector_score") + (1 - alpha) * F.col("keyword_score"),
+                ROUND,
+            ),
+        )
+        .select(
+            "doc_id",
+            "score",
+            F.round("vector_score", ROUND).alias("vector_score"),
+            F.round("keyword_score", ROUND).alias("keyword_score"),
+        )
+    )
+    return fused.orderBy(F.desc("score"), "doc_id").limit(k)
