@@ -1,0 +1,283 @@
+"""Property-graph operators over nodes/edges DataFrames
+(reference ``graph.py`` — GraphDB with 5 in-memory indexes).
+
+Spark-first: the graph is two (three) DataFrames —
+``nodes(id, labels ARRAY<STRING>, ...props)``,
+``edges(id, src, dst, type, ...props)``,
+``hyperedges(id, nodes ARRAY<STRING>, type, ...props)`` — and every
+reference "index" (label, property, adjacency, type, membership) is
+just a predicate or join that Catalyst serves from column statistics
+and pushdown; at scale you partition/Z-order edges by ``src`` (and a
+dst-sorted copy, like any adjacency list) instead of hand-maintaining
+dicts.
+
+Traversals (G10/G11) are iterative frontier joins — the GraphFrames
+BFS shape: each hop is ``frontier ⋈ edges`` with an
+``array_contains(path, dst)`` cycle guard; the loop is driver-side but
+each step is a fully distributed join. Depth is capped (reference
+default 3) and lineage grows linearly with hops (checkpoint for deep
+traversals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# lookups (G4-G8)
+# ---------------------------------------------------------------------------
+
+def nodes_by_label(nodes: DataFrame, label: str) -> DataFrame:
+    """G4: label-index lookup → WHERE array_contains(labels, l)."""
+    return nodes.filter(F.array_contains("labels", label))
+
+
+def find_nodes(
+    nodes: DataFrame,
+    label: str | None = None,
+    properties: dict[str, object] | None = None,
+) -> DataFrame:
+    """G5: label ∩ exact property matches (conjunctive WHERE)."""
+    df = nodes
+    if label is not None:
+        df = df.filter(F.array_contains("labels", label))
+    for key, val in (properties or {}).items():
+        df = df.filter(F.col(key) == F.lit(val))
+    return df
+
+
+def nodes_by_property_range(
+    nodes: DataFrame,
+    key: str,
+    lo: float | None = None,
+    hi: float | None = None,
+    label: str | None = None,
+) -> DataFrame:
+    """G6: numeric range over a property, optional label conjunct."""
+    df = nodes if label is None else nodes_by_label(nodes, label)
+    if lo is not None:
+        df = df.filter(F.col(key) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(key) <= hi)
+    return df
+
+
+def edges_by_type(edges: DataFrame, edge_type: str) -> DataFrame:
+    """G7: type-index lookup."""
+    return edges.filter(F.col("type") == edge_type)
+
+
+def out_edges(edges: DataFrame, node_id: str, edge_type: str | None = None) -> DataFrame:
+    df = edges.filter(F.col("src") == node_id)
+    return df if edge_type is None else df.filter(F.col("type") == edge_type)
+
+
+def in_edges(edges: DataFrame, node_id: str, edge_type: str | None = None) -> DataFrame:
+    df = edges.filter(F.col("dst") == node_id)
+    return df if edge_type is None else df.filter(F.col("type") == edge_type)
+
+
+def neighbors(
+    edges: DataFrame,
+    node_id: str,
+    direction: str = "both",
+    edge_type: str | None = None,
+) -> DataFrame:
+    """G9: neighbor ids of a node → (neighbor_id, direction, type)."""
+    parts = []
+    if direction in ("out", "both"):
+        parts.append(
+            out_edges(edges, node_id, edge_type).select(
+                F.col("dst").alias("neighbor_id"),
+                F.lit("out").alias("direction"),
+                F.col("type"),
+            )
+        )
+    if direction in ("in", "both"):
+        parts.append(
+            in_edges(edges, node_id, edge_type).select(
+                F.col("src").alias("neighbor_id"),
+                F.lit("in").alias("direction"),
+                F.col("type"),
+            )
+        )
+    if not parts:
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def degrees(edges: DataFrame, direction: str = "in") -> DataFrame:
+    """A4 shape: degree per node → (node_id, degree)."""
+    key = "dst" if direction == "in" else "src"
+    return edges.groupBy(F.col(key).alias("node_id")).agg(
+        F.count("*").alias("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# traversals (G10-G11)
+# ---------------------------------------------------------------------------
+
+def traverse(
+    edges: DataFrame,
+    start_ids: list[str],
+    max_depth: int = 3,
+    edge_type: str | None = None,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """G10: every simple path of 1..max_depth edges from the start set.
+
+    Returns (start_id, end_id, depth, path) with ``path`` a
+    '->'-joined node-id string (portable across engines). Cycle
+    avoidance within a path via array_contains, like the reference DFS.
+    """
+    e = edges if edge_type is None else edges_by_type(edges, edge_type)
+    e = e.select("src", "dst").distinct()
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(s,) for s in start_ids], "start_id string"
+    ).select(
+        "start_id",
+        F.col("start_id").alias("node"),
+        F.array(F.col("start_id")).alias("path_arr"),
+        F.lit(0).alias("depth"),
+    )
+    results = None
+    for hop in range(1, max_depth + 1):
+        frontier = (
+            frontier.join(e, frontier.node == e.src)
+            .filter(~F.array_contains(F.col("path_arr"), F.col("dst")))
+            .select(
+                "start_id",
+                F.col("dst").alias("node"),
+                F.concat(F.col("path_arr"), F.array(F.col("dst"))).alias("path_arr"),
+                F.lit(hop).alias("depth"),
+            )
+        )
+        if checkpoint_every and hop % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=False)
+        step = frontier.select(
+            "start_id",
+            F.col("node").alias("end_id"),
+            "depth",
+            F.array_join("path_arr", "->").alias("path"),
+        )
+        results = step if results is None else results.unionByName(step)
+    return results
+
+
+def bfs_levels(
+    edges: DataFrame,
+    start_id: str,
+    max_depth: int = 4,
+    edge_type: str | None = None,
+) -> DataFrame:
+    """G11 core: min-hop distance to every node reachable within
+    max_depth (directed, out-edges). Returns (node_id, hops)."""
+    e = edges if edge_type is None else edges_by_type(edges, edge_type)
+    e = e.select("src", "dst").distinct()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(start_id, 0)], "node_id string, hops int")
+    frontier = visited
+    for hop in range(1, max_depth + 1):
+        # localCheckpoint truncates the per-hop lineage so hop N doesn't
+        # recompute hops 1..N-1 (the loop is driver-side; each join is
+        # fully distributed)
+        nxt = (
+            frontier.join(e, frontier.node_id == e.src)
+            .select(F.col("dst").alias("node_id"), F.lit(hop).alias("hops"))
+            .distinct()
+            .join(visited.select("node_id"), "node_id", "left_anti")
+        ).localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def shortest_path(
+    edges: DataFrame,
+    src_id: str,
+    dst_id: str,
+    max_depth: int = 4,
+    edge_type: str | None = None,
+) -> DataFrame:
+    """G11: BFS shortest path (directed out), early-stop on arrival.
+
+    Returns one row (src_id, dst_id, hops, path) or zero rows.
+    """
+    e = edges if edge_type is None else edges_by_type(edges, edge_type)
+    e = e.select("src", "dst").distinct()
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(src_id, [src_id], 0)], "node string, path_arr array<string>, depth int"
+    )
+    for hop in range(1, max_depth + 1):
+        frontier = (
+            frontier.join(e, frontier.node == e.src)
+            .filter(~F.array_contains(F.col("path_arr"), F.col("dst")))
+            .select(
+                F.col("dst").alias("node"),
+                F.concat(F.col("path_arr"), F.array(F.col("dst"))).alias("path_arr"),
+                F.lit(hop).alias("depth"),
+            )
+        )
+        hit = frontier.filter(F.col("node") == dst_id)
+        if not hit.isEmpty():
+            # deterministic representative path: lexicographically smallest
+            return (
+                hit.select(
+                    F.lit(src_id).alias("src_id"),
+                    F.lit(dst_id).alias("dst_id"),
+                    F.col("depth").alias("hops"),
+                    F.array_join("path_arr", "->").alias("path"),
+                )
+                .orderBy("path")
+                .limit(1)
+            )
+    return spark.createDataFrame(
+        [], "src_id string, dst_id string, hops int, path string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# hyperedges (G12)
+# ---------------------------------------------------------------------------
+
+def hyperedges_by_nodes(
+    hyperedges: DataFrame, node_ids: list[str], mode: str = "any"
+) -> DataFrame:
+    """G12: hyperedges whose ``nodes`` array contains any/all of the ids."""
+    member = hyperedges.select(
+        "id", F.explode("nodes").alias("member")
+    ).filter(F.col("member").isin(node_ids))
+    if mode == "any":
+        return member.select("id").distinct()
+    if mode == "all":
+        return (
+            member.distinct()
+            .groupBy("id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") == len(set(node_ids)))
+            .select("id")
+        )
+    raise ValueError(f"mode must be any/all, got {mode!r}")
+
+
+def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """G13: counts + distinct labels/types as one row."""
+    n_nodes = nodes.select(F.count("*").alias("n_nodes"))
+    n_labels = nodes.select(F.explode("labels").alias("l")).select(
+        F.countDistinct("l").alias("n_labels")
+    )
+    e = edges.agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("type").alias("n_edge_types"),
+    )
+    return n_nodes.crossJoin(n_labels).crossJoin(e)
