@@ -1,0 +1,296 @@
+"""Quantized / compressed search (reference ``quantization.py``).
+
+Spark-first shapes:
+
+- **Training is an aggregation.** SQ min/max (``quantization.py:85-106``)
+  = per-dim ``min/max`` over posexploded vectors; BQ median thresholds
+  (``:307-327``) = per-dim ``percentile(0.5)``; PQ codebooks
+  (``:444-508``) = MLlib KMeans per subspace. All produce *small*
+  codebook tables that broadcast to every executor.
+
+- **Encoding is an expression.** SQ encode
+  ``trunc(clip((v-min)/scale*255, 0, 255))`` (``:108-126``) and BQ
+  ``v > threshold`` (``:329-354``) are pure ``zip_with`` expressions —
+  JVM-side, codegen'd, no Python. PQ encode (nearest centroid per
+  subspace, ``:510-539``) is a broadcast-join + window argmin.
+
+- **Compressed search is the same TakeOrdered plan** over a cheaper
+  distance: SQ-L2 on codes (linear decode identity:
+  ``dist = sqrt(Σ((a-b)·scale/255)²)``), BQ Hamming via packed-int64
+  XOR+bit_count (``:356-394``), PQ ADC via broadcast LUT join
+  (``:541-597``).
+
+At 100 TB the derived code columns are ~4-32× smaller than the f32
+vectors, so compressed scans read proportionally less parquet — same
+win as the reference's in-memory story, but on the storage layer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ)
+# ---------------------------------------------------------------------------
+
+def sq_train(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dim (dim, vmin, vmax, scale); scale 0 → 1.0 (ref :103-105)."""
+    return (
+        df.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("vmin"),
+            F.max(F.col("v").cast("double")).alias("vmax"),
+        )
+        .withColumn(
+            "scale",
+            F.when(F.col("vmax") - F.col("vmin") == 0, F.lit(1.0)).otherwise(
+                F.col("vmax") - F.col("vmin")
+            ),
+        )
+        .orderBy("dim")
+    )
+
+
+def _lit_double_array(vals: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)).cast("double") for v in vals])
+
+
+def sq_encode_expr(
+    vec: Column, vmins: Sequence[float], scales: Sequence[float]
+) -> Column:
+    """uint8 codes as ARRAY<INT>: trunc(clip((v-min)/scale*255, 0, 255)).
+
+    numpy's ``astype(uint8)`` truncates toward zero; values are already
+    clipped to [0, 255] so ``floor`` is identical.
+    """
+    pairs = F.zip_with(
+        vec, _lit_double_array(vmins), lambda v, m: v.cast("double") - m
+    )
+    return F.zip_with(
+        pairs,
+        _lit_double_array(scales),
+        lambda d, s: F.floor(
+            F.least(F.greatest(d / s * 255.0, F.lit(0.0)), F.lit(255.0))
+        ).cast("int"),
+    )
+
+
+def sq_l2_distance_expr(
+    codes_a: Column, codes_b: Column, scales: Sequence[float]
+) -> Column:
+    """L2 over decoded values == Σ((a-b)·scale/255)² then sqrt (linear
+    decode makes the min terms cancel; ref _sq_distances_l2)."""
+    diffs = F.zip_with(
+        codes_a, codes_b, lambda a, b: (a - b).cast("double")
+    )
+    scaled_sq = F.zip_with(
+        diffs,
+        _lit_double_array(scales),
+        lambda d, s: (d * s / 255.0) * (d * s / 255.0),
+    )
+    return F.sqrt(
+        F.aggregate(scaled_sq, F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (BQ)
+# ---------------------------------------------------------------------------
+
+def bq_train(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dim median thresholds (ref :307-327). Exact percentile with
+    linear interpolation — matches numpy.median."""
+    return (
+        df.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.percentile(F.col("v").cast("double"), F.lit(0.5)).alias("threshold"))
+        .orderBy("dim")
+    )
+
+
+def bq_bits_expr(vec: Column, thresholds: Sequence[float]) -> Column:
+    """Unpacked bits ARRAY<INT>: 1 if v > threshold else 0."""
+    return F.zip_with(
+        vec,
+        _lit_double_array(thresholds),
+        lambda v, t: (v.cast("double") > t).cast("int"),
+    )
+
+
+def bq_pack_expr(bits: Column, dims: int) -> Column:
+    """Pack bit array into ARRAY<BIGINT> words of 64 (for bit_count
+    hamming — the scale path; 64 dims → 1 word per vector)."""
+    n_words = (dims + 63) // 64
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.slice(bits, w * 64 + 1, 64),
+            F.lit(0).cast("long"),
+            # shiftleft|or, not acc*2+b: the 64th bit would overflow a
+            # signed long under ANSI arithmetic
+            lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b.cast("long")),
+        ),
+    )
+
+
+def hamming_packed_expr(words_a: Column, words_b: Column) -> Column:
+    """XOR + popcount over packed words (ref :356-379) — pure codegen."""
+    return F.aggregate(
+        F.zip_with(words_a, words_b, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x.cast("int"),
+    )
+
+
+def hamming_bits_expr(bits_a: Column, bits_b: Column) -> Column:
+    """Hamming over unpacked bit arrays (oracle-friendly twin)."""
+    return F.aggregate(
+        F.zip_with(bits_a, bits_b, lambda a, b: (a != b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+def pq_subvectors(
+    df: DataFrame,
+    m_subspaces: int,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, subvec) — one row per subspace slice."""
+    sub_dim = dims // m_subspaces
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).alias("subvec"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec"))
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m_subspaces: int,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid code per subspace → (id, m, code).
+
+    ``codebooks``: (m, cidx, cvec). Broadcast — it's M×K rows.
+    Ties break to the smallest centroid index (numpy argmin picks the
+    first minimum).
+    """
+    subs = pq_subvectors(df, m_subspaces, dims, id_col, vec_col)
+    scored = subs.join(F.broadcast(codebooks), "m").select(
+        id_col,
+        "m",
+        F.col("cidx"),
+        _l2sq(F.col("subvec"), F.col("cvec")).alias("d"),
+    )
+    w = Window.partitionBy(id_col, "m").orderBy("d", "cidx")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "m", F.col("cidx").alias("code"))
+    )
+
+
+def pq_adc_search(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_vec: Sequence[float],
+    m_subspaces: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ADC: LUT[m][c] = ||q_m - centroid||²; dist = sqrt(Σ_m LUT[m][code_m]).
+
+    LUT is built as a (M×K)-row DataFrame from the broadcast codebooks
+    and joined to the codes — O(M) work per vector (ref :541-597).
+    """
+    dims = len(query_vec)
+    sub_dim = dims // m_subspaces
+    qsubs = [
+        [float(v) for v in query_vec[m * sub_dim : (m + 1) * sub_dim]]
+        for m in range(m_subspaces)
+    ]
+    lut = codebooks.select(
+        "m",
+        "cidx",
+        _l2sq(
+            F.col("cvec"),
+            F.element_at(
+                F.array(*[_lit_double_array(q) for q in qsubs]), F.col("m") + 1
+            ),
+        ).alias("lut_d"),
+    )
+    dist = F.sqrt(F.sum("lut_d"))
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    return (
+        codes.join(F.broadcast(lut), (codes.m == lut.m) & (codes.code == lut.cidx))
+        .groupBy(id_col)
+        .agg(dist.alias("dist"))
+        .orderBy("dist", id_col)
+        .limit(k)
+    )
+
+
+def pq_train_kmeans(
+    df: DataFrame,
+    m_subspaces: int,
+    n_centroids: int,
+    dims: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Real PQ training: MLlib KMeans per subspace (M parallel fits on
+    slices; ref _kmeans :484-508). Returns codebooks (m, cidx, cvec)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub_dim = dims // m_subspaces
+    spark = df.sparkSession
+    rows = []
+    for m in range(m_subspaces):
+        sub = df.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).cast(
+                    "array<double>"
+                )
+            ).alias("features")
+        )
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(sub)
+        for cidx, center in enumerate(model.clusterCenters()):
+            rows.append((m, cidx, [float(x) for x in center]))
+    return spark.createDataFrame(rows, "m int, cidx int, cvec array<double>")
