@@ -1,0 +1,368 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (BASELINE.json north-star): exact
+dedup, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — every stage expressed as DataFrame ops that scale:
+
+- shingling/hashing are codegen expressions (portable md5-based hashes
+  so the DuckDB oracle reproduces them bit-for-bit)
+- MinHash-LSH candidate generation is a band-bucket *equi-join* — the
+  only shuffle is on band keys, never an O(N²) cross join
+- verification (exact Jaccard / cosine) happens only on candidate
+  pairs
+
+Hash portability: Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``('0x' || substring(md5(x),1,15))::BIGINT`` — a 60-bit
+non-negative integer identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.functions.text import tokenize
+
+HASH_HEX_WIDTH = 15  # 60 bits
+
+
+def _hash64(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, HASH_HEX_WIDTH), 16, 10).cast("long")
+
+
+def _duckdb_hash64(expr: str) -> str:
+    return f"(('0x' || substring(md5({expr}), 1, {HASH_HEX_WIDTH}))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-text duplicate groups: (canonical_id, n_copies, member_ids
+    sorted). Hash-groupBy — one shuffle keyed by text hash."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), _hash64(F.col(text_col)).alias("h")
+        )
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("canonical_id", "n_copies", "member_ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc → (doc_id, shingle)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join(F.col("t"), " "))),
+        ).alias("shingle"),
+    )
+    return grams.distinct()
+
+
+def duckdb_shingles_cte(table: str, n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """CTE ``shingles(doc_id, shingle)`` — identical shingling in DuckDB."""
+    return f"""
+_toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9_]+'), t -> t <> '') AS t
+  FROM {table}
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {n}
+                THEN unnest(list_transform(range(1, len(t) - {n - 1} + 1),
+                       i -> array_to_string(list_slice(t, i, i + {n - 1}), ' ')))
+                ELSE array_to_string(t, ' ')
+           END AS shingle
+    FROM _toks
+  )
+)"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification (on candidate pairs or small corpora)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    sh: DataFrame, min_jaccard: float = 0.5, round_digits: int = 6
+) -> DataFrame:
+    """All pairs sharing ≥1 shingle with Jaccard ≥ threshold.
+
+    (a, b, jaccard) with a < b. The join is on shingle (inverted-index
+    style) — pair enumeration cost is Σ_shingle df², not N².
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                round_digits,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 12) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[n_hashes]) — min over seeded portable
+    hashes of each shingle. One shuffle (groupBy doc)."""
+    hashed = sh.select(
+        "doc_id",
+        *[
+            _hash64(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 3
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band_key) → candidate
+    pairs (id_a < id_b, distinct)."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_duplicates(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full pipeline: shingle → minhash → LSH bucket join → exact
+    Jaccard verify on candidates only. Returns (id_a, id_b, jaccard)."""
+    sh = shingles(docs, n, id_col, text_col)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, n_hashes), n_bands, n_hashes // n_bands
+    )
+    verified = jaccard_pairs(sh, min_jaccard)
+    return verified.join(cands, ["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame,
+    n_bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, simhash BIGINT): per-bit majority vote over token hashes
+    (tokens weighted by occurrence count). Bit b set iff
+    Σ_tokens (2·bit_b(h(token)) − 1) > 0."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    )
+    hashed = toks.select("doc_id", _hash64(F.col("tok")).alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{b}")
+            for b in range(n_bits)
+        ]
+    )
+    fingerprint = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fps: DataFrame, max_hamming: int = 6, n_bits: int = 32
+) -> DataFrame:
+    """Pairs with simhash hamming distance ≤ threshold.
+
+    Candidate generation uses the pigeonhole trick: split the
+    fingerprint into ``max_hamming+1`` chunks — near-dups must agree on
+    at least one chunk, so the join is an equi-join on (chunk_idx,
+    chunk_value), never O(N²).
+    """
+    n_chunks = max_hamming + 1
+    # ceil so the chunks cover every bit — required for pigeonhole
+    # completeness (a pair under the hamming bound must share a chunk)
+    chunk_bits = -(-n_bits // n_chunks)
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                # shiftright needs a literal shift amount; divide by 2^k
+                # instead (fingerprints are non-negative)
+                lambda c: F.struct(
+                    c.alias("cidx"),
+                    (
+                        F.floor(
+                            F.col("simhash")
+                            / F.pow(F.lit(2.0), (c * chunk_bits).cast("double"))
+                        ).cast("long")
+                    )
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    .alias("cval"),
+                ),
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", F.col("ch.cidx").alias("cidx"), F.col("ch.cval").alias("cval"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.cidx") == F.col("b.cidx"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_topk(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k most-similar distinct pairs by cosine similarity
+    (brute-force self-join baseline; the scale path buckets by LSH /
+    IVF first — see ann/). Returns (id_a, id_b, cos_sim) desc."""
+    from fastpyvectordb_spark.functions.distances import cosine_similarity
+
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), round_digits
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(k)
+    )

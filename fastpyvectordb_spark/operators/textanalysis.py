@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure codegen expressions (no Python UDFs) with DuckDB oracle twins,
+designed so a 100 TB corpus pays one projection scan per metric set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.functions.text import tokenize
+
+# small, fixed stopword lists per language (heuristic n-gram/stopword
+# language ID — the classic cheap approach)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+
+
+def _count_tokens_in(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(words)))
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Predicted language: CJK-character presence → 'zh'; else argmax of
+    per-language stopword hits (ties and zero hits → 'und')."""
+    tokens = tokenize(text)
+    counts = [
+        (lang, _count_tokens_in(tokens, words)) for lang, words in STOPWORDS.items()
+    ]
+    best = None
+    best_lang = F.lit("und")
+    for lang, cnt in counts:
+        if best is None:
+            best = cnt
+            best_lang = F.when(cnt > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            best_lang = F.when(cnt > best, F.lit(lang)).otherwise(best_lang)
+            best = F.greatest(cnt, best)
+    has_cjk = text.rlike("[\\u4e00-\\u9fff]")
+    return F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
+
+
+def quality_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality signals: n_chars, n_tokens, mean token length,
+    punctuation ratio, stopword ratio, digit ratio, and a composite
+    quality score in [0,1]."""
+    t = F.col(text_col)
+    tokens = tokenize(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(tokens)
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            tokens, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    n_punct = F.length(F.regexp_replace(t, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(0.0)
+    n_digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    digit_ratio = F.when(n_chars > 0, n_digits / n_chars.cast("double")).otherwise(0.0)
+    en_stop = _count_tokens_in(tokens, STOPWORDS["en"])
+    stop_ratio = F.when(
+        n_tokens > 0, en_stop / n_tokens.cast("double")
+    ).otherwise(0.0)
+    # composite score: length sweet-spot + low punct/digit noise +
+    # nonzero stopword presence (C4/Gopher-style cheap quality rules)
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 5000), 1.0).otherwise(0.4)
+    noise_ok = F.lit(1.0) - F.least(
+        F.lit(1.0), (punct_ratio + digit_ratio) * F.lit(2.0)
+    )
+    score = F.round(length_ok * 0.5 + noise_ok * 0.3 + stop_ratio * 0.2, 6)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace-split count and wordish-regex (BPE-ish pre-tokenizer)
+    count per doc."""
+    t = F.col(text_col)
+    ws = F.size(
+        F.filter(F.split(t, "\\s+"), lambda x: x != F.lit(""))
+    )
+    wordish = F.size(tokenize(t))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("long").alias("ws_tokens"),
+        wordish.cast("long").alias("wordish_tokens"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalized content fingerprint: md5 over lowercased,
+    whitespace-collapsed text — the exact-dedup/content-address key."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint")
+    )

@@ -1,0 +1,228 @@
+"""Deduplication suite queries.
+
+The driver corpus has no natural duplicates (500 distinct texts), so
+the dedup queries run over a *constructed* corpus derived
+deterministically from ``documents``:
+
+- exact-dup corpus: documents ∪ identical copies at doc_id+1000000
+- near-dup corpus:  documents ∪ copies truncated to the first 60% of
+  characters (high-but-<1 Jaccard against their originals)
+
+Both engines build the same corpus in-query, so the oracle verifies
+the full pipeline (shingle → minhash → LSH bucket join → Jaccard
+verify) end to end with non-trivial results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.functions.distances import duckdb_distance
+from fastpyvectordb_spark.operators import dedup as D
+from fastpyvectordb_spark.suite import register
+from fastpyvectordb_spark.tables import load_table
+
+COPY_OFFSET = 1000000
+N_HASHES = 12
+N_BANDS = 4
+MIN_JACCARD = 0.5
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"), F.col("text")
+    )
+    return docs.unionByName(copies)
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        # explicit floor: Spark's double→int cast truncates but DuckDB's
+        # rounds, so the oracle twin must floor too
+        F.substring(
+            F.col("text"), 1, F.floor(F.length("text") * 0.6).cast("int")
+        ).alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+_EXACT_CORPUS_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET}, text FROM documents
+)"""
+
+_NEAR_CORPUS_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET},
+         substring(text, 1, CAST(floor(length(text) * 0.6) AS INT)) FROM documents
+)"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH {_EXACT_CORPUS_SQL.lstrip()}
+SELECT MIN(doc_id) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+FROM corpus
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+ORDER BY canonical_id
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _exact_corpus(spark, sf_dir)
+    dups = D.exact_duplicates(corpus)
+    return dups.select(
+        "canonical_id",
+        "n_copies",
+        F.array_join(
+            F.transform(F.col("member_ids"), lambda x: x.cast("string")), ","
+        ).alias("member_ids"),
+    ).orderBy("canonical_id")
+
+
+_MINHASH_MINS = ",\n         ".join(
+    f"MIN(('0x' || substring(md5('{i}:' || shingle), 1, 15))::BIGINT) AS m{i}"
+    for i in range(N_HASHES)
+)
+_ROWS_PER_BAND = N_HASHES // N_BANDS
+_BAND_KEYS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, md5(m{b * _ROWS_PER_BAND}::VARCHAR || ',' || "
+    f"m{b * _ROWS_PER_BAND + 1}::VARCHAR || ',' || m{b * _ROWS_PER_BAND + 2}::VARCHAR) AS bkey FROM sigs"
+    for b in range(N_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH {_NEAR_CORPUS_SQL.lstrip()},
+{D.duckdb_shingles_cte("corpus").lstrip()},
+sigs AS (
+  SELECT doc_id, {_MINHASH_MINS}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{_BAND_KEYS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(c.n_common / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE), 6) AS jaccard
+  FROM common c
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  WHERE c.n_common / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) >= {MIN_JACCARD}
+)
+SELECT v.id_a AS id_a, v.id_b AS id_b, v.jaccard AS jaccard
+FROM verified v JOIN cands USING (id_a, id_b)
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_corpus(spark, sf_dir)
+    return D.minhash_lsh_duplicates(
+        corpus, n_hashes=N_HASHES, n_bands=N_BANDS, min_jaccard=MIN_JACCARD
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_NEAR_CORPUS_SQL.lstrip()},
+{D.duckdb_shingles_cte("corpus").lstrip()},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a AS id_a, c.id_b AS id_b,
+       ROUND(c.n_common / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE c.n_common / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) >= 0.3
+ORDER BY id_a, id_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_corpus(spark, sf_dir)
+    sh = D.shingles(corpus)
+    return D.jaccard_pairs(sh, min_jaccard=0.3).orderBy("id_a", "id_b")
+
+
+# simhash oracle: brute-force pair compare (equivalent to the pigeonhole
+# candidate join — the chunking is lossless under the hamming bound)
+_SIMHASH_SUMS = ",\n         ".join(
+    f"SUM((((h >> {b}) & 1) * 2 - 1)) AS s{b}" for b in range(32)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(32)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH {_NEAR_CORPUS_SQL.lstrip()},
+_toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS tok
+  FROM corpus
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM _toks
+),
+sums AS (
+  SELECT doc_id, {_SIMHASH_SUMS}
+  FROM hashed GROUP BY doc_id
+),
+fps AS (SELECT doc_id, {_SIMHASH_FP} AS simhash FROM sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_corpus(spark, sf_dir)
+    fps = D.simhash(corpus, n_bits=32)
+    return D.simhash_near_pairs(fps, max_hamming=2, n_bits=32).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_embedding_topk",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({duckdb_distance("a.embedding", "b.embedding", "cosine").replace("1.0 - ", "", 1)}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, id_a, id_b
+LIMIT 10
+""",
+)
+def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_topk(emb, k=10)

@@ -1,0 +1,134 @@
+"""Text-analysis suite queries: language ID, quality scoring, token
+counting, fingerprinting — all over ``documents``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.operators import textanalysis as T
+from fastpyvectordb_spark.operators.textanalysis import STOPWORDS
+from fastpyvectordb_spark.suite import register
+from fastpyvectordb_spark.tables import load_table
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _sw_count(lang: str) -> str:
+    return (
+        f"len(list_filter(toks, t -> list_contains({_sw_list(lang)}, t)))"
+    )
+
+
+# argmax with first-wins tie-break in the same lang order as the Spark
+# expression (en, es, de, fr), then CJK override and zero-hit -> 'und'
+_LANG_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS toks,
+         regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, has_cjk,
+         {_sw_count("en")} AS c_en,
+         {_sw_count("es")} AS c_es,
+         {_sw_count("de")} AS c_de,
+         {_sw_count("fr")} AS c_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN has_cjk THEN 'zh'
+            WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+            WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+            WHEN c_de >= c_fr THEN 'de'
+            ELSE 'fr'
+       END AS lang_pred
+FROM counts
+ORDER BY doc_id
+"""
+
+
+@register("text_lang_id", _LANG_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.lang_id_expr(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN {_sw_count("en")} / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS digit_ratio
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(mean_tok_len, 6) AS mean_tok_len,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(digit_ratio, 6) AS digit_ratio,
+       ROUND(
+         (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 ELSE 0.4 END) * 0.5
+         + (1.0 - least(1.0, (punct_ratio + digit_ratio) * 2.0)) * 0.3
+         + stop_ratio * 0.2, 6) AS quality_score
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_metrics(docs).orderBy("doc_id")
+
+
+@register(
+    "text_token_counts",
+    r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS BIGINT) AS wordish_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_counts(docs).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.fingerprint(docs).orderBy("doc_id")
