@@ -1,0 +1,164 @@
+"""Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": <sf>, ...}
+
+Workload maps the reference benchmark shapes (examples/benchmark.py:
+insert/search/batch/filtered + the news-intelligence macro queries)
+onto the driver's testdata at sf0.1: batch GEMM kNN throughput, exact
+scan, filtered kNN, BM25, hybrid fusion, dedup pipeline, group-by
+aggregates, graph BFS, windowed events.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+N_GEMM_QUERIES = 256
+K = 10
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from fastpyvectordb_spark.session import get_spark
+    from fastpyvectordb_spark.tables import load_table
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = load_table(spark, SF_DIR, "documents")
+    n_vectors = emb.count()  # also warms the JVM/scan path
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def bench(name):
+        def deco(fn):
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            return fn
+
+        return deco
+
+    # -- vector search ------------------------------------------------
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+
+    @bench("q_knn_exact")
+    def _():
+        from fastpyvectordb_spark.operators.knn import knn
+
+        knn(emb, qvec, k=K, metric="cosine").collect()
+
+    @bench("q_knn_filtered")
+    def _():
+        from fastpyvectordb_spark.operators.knn import knn
+
+        knn(emb, qvec, k=K, pre_filter=F.col("label") == 3).collect()
+
+    @bench("q_knn_batch_gemm")
+    def _():
+        from fastpyvectordb_spark.operators.knn import knn_batch_gemm
+
+        qpdf = (
+            emb.filter(F.col("vec_id") < N_GEMM_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            .toPandas()
+        )
+        n = knn_batch_gemm(emb, qpdf, k=K, metric="cosine").count()
+        assert n == min(N_GEMM_QUERIES, n_vectors) * K
+
+    extras["gemm_qps"] = round(N_GEMM_QUERIES / timings["q_knn_batch_gemm"], 1)
+
+    # -- text / fusion ------------------------------------------------
+    @bench("q_bm25")
+    def _():
+        from fastpyvectordb_spark.operators.bm25 import bm25_search
+
+        bm25_search(docs, "spark filter join stream table", k=K).collect()
+
+    @bench("q_hybrid_fusion")
+    def _():
+        from fastpyvectordb_spark.operators.fusion import hybrid_search
+
+        corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+            "doc_id", "text", "embedding"
+        )
+        hybrid_search(corpus, qvec, "spark filter join stream table", k=K).collect()
+
+    # -- dedup pipeline ----------------------------------------------
+    @bench("q_dedup_minhash_lsh")
+    def _():
+        from fastpyvectordb_spark.operators.dedup import minhash_lsh_duplicates
+
+        copies = docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.substring(
+                F.col("text"), 1, F.floor(F.length("text") * 0.6).cast("int")
+            ).alias("text"),
+        )
+        corpus = docs.select("doc_id", "text").unionByName(copies)
+        minhash_lsh_duplicates(corpus).count()
+
+    # -- analytics ----------------------------------------------------
+    @bench("q_pricing_summary")
+    def _():
+        from fastpyvectordb_spark.suite.analytics import agg_pricing_summary
+
+        agg_pricing_summary(spark, SF_DIR).collect()
+
+    @bench("q_top_orders")
+    def _():
+        from fastpyvectordb_spark.suite.analytics import agg_top_orders_by_revenue
+
+        agg_top_orders_by_revenue(spark, SF_DIR).collect()
+
+    # -- graph --------------------------------------------------------
+    @bench("q_graph_bfs")
+    def _():
+        from fastpyvectordb_spark.operators.graph import bfs_levels
+        from fastpyvectordb_spark.suite.graph import build_edges
+
+        bfs_levels(build_edges(spark, SF_DIR), "o:7", max_depth=4).collect()
+
+    # -- events -------------------------------------------------------
+    @bench("q_events_window")
+    def _():
+        from fastpyvectordb_spark.streaming.events import windowed_counts
+
+        windowed_counts(load_table(spark, SF_DIR, "events")).collect()
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_vectors": n_vectors,
+                "n_docs": n_docs,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -180,7 +180,8 @@ def bfs_levels(
     """G11 core: min-hop distance to every node reachable within
     max_depth (directed, out-edges). Returns (node_id, hops)."""
     e = edges if edge_type is None else edges_by_type(edges, edge_type)
-    e = e.select("src", "dst").distinct()
+    # cache the deduped adjacency once — every hop joins against it
+    e = e.select("src", "dst").distinct().localCheckpoint()
     spark = edges.sparkSession
     visited = spark.createDataFrame([(start_id, 0)], "node_id string, hops int")
     frontier = visited

@@ -1,0 +1,152 @@
+"""Event-stream operators (reference ``realtime.py``).
+
+The reference's realtime layer is an in-process event bus: typed CDC
+events, per-subscriber predicate matching, a last-100 ring buffer, and
+WebSocket broadcast. Spark-first:
+
+- the event stream is a streaming DataFrame (file/kafka source; the
+  driver's ``events`` table stands in as the source for tests) —
+  R1 ``realtime.py:58-89``
+- subscription matching (R2 ``:91-118``) is a ``filter()`` — the same
+  function works on batch and streaming DataFrames
+- windowed aggregation with watermarks (R6 — absent in the reference,
+  the Spark-idiomatic upgrade) bounds state for late data
+- replay (R3 ``:133-160``) is a tail query over the persisted log
+- broadcast (S10) is ``writeStream.foreachBatch`` → push
+
+Every transformation here is expressed so the *same* logical plan runs
+in batch mode (for the DuckDB oracle) and streaming mode (microbatch)
+— that equivalence is asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def subscription_filter(
+    events: DataFrame,
+    event_types: list[str] | None = None,
+    user_ids: list[int] | None = None,
+    props_predicate: Column | None = None,
+) -> DataFrame:
+    """R2: subscription predicate — event-type set, id set, and a
+    metadata predicate over the JSON ``props`` column. ``None`` means
+    wildcard (the reference's ``'*'`` collection)."""
+    out = events
+    if event_types is not None:
+        out = out.filter(F.col("event_type").isin(event_types))
+    if user_ids is not None:
+        out = out.filter(F.col("user_id").isin(user_ids))
+    if props_predicate is not None:
+        out = out.filter(props_predicate)
+    return out
+
+
+def props_int(events_col: str | Column, key: str) -> Column:
+    """Extract an integer field from the JSON ``props`` string with a
+    regex (portable to the DuckDB oracle verbatim)."""
+    c = F.col(events_col) if isinstance(events_col, str) else events_col
+    return F.regexp_extract(c, f'"{key}":\\s*(\\d+)', 1).cast("int")
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """R6: tumbling-window counts + value stats per event type.
+
+    With ``watermark`` set this is a valid streaming aggregation whose
+    state is bounded; without it the same plan runs in batch. Value
+    sums are exact integer cents (order-independent across engines).
+    """
+    src = events
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def replay_last_n(
+    events: DataFrame, n: int = 10, per: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """R3: ring-buffer replay — the latest n events per group from the
+    persisted log (batch query over the sink, exactly how a late
+    subscriber re-reads Delta CDF / the event table)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(per).orderBy(F.desc(ts_col), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .drop("rn")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session assignment by inactivity gap: a new session starts when
+    the gap to the previous event of the same user exceeds the
+    threshold. Returns per-session (user_id, session_id, n_events,
+    session_start, session_end).
+
+    Batch shape = lag + running sum window; the streaming twin is
+    ``session_window(ts, gap)`` (state-store backed).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    with_sid = marked.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    return (
+        with_sid.groupBy(user_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+def stream_from_parquet_dir(
+    spark, path: str, schema=None, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """A real readStream over a parquet directory (file source) — used
+    by tests to run the above operators in genuine streaming mode."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )

@@ -1,0 +1,76 @@
+"""Structured Streaming tests: the streaming face of each event
+operator must produce the same rows as its batch face (which is what
+the DuckDB oracle checks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.streaming.events import (
+    stream_from_parquet_dir,
+    subscription_filter,
+    windowed_counts,
+)
+from fastpyvectordb_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF_DIR, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory, events_batch):
+    # re-write as a multi-file parquet dir so the file stream has
+    # several micro-batches to chew through
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    events_batch.repartition(8).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream_to_memory(spark, sdf, name, mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_windowed_counts_equals_batch(spark, events_dir, events_batch):
+    stream = stream_from_parquet_dir(spark, events_dir)
+    got = _run_stream_to_memory(
+        spark,
+        windowed_counts(stream, window="1 hour", watermark="2 hours"),
+        "win_counts",
+        "complete",
+    ).collect()
+    want = windowed_counts(events_batch, window="1 hour").collect()
+    key = lambda r: (r["window_start"], r["event_type"])
+    got_map = {key(r): (r["n_events"], r["sum_value_cents"]) for r in got}
+    want_map = {key(r): (r["n_events"], r["sum_value_cents"]) for r in want}
+    assert got_map == want_map
+    assert len(got_map) > 0
+
+
+def test_streaming_subscription_filter_equals_batch(spark, events_dir, events_batch):
+    stream = stream_from_parquet_dir(spark, events_dir)
+    sub = subscription_filter(stream, event_types=["error"])
+    got = _run_stream_to_memory(spark, sub, "sub_filter", "append").collect()
+    want = subscription_filter(events_batch, event_types=["error"]).collect()
+    assert {r["event_id"] for r in got} == {r["event_id"] for r in want}
+    assert all(r["event_type"] == "error" for r in got)
+
+
+def test_streaming_wildcard_subscription(spark, events_dir, events_batch):
+    stream = stream_from_parquet_dir(spark, events_dir)
+    got = _run_stream_to_memory(
+        spark, subscription_filter(stream), "sub_all", "append"
+    )
+    assert got.count() == events_batch.count()
