@@ -1,0 +1,232 @@
+"""Collection catalog — the reference's ``VectorDB``/``Collection``
+surface (``vectordb_optimized.py:185-818``) over parquet tables.
+
+A database is a directory; each collection is a subdirectory holding a
+parquet table ``(id STRING, embedding ARRAY<FLOAT>, …metadata cols)``
+plus ``config.json`` (dimensions/metric — the schema contract the
+reference persists at ``vectordb_optimized.py:322-331``).
+
+DML strategy: parquet has no MERGE, so upsert/delete rewrite via
+anti-join — the same logical plan a Delta MERGE executes; on a Delta
+lakehouse these methods map 1:1 to ``MERGE INTO``/``DELETE`` with the
+rewrite confined to matched files. Mutations write to a new version
+directory and flip a pointer file, so readers never see partial state
+(poor-man's snapshot isolation; Delta's transaction log in prod).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.filters import Filter, from_dict
+from fastpyvectordb_spark.operators.knn import knn as knn_op
+
+_POINTER = "_current"
+
+
+@dataclass
+class CollectionConfig:
+    dimensions: int
+    metric: str = "cosine"
+
+    def to_json(self) -> str:
+        return json.dumps({"dimensions": self.dimensions, "metric": self.metric})
+
+    @staticmethod
+    def from_json(s: str) -> "CollectionConfig":
+        d = json.loads(s)
+        return CollectionConfig(d["dimensions"], d.get("metric", "cosine"))
+
+
+class Collection:
+    """One vector collection backed by a versioned parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str, config: CollectionConfig):
+        self.spark = spark
+        self.path = path
+        self.config = config
+        os.makedirs(path, exist_ok=True)
+        cfg = os.path.join(path, "config.json")
+        if not os.path.exists(cfg):
+            with open(cfg, "w") as f:
+                f.write(config.to_json())
+
+    # -- storage ------------------------------------------------------
+
+    def _current_version(self) -> str | None:
+        p = os.path.join(self.path, _POINTER)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read().strip() or None
+
+    def _data_path(self) -> str | None:
+        v = self._current_version()
+        return os.path.join(self.path, v) if v else None
+
+    def df(self) -> DataFrame:
+        """The collection as a DataFrame (S1)."""
+        p = self._data_path()
+        if p is None:
+            return self.spark.createDataFrame(
+                [], f"id string, embedding array<float>"
+            )
+        return self.spark.read.parquet(p)
+
+    def _commit(self, df: DataFrame) -> None:
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, version))
+        with open(os.path.join(self.path, _POINTER), "w") as f:
+            f.write(version)
+
+    # -- DML (D1-D9) --------------------------------------------------
+
+    def _validate(self, batch: DataFrame) -> DataFrame:
+        dims = self.config.dimensions
+        bad = batch.filter(F.size("embedding") != dims).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"dimension mismatch: expected {dims}, got "
+                f"{len(bad[0]['embedding'])} for id {bad[0]['id']!r}"
+            )
+        return batch
+
+    def insert_batch(self, batch: DataFrame) -> int:
+        """D2: append; duplicate ids rejected (ref :345-348, 388-396)."""
+        batch = self._validate(batch)
+        cur = self.df()
+        dup = batch.join(cur.select("id"), "id", "inner").limit(1).collect()
+        if dup:
+            raise ValueError(f"duplicate id {dup[0]['id']!r}")
+        in_batch_dup = (
+            batch.groupBy("id").count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if in_batch_dup:
+            raise ValueError(f"duplicate id in batch: {in_batch_dup[0]['id']!r}")
+        n = batch.count()
+        self._commit(cur.unionByName(batch, allowMissingColumns=True))
+        return n
+
+    def upsert(self, batch: DataFrame) -> int:
+        """D3: delete-then-insert == MERGE WHEN MATCHED UPDATE."""
+        batch = self._validate(batch)
+        cur = self.df()
+        kept = cur.join(batch.select("id"), "id", "left_anti")
+        n = batch.count()
+        self._commit(kept.unionByName(batch, allowMissingColumns=True))
+        return n
+
+    def delete(self, ids: Sequence[str] | None = None, where: Filter | dict | None = None) -> None:
+        """D5/D6: tombstone by id set and/or filter (anti-join rewrite)."""
+        cur = self.df()
+        cond = None
+        if ids is not None:
+            cond = F.col("id").isin(list(ids))
+        if where is not None:
+            f = from_dict(where) if isinstance(where, dict) else where
+            cond = f.col() if cond is None else (cond | f.col())
+        if cond is None:
+            return
+        self._commit(cur.filter(~F.coalesce(cond, F.lit(False))))
+
+    def get(self, ids: Sequence[str], include_vector: bool = True) -> DataFrame:
+        """D4: point lookup."""
+        df = self.df().filter(F.col("id").isin(list(ids)))
+        return df if include_vector else df.drop("embedding")
+
+    def count(self) -> int:
+        return self.df().count()
+
+    def list_ids(self, limit: int = 100, offset: int = 0) -> list[str]:
+        """D8: paged id listing (deterministic order by id)."""
+        rows = (
+            self.df().select("id").orderBy("id").offset(offset).limit(limit).collect()
+        )
+        return [r["id"] for r in rows]
+
+    def peek(self, limit: int = 10) -> DataFrame:
+        """D9."""
+        return self.df().limit(limit)
+
+    # -- queries ------------------------------------------------------
+
+    def search(
+        self,
+        query_vec: Sequence[float],
+        k: int = 10,
+        where: Filter | dict | None = None,
+        ef_search: int | None = None,  # accepted for API parity; exact mode ignores it
+    ) -> DataFrame:
+        """K1/K3: exact kNN with pre-filter semantics (SURVEY §4)."""
+        if len(query_vec) != self.config.dimensions:
+            raise ValueError(
+                f"query dimension {len(query_vec)} != {self.config.dimensions}"
+            )
+        pre = None
+        if where is not None:
+            f = from_dict(where) if isinstance(where, dict) else where
+            pre = f.col()
+        return knn_op(
+            self.df(), query_vec, k=k, metric=self.config.metric,
+            pre_filter=pre, id_col="id", vec_col="embedding",
+        )
+
+
+class VectorDB:
+    """Database = named directory of collections (S3,
+    ``vectordb_optimized.py:746-818``)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _cpath(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad collection name {name!r}")
+        return os.path.join(self.path, name)
+
+    def create_collection(
+        self, name: str, dimensions: int, metric: str = "cosine"
+    ) -> Collection:
+        p = self._cpath(name)
+        if os.path.exists(os.path.join(p, "config.json")):
+            raise ValueError(f"collection {name!r} already exists")
+        return Collection(self.spark, p, CollectionConfig(dimensions, metric))
+
+    def get_collection(self, name: str) -> Collection:
+        p = self._cpath(name)
+        cfg = os.path.join(p, "config.json")
+        if not os.path.exists(cfg):
+            raise KeyError(f"no such collection {name!r}")
+        with open(cfg) as f:
+            return Collection(self.spark, p, CollectionConfig.from_json(f.read()))
+
+    def get_or_create_collection(
+        self, name: str, dimensions: int, metric: str = "cosine"
+    ) -> Collection:
+        try:
+            return self.get_collection(name)
+        except KeyError:
+            return self.create_collection(name, dimensions, metric)
+
+    def list_collections(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.path)
+            if os.path.exists(os.path.join(self.path, d, "config.json"))
+        )
+
+    def delete_collection(self, name: str) -> None:
+        import shutil
+
+        p = self._cpath(name)
+        if os.path.exists(p):
+            shutil.rmtree(p)

@@ -1,0 +1,117 @@
+"""Collection/VectorDB CRUD semantics (ref vectordb_optimized.py:
+dup-id rejection, dim validation, upsert, delete-by-filter,
+persistence round-trip across instances)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.catalog import VectorDB
+from fastpyvectordb_spark.embeddings import embed_column, mock_embed_batch
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return VectorDB(spark, str(tmp_path / "vdb"))
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, embedding array<float>, category string"
+    )
+
+
+def _vecs(n, d=4, offset=0):
+    return [
+        (f"v{i}", [float(i + offset)] * d, "A" if i % 2 == 0 else "B")
+        for i in range(n)
+    ]
+
+
+def test_create_insert_count_get(spark, db):
+    c = db.create_collection("col1", dimensions=4)
+    assert c.insert_batch(_batch(spark, _vecs(10))) == 10
+    assert c.count() == 10
+    got = c.get(["v1", "v2"], include_vector=False).collect()
+    assert {r["id"] for r in got} == {"v1", "v2"}
+    assert "embedding" not in got[0].asDict()
+
+
+def test_duplicate_id_rejected(spark, db):
+    c = db.create_collection("col2", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(3)))
+    with pytest.raises(ValueError, match="duplicate id"):
+        c.insert_batch(_batch(spark, _vecs(1)))
+
+
+def test_dimension_validation(spark, db):
+    c = db.create_collection("col3", dimensions=8)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        c.insert_batch(_batch(spark, _vecs(2, d=4)))
+    with pytest.raises(ValueError, match="query dimension"):
+        c.search([1.0] * 4)
+
+
+def test_upsert_and_delete(spark, db):
+    c = db.create_collection("col4", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(5)))
+    c.upsert(_batch(spark, _vecs(2, offset=100)))  # overwrite v0, v1
+    assert c.count() == 5
+    v0 = c.get(["v0"]).head()
+    assert v0["embedding"][0] == 100.0
+    c.delete(ids=["v0"])
+    assert c.count() == 4
+    c.delete(where={"category": "B"})
+    assert c.count() == 2  # v2, v4 remain (A, minus deleted v0)
+
+
+def test_search_with_filter(spark, db):
+    # l2: the [i,i,i,i] fixture vectors are all parallel, so cosine
+    # would tie at distance 0 across the board
+    c = db.create_collection("col5", dimensions=4, metric="l2")
+    c.insert_batch(_batch(spark, _vecs(20)))
+    res = c.search([5.0] * 4, k=3, where={"category": "B"}).collect()
+    assert len(res) == 3
+    assert res[0]["id"] == "v5"  # exact match, category B (odd)
+
+
+def test_persistence_across_instances(spark, db, tmp_path):
+    c = db.create_collection("col6", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(7)))
+    db2 = VectorDB(spark, str(tmp_path / "vdb"))
+    assert db2.list_collections() == ["col6"]
+    c2 = db2.get_collection("col6")
+    assert c2.count() == 7
+    assert c2.config.dimensions == 4
+
+
+def test_list_ids_pagination(spark, db):
+    c = db.create_collection("col7", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(15)))
+    page1 = c.list_ids(limit=5, offset=0)
+    page2 = c.list_ids(limit=5, offset=5)
+    assert len(page1) == 5 and len(page2) == 5
+    assert set(page1).isdisjoint(page2)
+
+
+def test_mock_embedder_deterministic(spark):
+    import hashlib
+
+    import numpy as np
+
+    s = mock_embed_batch(__import__("pandas").Series(["hello", "hello", "world"]), 16)
+    assert s[0] == s[1] != s[2]
+    # matches the reference algorithm exactly
+    seed = int(hashlib.sha256(b"hello").hexdigest()[:8], 16)
+    want = np.random.RandomState(seed).randn(16).astype(np.float32)
+    want = want / np.linalg.norm(want)
+    assert np.allclose(s[0], want)
+
+
+def test_embed_column_pipeline(spark):
+    df = spark.createDataFrame([("a", "hello"), ("b", "world")], "id string, text string")
+    out = embed_column(df, "text", dimensions=16).collect()
+    assert all(len(r["embedding"]) == 16 for r in out)
+    norms = [sum(x * x for x in r["embedding"]) for r in out]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
