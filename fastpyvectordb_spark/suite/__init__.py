@@ -62,7 +62,9 @@ def _load_all() -> None:
         "quantization",
         "dedup",
         "textanalysis",
+        "graphvector",
         "events",
+        "ann",
     ):
         try:
             __import__(f"fastpyvectordb_spark.suite.{optional}")

@@ -1,0 +1,36 @@
+"""ANN suite queries — approximate operators with no SQL oracle
+(k-means training / seeded-hyperplane projections aren't expressible
+in DuckDB SQL). Registered without an oracle → the driver records the
+weaker rows-only check; semantic validation is the recall@k harness in
+tests/test_ann.py, mirroring the reference's own methodology
+(quantization.py:691-703).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_search
+from fastpyvectordb_spark.ann.lsh import add_signatures, hyperplanes, lsh_knn
+from fastpyvectordb_spark.suite import register
+from fastpyvectordb_spark.tables import load_table
+
+
+@register("ann_ivf_knn")
+def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(32 lists, nprobe=8) cosine top-10 for the canonical query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    index = ivf_build(emb, n_lists=32)
+    return ivf_search(index, qvec, k=10, nprobe=8)
+
+
+@register("ann_lsh_knn")
+def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH (6 bits, multiprobe 16) cosine top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    planes = hyperplanes(64, n_bits=6, seed=42)
+    signed = add_signatures(emb, planes)
+    return lsh_knn(signed, qvec, planes, k=10, multiprobe=16)

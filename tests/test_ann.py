@@ -1,0 +1,88 @@
+"""ANN accelerator recall gates vs the exact operator (reference-style
+recall@k harness, quantization.py:691-703 pattern)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_search
+from fastpyvectordb_spark.ann.lsh import add_signatures, hyperplanes, lsh_knn
+from fastpyvectordb_spark.operators.knn import knn
+
+
+def _exact(embeddings, qvec, k=10):
+    return [r["vec_id"] for r in knn(embeddings, qvec, k=k).collect()]
+
+
+def _recall(approx, exact):
+    return len(set(approx) & set(exact)) / len(exact)
+
+
+def test_lsh_recall(embeddings):
+    """This corpus is weakly clustered (nearest cosine sim ~0.3), the
+    hardest regime for hyperplane LSH. Offline numpy sweep: ~0.53
+    recall at a 26% scan fraction vs ~0.26 expected for a random scan
+    of the same size — the gate checks LSH beats random pruning, with
+    the honest absolute level for this data."""
+    planes = hyperplanes(64, n_bits=6, seed=42)
+    signed = add_signatures(embeddings, planes).cache()
+    recalls = []
+    for qid in range(5):
+        qvec = embeddings.filter(F.col("vec_id") == qid).head()["embedding"]
+        approx = [
+            r["vec_id"]
+            for r in lsh_knn(signed, qvec, planes, k=10, multiprobe=16).collect()
+        ]
+        recalls.append(_recall(approx, _exact(embeddings, qvec)))
+    mean = float(np.mean(recalls))
+    assert mean >= 0.4, f"LSH mean recall@10 {mean} ({recalls})"
+
+
+def test_lsh_prunes_candidates(embeddings):
+    planes = hyperplanes(64, n_bits=6, seed=42)
+    signed = add_signatures(embeddings, planes).cache()
+    qvec = embeddings.filter(F.col("vec_id") == 3).head()["embedding"]
+    from fastpyvectordb_spark.ann.lsh import query_buckets
+
+    buckets = query_buckets(qvec, planes, multiprobe=8)
+    n_cand = signed.filter(F.col("lsh_sig").isin(buckets)).count()
+    n_all = embeddings.count()
+    assert 0 < n_cand < n_all * 0.5, f"candidates {n_cand}/{n_all} — no pruning"
+
+
+def test_ivf_recall_and_pruning(embeddings):
+    index = ivf_build(embeddings, n_lists=32)
+    index.assigned.cache()
+    n_all = embeddings.count()
+    recalls, frac = [], []
+    for qid in range(5):
+        qvec = embeddings.filter(F.col("vec_id") == qid).head()["embedding"]
+        approx = [
+            r["vec_id"] for r in ivf_search(index, qvec, k=10, nprobe=8).collect()
+        ]
+        recalls.append(_recall(approx, _exact(embeddings, qvec)))
+        q = np.asarray(qvec, dtype=np.float64)
+        d = ((index.centroids - q) ** 2).sum(axis=1)
+        probe = [int(i) for i in np.argsort(d)[:8]]
+        frac.append(
+            index.assigned.filter(F.col("list_id").isin(probe)).count() / n_all
+        )
+    mean = float(np.mean(recalls))
+    assert mean >= 0.7, f"IVF mean recall@10 {mean} ({recalls})"
+    assert float(np.mean(frac)) < 0.5, f"probed fraction {frac} — weak pruning"
+
+
+def test_ivf_partitioned_save_prunes_files(embeddings, tmp_path, spark):
+    index = ivf_build(embeddings, n_lists=8)
+    path = str(tmp_path / "ivf")
+    index.save(path)
+    re = spark.read.parquet(path)
+    plan = (
+        re.filter(F.col("list_id").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan
