@@ -1,0 +1,157 @@
+"""Cypher-subset front-end (reference ``graph.py:950-1111`` G14).
+
+Supported grammar (same subset as the reference's SimpleQueryParser):
+
+    MATCH (n:Label {prop: value})                      RETURN n, n.prop
+    MATCH (a:L1)-[:TYPE]->(b:L2)                       RETURN a.x, b.y
+    MATCH (a)-[:TYPE*1..3]->(b)                        RETURN a, b
+    ... WHERE var.prop <op> value                       (=, !=, <>, >, >=, <, <=)
+
+Compilation target is a DataFrame plan over ``nodes``/``edges`` —
+node patterns become filtered scans, relationship patterns become
+``nodes ⋈ edges ⋈ nodes`` joins, var-length patterns reuse the
+iterative traversal operator, WHERE becomes ``filter`` and RETURN a
+``select``. The reference executes the same queries against in-memory
+dict indexes row-by-row; here Catalyst plans (and distributes) them.
+
+Each bound variable ``v`` contributes namespaced columns
+``v__<property>`` plus ``v__id``; RETURN re-aliases to the Cypher
+spelling (``v.prop`` / ``v``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NODE_RE = re.compile(r"\(\s*(\w+)\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)")
+_REL_RE = re.compile(
+    r"\(\s*(\w+)\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)\s*"
+    r"-\s*\[\s*:\s*(\w+)\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*->\s*"
+    r"\(\s*(\w+)\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)"
+)
+_WHERE_RE = re.compile(
+    r"(\w+)\.(\w+)\s*(=|!=|<>|>=|<=|>|<)\s*('(?:[^']*)'|\"(?:[^\"]*)\"|-?\d+(?:\.\d+)?)"
+)
+
+
+def _parse_props(s: str | None) -> dict:
+    if not s:
+        return {}
+    out = {}
+    for m in re.finditer(r"(\w+)\s*:\s*('(?:[^']*)'|\"[^\"]*\"|-?\d+(?:\.\d+)?)", s):
+        out[m.group(1)] = _parse_value(m.group(2))
+    return out
+
+
+def _parse_value(tok: str):
+    if tok[0] in "'\"":
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
+@dataclass
+class CypherPlan:
+    df: DataFrame
+    variables: list[str]
+
+
+class CypherCompiler:
+    def __init__(self, nodes: DataFrame, edges: DataFrame):
+        self.nodes = nodes
+        self.edges = edges
+        self._prop_cols = [c for c in nodes.columns if c not in ("id", "labels")]
+
+    # -- pattern pieces ----------------------------------------------
+
+    def _bind_node(self, var: str, label: str | None, props: dict) -> DataFrame:
+        df = self.nodes
+        if label:
+            df = df.filter(F.array_contains("labels", label))
+        for k, v in props.items():
+            df = df.filter(F.coalesce(F.col(k) == F.lit(v), F.lit(False)))
+        cols = [F.col("id").alias(f"{var}__id")] + [
+            F.col(c).alias(f"{var}__{c}") for c in self._prop_cols
+        ]
+        return df.select(*cols)
+
+    def _match(self, pattern: str) -> CypherPlan:
+        rel = _REL_RE.search(pattern)
+        if rel:
+            (av, al, ap, etype, lo, hi, bv, bl, bp) = rel.groups()
+            a = self._bind_node(av, al, _parse_props(ap))
+            b = self._bind_node(bv, bl, _parse_props(bp))
+            if lo is None:
+                hop = self.edges.filter(F.col("type") == etype).select(
+                    F.col("src").alias(f"{av}__id_j"),
+                    F.col("dst").alias(f"{bv}__id_j"),
+                )
+                df = (
+                    a.join(hop, F.col(f"{av}__id") == F.col(f"{av}__id_j"))
+                    .join(b, F.col(f"{bv}__id_j") == F.col(f"{bv}__id"))
+                    .drop(f"{av}__id_j", f"{bv}__id_j")
+                )
+            else:
+                from fastpyvectordb_spark.operators.graph import traverse
+
+                start_ids = [
+                    r[f"{av}__id"] for r in a.select(f"{av}__id").distinct().collect()
+                ]
+                paths = traverse(
+                    self.edges, start_ids, max_depth=int(hi), edge_type=etype
+                ).filter(F.col("depth") >= int(lo))
+                df = (
+                    a.join(paths, F.col(f"{av}__id") == paths.start_id)
+                    .join(b, paths.end_id == F.col(f"{bv}__id"))
+                    .drop("start_id", "end_id")
+                )
+            return CypherPlan(df, [av, bv])
+        node = _NODE_RE.search(pattern)
+        if not node:
+            raise ValueError(f"cannot parse MATCH pattern: {pattern!r}")
+        var, label, props = node.groups()
+        return CypherPlan(self._bind_node(var, label, _parse_props(props)), [var])
+
+    # -- query --------------------------------------------------------
+
+    def query(self, cypher: str) -> DataFrame:
+        m = re.search(
+            r"MATCH\s+(.+?)(?:\s+WHERE\s+(.+?))?\s+RETURN\s+(.+)$",
+            cypher.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse query (need MATCH ... RETURN ...): {cypher!r}")
+        pattern, where, ret = m.groups()
+        plan = self._match(pattern)
+        df = plan.df
+
+        if where:
+            w = _WHERE_RE.search(where)
+            if not w:
+                raise ValueError(f"cannot parse WHERE clause: {where!r}")
+            var, prop, op, val = w.groups()
+            c = F.col(f"{var}__{prop}")
+            v = F.lit(_parse_value(val))
+            pred = {
+                "=": c == v, "!=": c != v, "<>": c != v,
+                ">": c > v, ">=": c >= v, "<": c < v, "<=": c <= v,
+            }[op]
+            df = df.filter(F.coalesce(pred, F.lit(False)))
+
+        out_cols = []
+        for item in [s.strip() for s in ret.split(",")]:
+            if "." in item:
+                var, prop = item.split(".", 1)
+                out_cols.append(F.col(f"{var}__{prop}").alias(item))
+            else:
+                out_cols.append(F.col(f"{item}__id").alias(item))
+        return df.select(*out_cols)
+
+
+def cypher_query(nodes: DataFrame, edges: DataFrame, query: str) -> DataFrame:
+    """G14 entry point: execute a Cypher-subset query over a graph."""
+    return CypherCompiler(nodes, edges).query(query)

@@ -1,0 +1,232 @@
+"""Multimodal columns for training-data pipelines.
+
+Images/audio/video ride through Spark as opaque ``BINARY`` payload
+columns plus typed metadata (mime, width/height/duration, checksum).
+All the Spark-side plumbing is real — schemas, Arrow-batched
+``mapInPandas`` transforms, deterministic partitioning, manifest
+aggregation; the actual media decoding is STUBBED (this container has
+no image/audio libraries): ``decode_stub=True`` produces
+deterministic md5-derived fake features so the pipeline is testable
+end-to-end, and ``decode_stub=False`` raises ``NotImplementedError``
+at the exact point a real decoder (PIL/ffmpeg/torchvision) would be
+called — the function signature, batch shape, and output schema are
+the production contract.
+
+At 100 TB: payloads stay in parquet binary columns (never collected),
+transforms stream Arrow batches partition-locally, and the feature/
+metadata outputs are small typed columns that downstream joins/dedup
+operate on without touching the payloads again.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def _stub_feature(payload: bytes, dims: int) -> list[float]:
+    """Deterministic fake feature: md5-seeded pseudo-random unit vector
+    (same trick as the mock text embedder — reproducible anywhere)."""
+    import numpy as np
+
+    seed = int(hashlib.md5(payload or b"").hexdigest()[:8], 16)
+    rng = np.random.RandomState(seed)
+    v = rng.randn(dims).astype(np.float32)
+    v = v / (np.linalg.norm(v) + 1e-10)
+    return [float(x) for x in v]
+
+
+def extract_features(
+    media: DataFrame, dims: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """Decode + feature-extract each payload via Arrow-batched
+    ``mapInPandas`` — one Python worker per partition, payloads never
+    leave their executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats, checksums, sizes = [], [], []
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                raw = bytes(payload) if payload is not None else b""
+                # checksum over the UPPERCASE hex of the payload — md5
+                # of a string is portable to any SQL oracle (DuckDB md5
+                # accepts only VARCHAR)
+                checksums.append(hashlib.md5(raw.hex().upper().encode()).hexdigest())
+                sizes.append(len(raw))
+                if decode_stub:
+                    feats.append(_stub_feature(raw, dims))
+                else:
+                    raise NotImplementedError(
+                        f"real decoder for {mime!r} not available in this "
+                        "environment (PIL/ffmpeg not installed); pass "
+                        "decode_stub=True"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "checksum": checksums,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int, decode_stub: bool = True
+) -> DataFrame:
+    """Image resize stage. Stub: passes payload through and rewrites the
+    metadata dims (a real impl decodes → resamples → re-encodes in the
+    same batch loop)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires PIL; pass decode_stub=True"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "payload", "width", "height").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, decode_stub: bool = True
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame. Stub
+    derives frame count from duration and emits deterministic
+    md5-derived frame checksums; a real impl seeks/decodes frames."""
+
+    frame_schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("ts_ms", LongType()),
+            StructField("frame_checksum", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg; pass decode_stub=True"
+                )
+            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_checksum": []}
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                n = max(1, int((dur or 0) // every_ms))
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["frame_checksum"].append(
+                        hashlib.md5(
+                            (raw.hex().upper() + "#" + str(i)).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(rows).astype(
+                {"frame_idx": "int32", "ts_ms": "int64"}
+            )
+
+    return media.select("media_id", "payload", "duration_ms").mapInPandas(
+        run, schema=frame_schema
+    )
+
+
+def media_manifest(media: DataFrame) -> DataFrame:
+    """Typed-metadata aggregation: per-mime counts/bytes — pure codegen
+    over the metadata columns, payloads pruned from the scan."""
+    return (
+        media.groupBy("mime")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.length("payload").cast("long")).alias("total_bytes"),
+            F.min("width").alias("min_width"),
+            F.max("width").alias("max_width"),
+        )
+        .orderBy("mime")
+    )
+
+
+def synthetic_media(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media table derived from ``documents`` (the
+    container has no real media files): payload = utf-8 text bytes,
+    mime cycles image/audio/video, dims/duration derived from lengths.
+    Lets every operator above run end-to-end on driver testdata."""
+    return docs.select(
+        F.concat(F.lit("m:"), F.col(id_col)).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        (F.col("n_chars") % 640 + 64).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 48).cast("int").alias("height"),
+        (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+    )

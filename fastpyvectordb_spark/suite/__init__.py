@@ -65,6 +65,7 @@ def _load_all() -> None:
         "graphvector",
         "events",
         "ann",
+        "multimodal",
     ):
         try:
             __import__(f"fastpyvectordb_spark.suite.{optional}")

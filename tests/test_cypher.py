@@ -1,0 +1,87 @@
+"""Cypher-subset front-end tests (G14, graph.py:950-1111 parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.cypher import cypher_query
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("p1", ["Person"], "Alice", 30),
+            ("p2", ["Person"], "Bob", 25),
+            ("p3", ["Person"], "Carol", 35),
+            ("c1", ["Company"], "Acme", None),
+            ("c2", ["Company"], "Globex", None),
+        ],
+        "id string, labels array<string>, name string, age int",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("e1", "p1", "c1", "WORKS_AT"),
+            ("e2", "p2", "c1", "WORKS_AT"),
+            ("e3", "p3", "c2", "WORKS_AT"),
+            ("e4", "p1", "p2", "KNOWS"),
+            ("e5", "p2", "p3", "KNOWS"),
+        ],
+        "id string, src string, dst string, type string",
+    )
+    return nodes, edges
+
+
+def test_node_match_by_label(graph):
+    n, e = graph
+    rows = cypher_query(n, e, "MATCH (p:Person) RETURN p.name").collect()
+    assert {r["p.name"] for r in rows} == {"Alice", "Bob", "Carol"}
+
+
+def test_node_match_with_props(graph):
+    n, e = graph
+    rows = cypher_query(n, e, "MATCH (p:Person {name: 'Bob'}) RETURN p, p.age").collect()
+    assert len(rows) == 1
+    assert rows[0]["p"] == "p2" and rows[0]["p.age"] == 25
+
+
+def test_relationship_match(graph):
+    n, e = graph
+    rows = cypher_query(
+        n, e, "MATCH (p:Person)-[:WORKS_AT]->(c:Company) RETURN p.name, c.name"
+    ).collect()
+    got = {(r["p.name"], r["c.name"]) for r in rows}
+    assert got == {("Alice", "Acme"), ("Bob", "Acme"), ("Carol", "Globex")}
+
+
+def test_where_clause(graph):
+    n, e = graph
+    rows = cypher_query(
+        n,
+        e,
+        "MATCH (p:Person)-[:WORKS_AT]->(c:Company) WHERE p.age > 26 RETURN p.name",
+    ).collect()
+    assert {r["p.name"] for r in rows} == {"Alice", "Carol"}
+
+
+def test_where_string_eq(graph):
+    n, e = graph
+    rows = cypher_query(
+        n, e, "MATCH (p:Person) WHERE p.name = 'Carol' RETURN p.age"
+    ).collect()
+    assert [r["p.age"] for r in rows] == [35]
+
+
+def test_var_length_path(graph):
+    n, e = graph
+    rows = cypher_query(
+        n, e, "MATCH (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(b:Person) RETURN b.name"
+    ).collect()
+    assert {r["b.name"] for r in rows} == {"Bob", "Carol"}
+
+
+def test_unparseable_raises(graph):
+    n, e = graph
+    with pytest.raises(ValueError, match="cannot parse"):
+        cypher_query(n, e, "FETCH ALL THE THINGS")

@@ -1,0 +1,64 @@
+"""Multimodal pipeline tests: stub determinism, batch shapes, the
+NotImplementedError contract for real decoders."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.operators.multimodal import (
+    extract_features,
+    media_manifest,
+    resize_images,
+    sample_frames,
+    synthetic_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, documents):
+    return synthetic_media(spark, documents).cache()
+
+
+def test_feature_extraction_deterministic(media):
+    a = {r["media_id"]: r["feature"] for r in extract_features(media.limit(20), dims=8).collect()}
+    b = {r["media_id"]: r["feature"] for r in extract_features(media.limit(20), dims=8).collect()}
+    assert a == b
+    assert all(len(v) == 8 for v in a.values())
+    # unit-normalized
+    for v in a.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+
+
+def test_real_decoder_contract_raises(media):
+    with pytest.raises(Exception, match="NotImplementedError|real decoder"):
+        extract_features(media.limit(2), decode_stub=False).collect()
+
+
+def test_resize_rewrites_dims(media):
+    out = resize_images(media.limit(5), 224, 224).collect()
+    assert all(r["width"] == 224 and r["height"] == 224 for r in out)
+    # payload passes through untouched in the stub
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.limit(5).collect()}
+    assert all(bytes(r["payload"]) == orig[r["media_id"]] for r in out)
+
+
+def test_frame_sampling_counts(media):
+    vid = media.filter(F.col("mime") == "video/mp4")
+    frames = sample_frames(vid, every_ms=1000)
+    per = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    durs = {r["media_id"]: r["duration_ms"] for r in vid.collect()}
+    for mid, n in per.items():
+        assert n == max(1, durs[mid] // 1000)
+
+
+def test_manifest_prunes_payload(media):
+    plan = media_manifest(media)._jdf.queryExecution().executedPlan().toString()
+    # payload may appear only for length; manifest runs without
+    # collecting payloads to the driver
+    rows = media_manifest(media).collect()
+    assert {r["mime"] for r in rows} == {"audio/wav", "image/png", "video/mp4"}
+    assert all(r["total_bytes"] > 0 for r in rows)
