@@ -86,6 +86,46 @@ class Collection:
         with open(os.path.join(self.path, _POINTER), "w") as f:
             f.write(version)
 
+    # -- change feed (R5: ObservableCollection, realtime.py:325-442) --
+
+    def _emit(self, event_type: str, ids_df: DataFrame | None) -> None:
+        """Append CDC events for a mutation to the collection's event
+        log (parquet append — the poor-man's Delta Change Data Feed).
+        ``events_stream()`` turns this into a live subscription source."""
+        if ids_df is None:
+            return
+        ev = ids_df.select(
+            F.concat(F.lit(uuid.uuid4().hex[:8] + "-"), F.col("id")).alias(
+                "event_id"
+            ),
+            F.lit(event_type).alias("event_type"),
+            F.lit(os.path.basename(self.path)).alias("collection"),
+            F.col("id").alias("doc_id"),
+            F.current_timestamp().alias("ts"),
+        )
+        ev.write.mode("append").parquet(os.path.join(self.path, "_events"))
+
+    def events_df(self) -> DataFrame:
+        """The change log as a batch DataFrame (replay; R3)."""
+        p = os.path.join(self.path, "_events")
+        if not os.path.exists(p):
+            return self.spark.createDataFrame(
+                [],
+                "event_id string, event_type string, collection string, "
+                "doc_id string, ts timestamp",
+            )
+        return self.spark.read.parquet(p)
+
+    def events_stream(self) -> DataFrame:
+        """The change log as a streaming source (readStream) —
+        subscription filters from streaming/events.py apply directly."""
+        p = os.path.join(self.path, "_events")
+        schema = (
+            "event_id string, event_type string, collection string, "
+            "doc_id string, ts timestamp"
+        )
+        return self.spark.readStream.schema(schema).parquet(p)
+
     # -- DML (D1-D9) --------------------------------------------------
 
     def _validate(self, batch: DataFrame) -> DataFrame:
@@ -112,6 +152,7 @@ class Collection:
             raise ValueError(f"duplicate id in batch: {in_batch_dup[0]['id']!r}")
         n = batch.count()
         self._commit(cur.unionByName(batch, allowMissingColumns=True))
+        self._emit("batch_insert" if n > 1 else "insert", batch.select("id"))
         return n
 
     def upsert(self, batch: DataFrame) -> int:
@@ -121,6 +162,7 @@ class Collection:
         kept = cur.join(batch.select("id"), "id", "left_anti")
         n = batch.count()
         self._commit(kept.unionByName(batch, allowMissingColumns=True))
+        self._emit("update", batch.select("id"))
         return n
 
     def delete(self, ids: Sequence[str] | None = None, where: Filter | dict | None = None) -> None:
@@ -134,7 +176,40 @@ class Collection:
             cond = f.col() if cond is None else (cond | f.col())
         if cond is None:
             return
+        doomed = cur.filter(F.coalesce(cond, F.lit(False))).select("id").localCheckpoint()
         self._commit(cur.filter(~F.coalesce(cond, F.lit(False))))
+        self._emit("delete", doomed)
+
+    def update(
+        self,
+        ids: Sequence[str],
+        metadata: dict | None = None,
+        texts: dict | None = None,
+        embed_dimensions: int | None = None,
+    ) -> int:
+        """D7 (fastpyvectordb/client.py:357-394 shape): merge metadata
+        columns and/or replace text + re-embed for the given ids — a
+        read-modify-write MERGE."""
+        cur = self.df()
+        hit = cur.filter(F.col("id").isin(list(ids)))
+        rest = cur.filter(~F.col("id").isin(list(ids)))
+        for k, v in (metadata or {}).items():
+            hit = hit.withColumn(k, F.lit(v))
+        if texts:
+            from fastpyvectordb_spark.embeddings import embed_column
+
+            mapping = F.create_map(
+                *[F.lit(x) for kv in texts.items() for x in kv]
+            )
+            hit = hit.withColumn("text", mapping[F.col("id")])
+            hit = embed_column(
+                hit, "text", out_col="embedding",
+                dimensions=embed_dimensions or self.config.dimensions,
+            )
+        n = hit.count()
+        self._commit(rest.unionByName(hit, allowMissingColumns=True))
+        self._emit("update", hit.select("id"))
+        return n
 
     def get(self, ids: Sequence[str], include_vector: bool = True) -> DataFrame:
         """D4: point lookup."""

@@ -109,8 +109,19 @@ def bm25_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int | None = ROUND,
+    pre_filter=None,
 ) -> DataFrame:
-    """T5: top-k by BM25 score desc, ties by doc_id (rounded scores)."""
+    """T5/H1: top-k by BM25 score desc, ties by doc_id (rounded scores).
+
+    ``pre_filter`` is the filtered keyword search (H1,
+    ``hybrid_search.py:318-358``): the reference over-fetches k*10 then
+    post-filters (can return <k rows); we pre-filter — the filter
+    applies before scoring, so recall never drops (SURVEY §4).
+    Corpus statistics (N, avgdl, df) are computed over the *filtered*
+    corpus, consistent with scoring a sub-collection.
+    """
+    if pre_filter is not None:
+        docs = docs.filter(pre_filter)
     scores = bm25_score_df(docs, query, id_col, text_col)
     score = F.col("score")
     if round_digits is not None:
