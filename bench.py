@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-N_GEMM_QUERIES = 256
+N_GEMM_QUERIES = 1024
 K = 10
 
 
@@ -67,22 +67,32 @@ def main() -> None:
 
         knn(emb, qvec, k=K, pre_filter=F.col("label") == 3).collect()
 
+    qpdf = (
+        emb.filter(F.col("vec_id") < N_GEMM_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .toPandas()
+    )
+    n_queries = len(qpdf)
+
+    @bench("q_knn_batch_auto")
+    def _():
+        from fastpyvectordb_spark.operators.knn import knn_batch_auto
+
+        res = knn_batch_auto(emb, qpdf, k=K, metric="cosine")
+        assert len(res) == n_queries * K
+
     @bench("q_knn_batch_gemm")
     def _():
         from fastpyvectordb_spark.operators.knn import knn_batch_gemm
 
-        qpdf = (
-            emb.filter(F.col("vec_id") < N_GEMM_QUERIES)
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("query_vec"),
-            )
-            .toPandas()
-        )
         n = knn_batch_gemm(emb, qpdf, k=K, metric="cosine").count()
-        assert n == min(N_GEMM_QUERIES, n_vectors) * K
+        assert n == n_queries * K
 
-    extras["gemm_qps"] = round(N_GEMM_QUERIES / timings["q_knn_batch_gemm"], 1)
+    extras["gemm_qps"] = round(n_queries / timings["q_knn_batch_gemm"], 1)
+    extras["auto_qps"] = round(n_queries / timings["q_knn_batch_auto"], 1)
 
     # -- text / fusion ------------------------------------------------
     @bench("q_bm25")

@@ -56,10 +56,21 @@ def bm25_score_df(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    reuse_index: bool = True,
 ) -> DataFrame:
-    """Scores every candidate doc (≥1 query term) → (doc_id, score)."""
+    """Scores every candidate doc (≥1 query term) → (doc_id, score).
+
+    With ``reuse_index`` the postings/doc-length tables are
+    checkpointed so the stats agg, the df-per-term agg, and the scoring
+    join all read the tokenized corpus once instead of re-exploding it
+    per consumer (in production the postings table is a persisted
+    derived table — this is the in-session equivalent).
+    """
     spark = docs.sparkSession
     postings, doc_lengths = build_postings(docs, id_col, text_col)
+    if reuse_index:
+        postings = postings.localCheckpoint()
+        doc_lengths = doc_lengths.localCheckpoint()
 
     # tiny: query terms with multiplicity
     qtoks = spark.range(1).select(

@@ -171,6 +171,9 @@ def traverse(
     return results
 
 
+DRIVER_FRONTIER_LIMIT = 20_000
+
+
 def bfs_levels(
     edges: DataFrame,
     start_id: str,
@@ -178,26 +181,68 @@ def bfs_levels(
     edge_type: str | None = None,
 ) -> DataFrame:
     """G11 core: min-hop distance to every node reachable within
-    max_depth (directed, out-edges). Returns (node_id, hops)."""
+    max_depth (directed, out-edges). Returns (node_id, hops).
+
+    Adaptive frontier strategy: while the frontier fits comfortably on
+    the driver it is kept as a Python set and each hop is ONE
+    distributed filter with an ``isin`` predicate pushed into the edge
+    scan (one job per hop). If a hop explodes past the limit, the loop
+    switches to the fully-distributed join form with checkpointed
+    lineage — the same escalation GraphFrames' BFS makes.
+    """
     e = edges if edge_type is None else edges_by_type(edges, edge_type)
-    # cache the deduped adjacency once — every hop joins against it
-    e = e.select("src", "dst").distinct().localCheckpoint()
+    e = e.select("src", "dst")
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(start_id, 0)], "node_id string, hops int")
-    frontier = visited
+
+    # driver-frontier phase
+    visited: dict[str, int] = {start_id: 0}
+    frontier = [start_id]
     for hop in range(1, max_depth + 1):
-        # localCheckpoint truncates the per-hop lineage so hop N doesn't
-        # recompute hops 1..N-1 (the loop is driver-side; each join is
-        # fully distributed)
+        rows = (
+            e.filter(F.col("src").isin(frontier))
+            .select("dst")
+            .distinct()
+            .collect()
+        )
+        nxt = [r["dst"] for r in rows if r["dst"] not in visited]
+        for n in nxt:
+            visited[n] = hop
+        frontier = nxt
+        if not frontier:
+            break
+        if len(frontier) > DRIVER_FRONTIER_LIMIT:
+            return _bfs_levels_distributed(
+                spark, e, visited, frontier, hop, max_depth
+            )
+    return spark.createDataFrame(
+        list(visited.items()), "node_id string, hops int"
+    )
+
+
+def _bfs_levels_distributed(
+    spark, e: DataFrame, seen: dict[str, int], frontier_ids: list[str],
+    start_hop: int, max_depth: int
+) -> DataFrame:
+    """Continuation of bfs_levels once the frontier outgrows the driver."""
+    e = e.distinct().localCheckpoint()
+    visited = spark.createDataFrame(
+        list(seen.items()), "node_id string, hops int"
+    ).localCheckpoint()
+    frontier = spark.createDataFrame(
+        [(f,) for f in frontier_ids], "node_id string"
+    )
+    for hop in range(start_hop + 1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier.node_id == e.src)
-            .select(F.col("dst").alias("node_id"), F.lit(hop).alias("hops"))
+            .select(F.col("dst").alias("node_id"))
             .distinct()
             .join(visited.select("node_id"), "node_id", "left_anti")
         ).localCheckpoint()
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(
+            nxt.withColumn("hops", F.lit(hop))
+        ).localCheckpoint()
         frontier = nxt
     return visited
 

@@ -190,3 +190,75 @@ def knn_batch_gemm(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "dist")
     )
+
+
+# a vector table smaller than this many floats is cheaper to GEMM on
+# the driver than to schedule tasks for (~80 MB of f32)
+LOCAL_GEMM_THRESHOLD = 20_000_000
+
+
+def knn_batch_auto(
+    vectors: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    local_threshold: int = LOCAL_GEMM_THRESHOLD,
+):
+    """Adaptive batch kNN: below ``local_threshold`` total floats the
+    table is collected once and searched with a single local BLAS GEMM
+    (the reference's ``search_batch_parallel`` kernel — at small scale
+    a distributed plan is pure scheduling overhead); above it, the
+    distributed :func:`knn_batch_gemm` plan runs. Returns a pandas
+    DataFrame (query_id, rank, id, dist) either way.
+    """
+    import numpy as np
+
+    first = vectors.select(F.size(vec_col).alias("d")).head()
+    if first is None:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "dist"])
+    dims = first["d"]
+    n = vectors.count()
+    if n * dims > local_threshold:
+        return knn_batch_gemm(
+            vectors, queries_pdf, k=k, metric=metric,
+            id_col=id_col, vec_col=vec_col,
+        ).toPandas()
+
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    vmat = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in queries_pdf["query_vec"]]
+    )
+    qids = queries_pdf["query_id"].to_numpy()
+    eps = 1e-10
+    if metric == "cosine":
+        vn = vmat / (np.linalg.norm(vmat, axis=1, keepdims=True) + eps)
+        qn = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True) + eps)
+        dists = 1.0 - vn @ qn.T
+    elif metric == "l2":
+        v_sq = np.einsum("ij,ij->i", vmat, vmat)[:, None]
+        q_sq = np.einsum("ij,ij->i", qmat, qmat)[None, :]
+        dists = np.sqrt(np.maximum(v_sq + q_sq - 2.0 * (vmat @ qmat.T), 0.0))
+    else:
+        dists = -(vmat @ qmat.T)
+    kk = min(k, len(ids))
+    part = np.argpartition(dists, kk - 1, axis=0)[:kk]
+    out = []
+    for qi in range(dists.shape[1]):
+        sel = part[:, qi]
+        order = np.lexsort((ids[sel], dists[sel, qi]))
+        sel = sel[order]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": qids[qi],
+                    "rank": np.arange(1, kk + 1),
+                    id_col: ids[sel],
+                    "dist": dists[sel, qi].astype("float64"),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
