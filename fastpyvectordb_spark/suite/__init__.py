@@ -66,6 +66,7 @@ def _load_all() -> None:
         "events",
         "ann",
         "multimodal",
+        "analytics2",
     ):
         try:
             __import__(f"fastpyvectordb_spark.suite.{optional}")

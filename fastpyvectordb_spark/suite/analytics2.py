@@ -1,0 +1,209 @@
+"""Second analytics batch: pivot/trend (A3), percentiles (A10), set
+operations (§2.13), pagination (O4), and two more TPC-H-ish shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.suite import register
+from fastpyvectordb_spark.tables import load_table
+
+
+def _cents(col):
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+# A3: trend — counts by (year, status) pivoted to columns
+_TREND_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders
+GROUP BY 1 ORDER BY order_year
+"""
+
+
+@register("agg_order_trend_pivot", _TREND_ORACLE)
+def agg_order_trend_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (news demo :1513-1529): per-year counts pivoted by status."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+        )
+        .orderBy("order_year")
+    )
+
+
+# A10: latency-percentile shape — exact percentiles (linear interp in
+# both engines; percentile_approx would not hash-match)
+_PCTL_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_value_percentiles", _PCTL_ORACLE)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# §2.13 set ops: customers active in 1995 ∩ 1996, and 1995 \ 1996
+_SETOPS_ORACLE = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT o_custkey AS custkey, 'both' AS segment FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey, 'only_1995' FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+ORDER BY segment, custkey
+"""
+
+
+@register("setops_customer_activity", _SETOPS_ORACLE)
+def setops_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).select(
+        F.col("o_custkey").alias("custkey"), F.lit("both").alias("segment")
+    )
+    only95 = y95.exceptAll(y96).select(
+        F.col("o_custkey").alias("custkey"), F.lit("only_1995").alias("segment")
+    )
+    return both.unionByName(only95).orderBy("segment", "custkey")
+
+
+# O4: pagination — deterministic page of an ordered listing
+_PAGE_ORACLE = """
+SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 40
+"""
+
+
+@register("page_customers", _PAGE_ORACLE)
+def page_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name").orderBy("c_custkey").offset(40).limit(20)
+
+
+# TPC-H Q6 shape: predicate-heavy scan-aggregate
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+"""
+
+
+@register("agg_forecast_revenue", _Q6_ORACLE)
+def agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 25)
+    )
+    return f.agg(
+        F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue_cents"
+        )
+    )
+
+
+# TPC-H Q10 shape: 4-way join + group + top-k by revenue
+_Q10_ORACLE = """
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("agg_returned_item_ranking", _Q10_ORACLE)
+def agg_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+# window functions: rank + running revenue per customer over months
+_WINDOW_ORACLE = """
+WITH m AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS month_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey AS custkey, CAST(month AS TIMESTAMP) AS month, month_cents,
+       CAST(SUM(month_cents) OVER (PARTITION BY o_custkey ORDER BY month
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY month) AS BIGINT) AS month_rank
+FROM m
+WHERE o_custkey <= 50
+ORDER BY custkey, month
+"""
+
+
+@register("window_running_revenue", _WINDOW_ORACLE)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.filter(F.col("o_custkey") <= 50)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("month_cents"))
+    )
+    w = Window.partitionBy("custkey").orderBy("month")
+    return (
+        m.withColumn(
+            "running_cents",
+            F.sum("month_cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("month_rank", F.row_number().over(w).cast("long"))
+        .orderBy("custkey", "month")
+    )

@@ -1,0 +1,79 @@
+"""Physical-plan audits for the hot suite queries — the 100 TB
+contract: filters pushed to scans, small sides broadcast, no
+accidental cartesian products, codegen on expression stages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.operators.knn import knn, knn_join
+from fastpyvectordb_spark.plans import assert_scale_safe, plan_report
+from fastpyvectordb_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filtered_knn_pushes_filter(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    plan = knn(emb, qvec, k=5, pre_filter=F.col("label") == 3)
+    rep = assert_scale_safe(plan, expect_pushdown=True)
+    assert any("label" in p for p in rep.pushed_filters)
+
+
+def test_knn_single_query_no_shuffle_of_vectors(spark):
+    # TakeOrderedAndProject: partial top-k per partition, no Exchange
+    # of the vector table itself
+    emb = load_table(spark, SF, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    rep = plan_report(knn(emb, qvec, k=5))
+    assert rep.exchanges == 0, rep.summary()
+    assert "TakeOrderedAndProject" in __import__(
+        "fastpyvectordb_spark.plans.advisor", fromlist=["physical_plan"]
+    ).physical_plan(knn(emb, qvec, k=5))
+
+
+def test_batch_knn_broadcasts_queries(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rep = plan_report(knn_join(emb, qs, k=5))
+    # the crossJoin must become a broadcast nested-loop, never a
+    # CartesianProduct shuffle of the vector table
+    assert rep.cartesian_products == 0, rep.summary()
+    assert rep.broadcast_nested_loop >= 1 or rep.broadcast_joins >= 1, rep.summary()
+
+
+def test_dim_join_broadcasts(spark):
+    from fastpyvectordb_spark.suite.analytics import agg_revenue_by_nation
+
+    rep = plan_report(agg_revenue_by_nation(spark, SF))
+    assert rep.broadcast_joins >= 1, rep.summary()
+    assert rep.cartesian_products == 0
+
+
+def test_q1_pushes_date_filter_and_codegens(spark):
+    from fastpyvectordb_spark.suite.analytics import agg_pricing_summary
+
+    df = agg_pricing_summary(spark, SF)
+    rep = assert_scale_safe(df, expect_pushdown=True, max_shuffles=2)
+    assert any("l_shipdate" in p for p in rep.pushed_filters)
+    # codegen markers only materialize in the FINAL adaptive plan —
+    # execute, then re-inspect
+    df.collect()
+    rep2 = plan_report(df)
+    assert rep2.codegen_stages >= 1, rep2.summary()
+
+
+def test_lsh_probe_pushes_bucket_filter(spark):
+    from fastpyvectordb_spark.ann.lsh import add_signatures, hyperplanes
+
+    emb = load_table(spark, SF, "embeddings")
+    planes = hyperplanes(64, n_bits=6)
+    signed = add_signatures(emb, planes)
+    probed = signed.filter(F.col("lsh_sig").isin([1, 2, 3]))
+    # derived column: filter evaluates post-scan but must not shuffle
+    rep = plan_report(probed)
+    assert rep.exchanges == 0, rep.summary()
