@@ -138,6 +138,25 @@ class Collection:
             )
         return batch
 
+    def insert(
+        self,
+        vector: Sequence[float],
+        id: str,
+        metadata: dict | None = None,
+    ) -> str:
+        """D1: single-row insert sugar over insert_batch
+        (ref vectordb_optimized.py:337-365)."""
+        row = {"id": id, "embedding": [float(v) for v in vector]}
+        row.update(metadata or {})
+        batch = self.spark.createDataFrame([row])
+        from pyspark.sql import functions as _F
+
+        batch = batch.withColumn(
+            "embedding", _F.col("embedding").cast("array<float>")
+        )
+        self.insert_batch(batch)
+        return id
+
     def insert_batch(self, batch: DataFrame) -> int:
         """D2: append; duplicate ids rejected (ref :345-348, 388-396)."""
         batch = self._validate(batch)

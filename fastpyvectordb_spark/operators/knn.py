@@ -192,6 +192,27 @@ def knn_batch_gemm(
     )
 
 
+def coarse_then_rerank(
+    vectors: DataFrame,
+    candidates: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K9 (ref parallel_search.py:895-947 ``search_hybrid``): a coarse
+    stage (ANN buckets, BQ hamming, PQ ADC, IVF probes — anything that
+    yields an id set) feeds an exact rerank: candidate semi-join →
+    distance expr → TakeOrdered(k). ``candidates`` needs only the id
+    column."""
+    cand_ids = candidates.select(F.col(id_col)).distinct()
+    return knn(
+        vectors.join(cand_ids, id_col, "left_semi"),
+        query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col,
+    )
+
+
 # a vector table smaller than this many floats is cheaper to GEMM on
 # the driver than to schedule tasks for (~80 MB of f32)
 LOCAL_GEMM_THRESHOLD = 20_000_000

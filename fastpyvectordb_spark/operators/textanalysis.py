@@ -107,6 +107,13 @@ def token_counts(
     )
 
 
+def extract_text(docs: DataFrame, fields: list[str], out_col: str = "text") -> DataFrame:
+    """T6 (ref hybrid_search.py:266-281): concatenate the string fields
+    used for indexing into one text column (space-joined, nulls
+    skipped)."""
+    return docs.withColumn(out_col, F.concat_ws(" ", *[F.col(f) for f in fields]))
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

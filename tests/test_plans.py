@@ -11,7 +11,10 @@ from fastpyvectordb_spark.operators.knn import knn, knn_join
 from fastpyvectordb_spark.plans import assert_scale_safe, plan_report
 from fastpyvectordb_spark.tables import load_table
 
-SF = "/root/testdata/sf0.001"
+# NOT sf0.001: the conftest embeddings fixture caches that exact scan,
+# and Spark's cache lookup would substitute InMemoryTableScan (which
+# has no PushedFilters) into these plans when the whole suite runs
+SF = "/root/testdata/sf0.01"
 
 
 def test_filtered_knn_pushes_filter(spark):
