@@ -67,6 +67,7 @@ def _load_all() -> None:
         "ann",
         "multimodal",
         "analytics2",
+        "cypherq",
     ):
         try:
             __import__(f"fastpyvectordb_spark.suite.{optional}")

@@ -1,0 +1,71 @@
+"""R6: watermark semantics — late rows beyond the watermark are
+dropped from streaming windowed aggregation state.
+
+Two checkpointed runs of the same query: run 1 processes current
+events and persists the advanced watermark; run 2 processes a file of
+events hours older than the watermark. In append mode, their windows
+were already finalized, so the late rows must not produce output."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.streaming.events import windowed_counts
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+T0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+
+def _rows(start_id, base, n):
+    return [
+        (start_id + i, base + dt.timedelta(minutes=i), 1, "click", 1.0, "{}")
+        for i in range(n)
+    ]
+
+
+def _run(spark, src, ckpt, out):
+    # parquet sink: the only append-mode sink that supports checkpoint
+    # recovery across separate runs (memory sink does not)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        windowed_counts(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        return spark.read.parquet(out).collect()
+    except Exception:
+        return []
+
+
+def test_late_rows_beyond_watermark_dropped(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: events at T0+6h advance the watermark to ~T0+5h
+    fresh = _rows(0, T0 + dt.timedelta(hours=6), 30)
+    spark.createDataFrame(fresh, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    out1 = _run(spark, src, ckpt, out)
+
+    # run 2: 20 events at T0 — five hours behind the watermark
+    late = _rows(1000, T0, 20)
+    spark.createDataFrame(late, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    out2 = _run(spark, src, ckpt, out)
+
+    emitted_windows = {r["window_start"] for r in out2}
+    # no output window may correspond to the late batch's hour
+    assert T0.replace(minute=0) not in emitted_windows
+    # and the late rows must not appear as counts anywhere
+    total_counted = sum(r["n_events"] for r in out2)
+    assert total_counted <= len(fresh)
