@@ -94,6 +94,74 @@ def main() -> None:
     extras["gemm_qps"] = round(n_queries / timings["q_knn_batch_gemm"], 1)
     extras["auto_qps"] = round(n_queries / timings["q_knn_batch_auto"], 1)
 
+    # -- reference-scale vector bench (100K×64, the BASELINE's own
+    # workload size) — synthesized deterministically executor-side
+    N_BIG = 100_000
+
+    def _synth_vectors():
+        return (
+            spark.range(N_BIG)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda d: F.sin(F.col("id") * 0.7 + d * 1.3).cast("float"),
+                ).alias("embedding"),
+            )
+            .repartition(32)
+        )
+
+    big = _synth_vectors().localCheckpoint()  # materialize once (=ingested table)
+
+    @bench("q_knn_batch_gemm_100k")
+    def _():
+        from fastpyvectordb_spark.operators.knn import knn_batch_gemm
+
+        n = knn_batch_gemm(big, qpdf, k=K, metric="cosine").count()
+        assert n == n_queries * K
+
+    extras["gemm_100k_qps"] = round(
+        n_queries / timings["q_knn_batch_gemm_100k"], 1
+    )
+
+    @bench("q_knn_batch_auto_100k")
+    def _():
+        from fastpyvectordb_spark.operators.knn import knn_batch_auto
+
+        res = knn_batch_auto(big, qpdf, k=K, metric="cosine")
+        assert len(res) == n_queries * K
+
+    extras["auto_100k_qps"] = round(
+        n_queries / timings["q_knn_batch_auto_100k"], 1
+    )
+
+    @bench("q_knn_exact_100k")
+    def _():
+        from fastpyvectordb_spark.operators.knn import knn
+
+        knn(big, qvec, k=K, metric="cosine").collect()
+
+    @bench("q_ingest_100k")
+    def _():
+        import tempfile
+
+        out = tempfile.mkdtemp() + "/vecs"
+        _synth_vectors().write.mode("overwrite").parquet(out)
+
+    extras["ingest_vec_per_sec"] = round(N_BIG / timings["q_ingest_100k"], 1)
+
+    # IVF accelerator at 100K: build once, then probe
+    from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_search
+
+    t0 = time.perf_counter()
+    ivf = ivf_build(big, n_lists=64, max_iter=5)
+    ivf.assigned = ivf.assigned.localCheckpoint()
+    extras["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
+
+    @bench("q_knn_ivf_100k")
+    def _():
+        ivf_search(ivf, qvec, k=K, nprobe=8).collect()
+
     # -- text / fusion ------------------------------------------------
     @bench("q_bm25")
     def _():

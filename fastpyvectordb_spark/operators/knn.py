@@ -114,6 +114,55 @@ def knn_join(
     )
 
 
+def _gemm_topk_chunked(qn, vmat, ids, k, metric, chunk_floats=8_000_000):
+    """Q-major chunked GEMM top-k: returns (dist (Q,k) f32, idx (Q,k) i64).
+
+    The distance matrix is never materialized whole — work proceeds in
+    vector chunks sized so the per-chunk ``(Q, ch)`` buffer stays a few
+    MB. Small buffers are reused by the allocator across iterations,
+    which matters twice over: cache locality, and environments where
+    first-touch page faults on fresh large allocations are expensive
+    (VMs with lazy host memory). Q-major layout keeps the per-chunk
+    ``argpartition`` row-contiguous.
+    """
+    import numpy as np
+
+    eps = 1e-10
+    nq = qn.shape[0]
+    n = vmat.shape[0]
+    kk = min(k, n)
+    ch = max(kk, chunk_floats // max(nq, 1))
+    rows = np.arange(nq)[:, None]
+    best_d = np.full((nq, kk), np.inf, dtype=np.float32)
+    best_i = np.full((nq, kk), -1, dtype=np.int64)
+    if metric == "l2":
+        q_sq = np.einsum("ij,ij->i", qn, qn)[:, None]
+    for s in range(0, n, ch):
+        e = min(s + ch, n)
+        vc = np.ascontiguousarray(vmat[s:e], dtype=np.float32)
+        d = qn @ vc.T  # (Q, ch)
+        if metric == "cosine":
+            vn = np.linalg.norm(vc, axis=1) + eps
+            d /= vn[None, :]
+            np.subtract(1.0, d, out=d)
+        elif metric == "l2":
+            v_sq = np.einsum("ij,ij->i", vc, vc)[None, :]
+            d *= -2.0
+            d += v_sq
+            d += q_sq
+            np.sqrt(np.maximum(d, 0.0, out=d), out=d)
+        else:  # ip
+            np.negative(d, out=d)
+        kc = min(kk, e - s)
+        p = np.argpartition(d, kc - 1, axis=1)[:, :kc]
+        cand_d = np.concatenate([best_d, d[rows, p]], axis=1)
+        cand_i = np.concatenate([best_i, ids[s:e][p]], axis=1)
+        sel = np.argpartition(cand_d, kk - 1, axis=1)[:, :kk]
+        best_d = cand_d[rows, sel]
+        best_i = cand_i[rows, sel]
+    return best_d, best_i
+
+
 def knn_batch_gemm(
     vectors: DataFrame,
     queries_pdf: pd.DataFrame,
@@ -156,32 +205,16 @@ def knn_batch_gemm(
             vmat = np.stack(
                 [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
             )
-            if metric == "cosine":
-                vnorm = np.linalg.norm(vmat, axis=1, keepdims=True) + eps
-                sims = (vmat / vnorm) @ qnorm.T  # (N, Q) one GEMM
-                dists = 1.0 - sims
-            elif metric == "l2":
-                v_sq = np.einsum("ij,ij->i", vmat, vmat)[:, None]
-                q_sq = np.einsum("ij,ij->i", qnorm, qnorm)[None, :]
-                dists = np.sqrt(np.maximum(v_sq + q_sq - 2.0 * (vmat @ qnorm.T), 0.0))
-            else:  # ip
-                dists = -(vmat @ qnorm.T)
             kk = min(k, len(ids))
-            # partial top-k per query within this Arrow batch
-            idx = np.argpartition(dists, kk - 1, axis=0)[:kk]  # (k, Q)
-            rows = []
-            for qi in range(dists.shape[1]):
-                sel = idx[:, qi]
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qids[qi],
-                            id_col: ids[sel],
-                            "dist": dists[sel, qi].astype("float64"),
-                        }
-                    )
-                )
-            yield pd.concat(rows, ignore_index=True)
+            best_d, best_i = _gemm_topk_chunked(qnorm, vmat, ids, kk, metric)
+            nq = len(qids)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk),
+                    id_col: best_i.ravel(),
+                    "dist": best_d.ravel().astype("float64"),
+                }
+            )
 
     partials = vectors.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy("dist", id_col)
@@ -247,39 +280,34 @@ def knn_batch_auto(
             id_col=id_col, vec_col=vec_col,
         ).toPandas()
 
-    pdf = vectors.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    vmat = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+    # collect via Arrow and reshape the flat child buffer — zero
+    # Python-object churn (toPandas + np.stack over 100k list cells is
+    # ~100x slower)
+    tbl = vectors.select(id_col, vec_col).toArrow()
+    ids = tbl[id_col].to_numpy()
+    flat = tbl[vec_col].combine_chunks()
+    vmat = np.asarray(flat.flatten(), dtype=np.float32).reshape(len(ids), dims)
     qmat = np.stack(
         [np.asarray(v, dtype=np.float32) for v in queries_pdf["query_vec"]]
     )
     qids = queries_pdf["query_id"].to_numpy()
     eps = 1e-10
     if metric == "cosine":
-        vn = vmat / (np.linalg.norm(vmat, axis=1, keepdims=True) + eps)
         qn = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True) + eps)
-        dists = 1.0 - vn @ qn.T
-    elif metric == "l2":
-        v_sq = np.einsum("ij,ij->i", vmat, vmat)[:, None]
-        q_sq = np.einsum("ij,ij->i", qmat, qmat)[None, :]
-        dists = np.sqrt(np.maximum(v_sq + q_sq - 2.0 * (vmat @ qmat.T), 0.0))
     else:
-        dists = -(vmat @ qmat.T)
+        qn = qmat
     kk = min(k, len(ids))
-    part = np.argpartition(dists, kk - 1, axis=0)[:kk]
-    out = []
-    for qi in range(dists.shape[1]):
-        sel = part[:, qi]
-        order = np.lexsort((ids[sel], dists[sel, qi]))
-        sel = sel[order]
-        out.append(
-            pd.DataFrame(
-                {
-                    "query_id": qids[qi],
-                    "rank": np.arange(1, kk + 1),
-                    id_col: ids[sel],
-                    "dist": dists[sel, qi].astype("float64"),
-                }
-            )
-        )
-    return pd.concat(out, ignore_index=True)
+    nq = len(qids)
+    d_sel, i_sel = _gemm_topk_chunked(qn, vmat, ids, kk, metric)  # (Q, kk)
+    # per-query (dist, id) sort, vectorized across all queries at once
+    order = np.lexsort((i_sel, d_sel), axis=1)  # (Q, kk)
+    d_sorted = np.take_along_axis(d_sel, order, axis=1)
+    i_sorted = np.take_along_axis(i_sel, order, axis=1)
+    return pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, kk),
+            "rank": np.tile(np.arange(1, kk + 1), nq),
+            id_col: i_sorted.ravel(),
+            "dist": d_sorted.ravel().astype("float64"),
+        }
+    )

@@ -20,6 +20,10 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    blas_pin = {
+        var: "1"
+        for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS")
+    }
     shuffle_partitions = shuffle_partitions or int(cpus)
     builder = (
         SparkSession.builder.appName(app_name)
@@ -37,4 +41,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
+    # One BLAS thread per task slot in executor-side Python workers:
+    # every core already runs a Spark task, so a multi-threaded
+    # OpenBLAS inside each of the 32 workers oversubscribes the box
+    # ~32x (and OpenBLAS spin-waits, starving the JVM long after the
+    # GEMM finishes). Driver-side BLAS stays multi-threaded for the
+    # local-GEMM fast path.
+    for var, val in blas_pin.items():
+        builder = builder.config(f"spark.executorEnv.{var}", val)
     return builder.getOrCreate()
