@@ -68,6 +68,7 @@ def _load_all() -> None:
         "multimodal",
         "analytics2",
         "cypherq",
+        "joins",
     ):
         try:
             __import__(f"fastpyvectordb_spark.suite.{optional}")

@@ -1,0 +1,249 @@
+"""Join-shape suite batch: as-of, range/band, semi/anti, rollup, cube.
+
+SURVEY §2.11 notes the reference has no general join operator (all its
+joins are implicit dict/index lookups) and that Spark-native join kinds
+— semi/anti, range, as-of — plus grouping analytics (§2.10: cube /
+rollup / grouping sets) come free with Catalyst. This batch makes each
+one a first-class, oracle-checked query so the capability is pinned,
+not just claimed.
+
+Scale notes (100 TB):
+- The as-of join is the union+window formulation: one shuffle on the
+  key, no per-row loops, no broadcast of either side — the standard
+  trick for time-series as-of at any scale.
+- The band join is equi-keyed on ``user_id`` with a time-band residual
+  predicate, so it hash-joins on the key and only evaluates the band
+  within key groups (AQE handles skewed users).
+- Semi/anti joins never materialize right-side columns, so the build
+  side is id-only — broadcastable far longer than a full join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.suite import register
+from fastpyvectordb_spark.tables import load_table
+
+
+def _cents(col):
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+# -- as-of join: each error event ← the user's most recent click ≤ ts --
+_ASOF_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts, 0 AS side, event_id AS click_id, NULL AS error_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, NULL AS click_id, event_id AS error_id
+  FROM events WHERE event_type = 'error'
+),
+f AS (
+  SELECT user_id, ts, side, error_id,
+         last_value(click_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, click_id
+           ROWS UNBOUNDED PRECEDING) AS last_click
+  FROM u
+)
+SELECT CAST(error_id AS BIGINT) AS event_id, user_id,
+       CAST(ts AS TIMESTAMP) AS ts,
+       CAST(COALESCE(last_click, -1) AS BIGINT) AS last_click_id
+FROM f WHERE side = 1 ORDER BY event_id
+"""
+
+
+@register("join_asof_error_click", _ASOF_ORACLE)
+def join_asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via tagged union + prefix window (single shuffle).
+
+    For every ``error`` event: the same user's latest ``click`` at or
+    before it (-1 when none). Click-side rows sort before error-side
+    rows at equal ``ts`` (side 0 < 1), so same-instant clicks match;
+    ties among clicks resolve to the highest click_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("error_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("error_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(errors)
+        .withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("error_id").alias("event_id"),
+            "user_id",
+            "ts",
+            F.coalesce(F.col("last_click"), F.lit(-1)).alias("last_click_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# -- range/band join: clicks in the 5 minutes before each error --------
+_BAND_ORACLE = """
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS clicks_5m
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+GROUP BY 1, 2 ORDER BY event_id
+"""
+
+
+@register("join_range_click_burst", _BAND_ORACLE)
+def join_range_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: per error event, clicks by the same user in the
+    preceding 5 minutes. Equi-key ``user_id`` carries the hash join;
+    the time band is a residual predicate evaluated within key groups."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    joined = e.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") < F.col("e_ts")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(F.count("c_id").alias("clicks_5m"))
+        .orderBy("event_id")
+    )
+
+
+# -- semi/anti join: customer activity segments ------------------------
+_SEMI_ANTI_ORACLE = """
+SELECT 'active_1995' AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+UNION ALL
+SELECT 'never_ordered',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY segment
+"""
+
+
+@register("join_semi_anti_segments", _SEMI_ANTI_ORACLE)
+def join_semi_anti_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (ordered in 1995) and left-anti (never ordered)
+    customer segments. The build sides are id-only projections."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    o95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    semi = c.join(o95, c.c_custkey == o95.o_custkey, "left_semi")
+    anti = c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+
+    def seg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("segment"),
+            F.count("*").alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+
+    return seg(semi, "active_1995").unionByName(seg(anti, "never_ordered")).orderBy(
+        "segment"
+    )
+
+
+# -- rollup: revenue by (nation, year) with subtotals ------------------
+_ROLLUP_ORACLE = """
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       COALESCE(CAST(order_year AS VARCHAR), 'ALL') AS order_year,
+       CAST(SUM(row_cents) AS BIGINT) AS revenue_cents
+FROM (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS order_year,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS row_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+GROUP BY ROLLUP (n_name, order_year)
+ORDER BY nation, order_year
+"""
+
+
+@register("agg_rollup_nation_year", _ROLLUP_ORACLE)
+def agg_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, year): detail rows + per-nation subtotals + grand
+    total, NULL group keys replaced by 'ALL' sentinels on both engines.
+    Partial aggregation keeps the shuffle at group-key cardinality."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            _cents(F.col("o_totalprice")).alias("row_cents"),
+        )
+    )
+    return (
+        rows.rollup("n_name", "order_year")
+        .agg(F.sum("row_cents").alias("revenue_cents"))
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias(
+                "order_year"
+            ),
+            "revenue_cents",
+        )
+        .orderBy("nation", "order_year")
+    )
+
+
+# -- cube: order counts by (status, priority) over all subsets ---------
+_CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+@register("agg_cube_status_priority", _CUBE_ORACLE)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority): all four grouping sets in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+        .orderBy("status", "priority")
+    )
