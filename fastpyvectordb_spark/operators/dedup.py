@@ -217,6 +217,56 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_for_pairs(
+    sh: DataFrame,
+    pairs: DataFrame,
+    min_jaccard: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact Jaccard for an explicit (id_a, id_b) pair set.
+
+    Shuffle cost is proportional to |pairs| × shingles-per-doc, never
+    corpus² — this is the verify stage that keeps MinHash+LSH scalable:
+    the bucket join proposes, this disposes. (Contrast
+    :func:`jaccard_pairs`, whose inverted-index self-join enumerates
+    every co-shingle pair — fine standalone on moderate corpora, wrong
+    as a post-LSH verifier at 100 TB.)
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # pair × left-side shingles, then equi-join (id_b, shingle) to keep
+    # only shingles present on both sides → per-pair intersection size
+    a_sh = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        pairs.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                round_digits,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_duplicates(
     docs: DataFrame,
     n: int = 3,
@@ -227,13 +277,14 @@ def minhash_lsh_duplicates(
     text_col: str = "text",
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → LSH bucket join → exact
-    Jaccard verify on candidates only. Returns (id_a, id_b, jaccard)."""
+    Jaccard verify on candidate pairs only. Returns (id_a, id_b,
+    jaccard). The shingle table feeds three consumers (signatures,
+    verify sides); at scale persist it once as a derived table."""
     sh = shingles(docs, n, id_col, text_col)
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, n_hashes), n_bands, n_hashes // n_bands
     )
-    verified = jaccard_pairs(sh, min_jaccard)
-    return verified.join(cands, ["id_a", "id_b"])
+    return jaccard_for_pairs(sh, cands, min_jaccard)
 
 
 # ---------------------------------------------------------------------------
