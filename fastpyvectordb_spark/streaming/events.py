@@ -138,6 +138,110 @@ def sessionize(
     )
 
 
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of :func:`sessionize` as a custom stateful
+    operator (``applyInPandasWithState``).
+
+    Per-user state carries the open session ``(session_id, n_events,
+    start_us, last_us)``; a session closes — and is emitted — when the
+    gap to the next event exceeds the threshold, in-batch or across
+    micro-batches. The final open session per user stays in state (a
+    production pipeline would flush it with an event-time timeout; the
+    batch face is the oracle-checkable equivalent).
+
+    State size is O(users) regardless of stream length; per batch the
+    work is vectorized pandas (sort + diff + cumsum), never per-row
+    Python over the whole stream. Session numbering matches the batch
+    face: 1-based per user in time order.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = StructType(
+        [
+            StructField(user_col, LongType()),
+            StructField("session_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("sid", LongType()),
+            StructField("n", LongType()),
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user,) = key
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            [ts_col, "event_id"]
+        )
+        us = (
+            pdf[ts_col].astype("datetime64[us]").astype("int64").reset_index(
+                drop=True
+            )
+        )
+        new = us.diff().gt(gap_us)
+        new.iloc[0] = True
+        grp = new.cumsum()
+        agg = us.groupby(grp).agg(["size", "min", "max"])
+        sessions = [
+            (int(r["size"]), int(r["min"]), int(r["max"]))
+            for _, r in agg.iterrows()
+        ]
+        closed: list[list[int]] = []
+        cur = list(state.get) if state.exists else None
+        if cur is not None and sessions and us.iloc[0] - cur[3] <= gap_us:
+            n, _s, e = sessions.pop(0)
+            cur[1] += n
+            cur[3] = e
+        for n, s, e in sessions:
+            if cur is not None:
+                closed.append(cur)
+                nxt = cur[0] + 1
+            else:
+                nxt = 1
+            cur = [nxt, n, s, e]
+        state.update(tuple(cur))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: user,
+                    "session_id": [c[0] for c in closed],
+                    "n_events": [c[1] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[2] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[3] for c in closed], unit="us"
+                    ),
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
 def stream_from_parquet_dir(
     spark, path: str, schema=None, max_files_per_trigger: int = 4
 ) -> DataFrame:

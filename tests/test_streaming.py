@@ -74,3 +74,66 @@ def test_streaming_wildcard_subscription(spark, events_dir, events_batch):
         spark, subscription_filter(stream), "sub_all", "append"
     )
     assert got.count() == events_batch.count()
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path, events_batch):
+    """applyInPandasWithState sessionization must equal the batch face
+    for every closed session; the open tail session per user stays in
+    state. Files arrive time-ordered across several micro-batches so
+    cross-batch state merging is genuinely exercised."""
+    from fastpyvectordb_spark.streaming.events import (
+        sessionize,
+        sessionize_stateful,
+    )
+
+    # six time-ordered slices, written sequentially (ordered mtimes)
+    path = str(tmp_path / "ordered_events")
+    ev = events_batch.orderBy("ts", "event_id")
+    rows = ev.count()
+    per = rows // 6 + 1
+    pdf = ev.toPandas()
+    # write micro-second timestamps: ns-precision parquet would surface
+    # as long under the session's nanosAsLong setting
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    import os
+
+    for i in range(6):
+        sl = pdf.iloc[i * per : (i + 1) * per]
+        if len(sl):
+            os.makedirs(path, exist_ok=True)
+            sl.to_parquet(f"{path}/part-{i:03d}.parquet", index=False)
+
+    stream = stream_from_parquet_dir(spark, path, max_files_per_trigger=2)
+    got = _run_stream_to_memory(
+        spark,
+        sessionize_stateful(stream, gap_minutes=30),
+        "sessions_stateful",
+        "append",
+    ).collect()
+    got_map = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            r["session_start"],
+            r["session_end"],
+        )
+        for r in got
+    }
+
+    batch = sessionize(events_batch, gap_minutes=30).collect()
+    # drop each user's last (still-open) session
+    last_sid = {}
+    for r in batch:
+        last_sid[r["user_id"]] = max(
+            last_sid.get(r["user_id"], 0), r["session_id"]
+        )
+    want_map = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            r["session_start"],
+            r["session_end"],
+        )
+        for r in batch
+        if r["session_id"] != last_sid[r["user_id"]]
+    }
+    assert got_map == want_map
+    assert len(got_map) > 50
