@@ -163,11 +163,32 @@ def main() -> None:
         ivf_search(ivf, qvec, k=K, nprobe=8).collect()
 
     # -- text / fusion ------------------------------------------------
-    @bench("q_bm25")
-    def _():
-        from fastpyvectordb_spark.operators.bm25 import bm25_search
+    from fastpyvectordb_spark.operators.bm25 import BM25Index
 
-        bm25_search(docs, "spark filter join stream table", k=K).collect()
+    @bench("q_bm25_build")
+    def _():
+        global _bm25_idx
+        _bm25_idx = BM25Index.build(docs)
+
+    BM25_QUERIES = [
+        "spark filter join stream table",
+        "data pipeline quality",
+        "vector index search",
+        "graph traversal nodes",
+        "window aggregate partition",
+        "text token language",
+        "dedup shingle hash",
+        "event session user",
+    ]
+
+    @bench("q_bm25_query")
+    def _():
+        for q in BM25_QUERIES:
+            _bm25_idx.search(q, k=K).collect()
+
+    extras["bm25_qps"] = round(
+        len(BM25_QUERIES) / timings["q_bm25_query"], 2
+    )
 
     @bench("q_hybrid_fusion")
     def _():

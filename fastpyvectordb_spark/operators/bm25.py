@@ -113,6 +113,99 @@ def bm25_score_df(
     return scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
 
 
+class BM25Index:
+    """Prebuilt inverted index: build once, query many (reference
+    ``BM25Index`` lifecycle, ``hybrid_search.py:40-117``).
+
+    The postings and doc-length tables are materialized once
+    (checkpoint in-session; ``save``/``load`` persist them as parquet —
+    at 100 TB these are the derived tables you'd maintain next to the
+    corpus, partitioned/bucketed by term so a query's semi-join prunes
+    to the matching term partitions). Corpus stats (N, avgdl) collapse
+    to driver-side literals, so a query plan is just:
+    broadcast query terms → postings semi-join → score expr → top-k.
+    """
+
+    def __init__(self, postings: DataFrame, doc_lengths: DataFrame,
+                 n_docs: int, avgdl: float):
+        self.postings = postings
+        self.doc_lengths = doc_lengths
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+
+    @classmethod
+    def build(cls, docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> "BM25Index":
+        postings, doc_lengths = build_postings(docs, id_col, text_col)
+        postings = postings.localCheckpoint()
+        doc_lengths = doc_lengths.localCheckpoint()
+        stats = doc_lengths.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).head()
+        return cls(postings, doc_lengths, int(stats["n"]),
+                   float(stats["avgdl"] or 0.0))
+
+    def save(self, path: str) -> None:
+        self.postings.write.mode("overwrite").parquet(f"{path}/postings")
+        self.doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BM25Index":
+        postings = spark.read.parquet(f"{path}/postings")
+        doc_lengths = spark.read.parquet(f"{path}/doc_lengths")
+        stats = doc_lengths.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).head()
+        return cls(postings, doc_lengths, int(stats["n"]),
+                   float(stats["avgdl"] or 0.0))
+
+    def score(self, query: str, k1: float = K1, b: float = B) -> DataFrame:
+        spark = self.postings.sparkSession
+        qtoks = spark.range(1).select(
+            F.explode(tokenize(F.lit(query))).alias("term")
+        )
+        qterms = qtoks.groupBy("term").agg(F.count("*").alias("qtf"))
+        df_per_term = (
+            self.postings.join(F.broadcast(qterms), "term")
+            .groupBy("term", "qtf")
+            .agg(F.count("*").alias("df"))
+        )
+        scored = (
+            self.postings.join(F.broadcast(df_per_term), "term")
+            .join(self.doc_lengths, "doc_id")
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.lit(self.n_docs) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5) + 1.0
+                ),
+            )
+            .withColumn(
+                "term_score",
+                F.col("qtf") * F.col("idf") * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("doc_len") / F.lit(self.avgdl))
+                ),
+            )
+        )
+        return scored.groupBy("doc_id").agg(
+            F.sum("term_score").alias("score")
+        )
+
+    def search(self, query: str, k: int = 10,
+               round_digits: int | None = ROUND) -> DataFrame:
+        score = F.col("score")
+        if round_digits is not None:
+            score = F.round(score, round_digits)
+        return (
+            self.score(query)
+            .select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(k)
+        )
+
+
 def bm25_search(
     docs: DataFrame,
     query: str,
