@@ -162,6 +162,17 @@ def main() -> None:
     def _():
         ivf_search(ivf, qvec, k=K, nprobe=8).collect()
 
+    @bench("q_knn_ivf_batch_100k")
+    def _():
+        from fastpyvectordb_spark.ann.ivf import ivf_search_batch
+
+        n = ivf_search_batch(ivf, qpdf, k=K, nprobe=8).count()
+        assert n == n_queries * K
+
+    extras["ivf_batch_qps"] = round(
+        n_queries / timings["q_knn_ivf_batch_100k"], 1
+    )
+
     # -- text / fusion ------------------------------------------------
     from fastpyvectordb_spark.operators.bm25 import BM25Index
 

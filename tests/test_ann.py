@@ -74,6 +74,36 @@ def test_ivf_recall_and_pruning(embeddings):
     assert float(np.mean(frac)) < 0.5, f"probed fraction {frac} — weak pruning"
 
 
+def test_ivf_batch_matches_single(embeddings):
+    """Batched IVF (one GEMM per probed list for that list's query
+    subset) must return exactly what per-query IVF probing returns —
+    same probe decisions, same exact rerank."""
+    from fastpyvectordb_spark.ann.ivf import ivf_search_batch
+
+    index = ivf_build(embeddings, n_lists=32)
+    index.assigned.cache()
+    qpdf = (
+        embeddings.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .toPandas()
+    )
+    got = ivf_search_batch(index, qpdf, k=10, nprobe=8).toPandas()
+    assert len(got) == 8 * 10
+    for qid in range(8):
+        qvec = embeddings.filter(F.col("vec_id") == qid).head()["embedding"]
+        single = [
+            r["vec_id"]
+            for r in ivf_search(index, qvec, k=10, nprobe=8).collect()
+        ]
+        batch = got[got["query_id"] == qid].sort_values("rank")[
+            "vec_id"
+        ].tolist()
+        assert batch == single, f"query {qid}: {batch} != {single}"
+
+
 def test_ivf_partitioned_save_prunes_files(embeddings, tmp_path, spark):
     index = ivf_build(embeddings, n_lists=8)
     path = str(tmp_path / "ivf")
