@@ -113,11 +113,25 @@ def main() -> None:
 
     big = _synth_vectors().localCheckpoint()  # materialize once (=ingested table)
 
+    # queries drawn from the data distribution (standard ANN-bench
+    # methodology, and what the reference's harness does)
+    qpdf_big = (
+        big.filter(F.col("vec_id") % 97 == 0)
+        .limit(N_GEMM_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .toPandas()
+    )
+    assert len(qpdf_big) == n_queries
+    qvec_big = list(qpdf_big["query_vec"].iloc[0])
+
     @bench("q_knn_batch_gemm_100k")
     def _():
         from fastpyvectordb_spark.operators.knn import knn_batch_gemm
 
-        n = knn_batch_gemm(big, qpdf, k=K, metric="cosine").count()
+        n = knn_batch_gemm(big, qpdf_big, k=K, metric="cosine").count()
         assert n == n_queries * K
 
     extras["gemm_100k_qps"] = round(
@@ -128,7 +142,7 @@ def main() -> None:
     def _():
         from fastpyvectordb_spark.operators.knn import knn_batch_auto
 
-        res = knn_batch_auto(big, qpdf, k=K, metric="cosine")
+        res = knn_batch_auto(big, qpdf_big, k=K, metric="cosine")
         assert len(res) == n_queries * K
 
     extras["auto_100k_qps"] = round(
@@ -139,7 +153,7 @@ def main() -> None:
     def _():
         from fastpyvectordb_spark.operators.knn import knn
 
-        knn(big, qvec, k=K, metric="cosine").collect()
+        knn(big, qvec_big, k=K, metric="cosine").collect()
 
     @bench("q_ingest_100k")
     def _():
@@ -160,18 +174,33 @@ def main() -> None:
 
     @bench("q_knn_ivf_100k")
     def _():
-        ivf_search(ivf, qvec, k=K, nprobe=8).collect()
+        ivf_search(ivf, qvec_big, k=K, nprobe=8).collect()
 
     @bench("q_knn_ivf_batch_100k")
     def _():
         from fastpyvectordb_spark.ann.ivf import ivf_search_batch
 
-        n = ivf_search_batch(ivf, qpdf, k=K, nprobe=8).count()
+        n = ivf_search_batch(ivf, qpdf_big, k=K, nprobe=8).count()
         assert n == n_queries * K
 
     extras["ivf_batch_qps"] = round(
         n_queries / timings["q_knn_ivf_batch_100k"], 1
     )
+
+    # recall@k of the IVF batch path vs exact, on a query sample —
+    # a QPS number without its recall is not comparable to anything
+    from fastpyvectordb_spark.ann.ivf import ivf_search_batch
+    from fastpyvectordb_spark.operators.knn import knn_batch_gemm
+
+    sample = qpdf_big.head(64)
+    approx = ivf_search_batch(ivf, sample, k=K, nprobe=8).toPandas()
+    exact = knn_batch_gemm(big, sample, k=K).toPandas()
+    hits = 0
+    for qid in sample["query_id"]:
+        a = set(approx.loc[approx.query_id == qid, "vec_id"])
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        hits += len(a & e)
+    extras["ivf_batch_recall_at_k"] = round(hits / (len(sample) * K), 4)
 
     # -- text / fusion ------------------------------------------------
     from fastpyvectordb_spark.operators.bm25 import BM25Index
