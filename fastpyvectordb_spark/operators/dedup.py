@@ -279,8 +279,9 @@ def minhash_lsh_duplicates(
     """Full pipeline: shingle → minhash → LSH bucket join → exact
     Jaccard verify on candidate pairs only. Returns (id_a, id_b,
     jaccard). The shingle table feeds three consumers (signatures,
-    verify sides); at scale persist it once as a derived table."""
-    sh = shingles(docs, n, id_col, text_col)
+    verify sides), so it is materialized once — in-session via
+    checkpoint; at scale as a persisted derived table."""
+    sh = shingles(docs, n, id_col, text_col).localCheckpoint()
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, n_hashes), n_bands, n_hashes // n_bands
     )

@@ -222,6 +222,40 @@ def agg_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- correlated-subquery shape: orders above their customer's average --
+_ABOVE_AVG_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM orders o
+WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+  AND o_custkey <= 100
+ORDER BY o_orderkey
+"""
+
+
+@register("join_orders_above_cust_avg", _ABOVE_AVG_ORACLE)
+def join_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated subquery: the per-customer average joins back as a
+    grouped aggregate (one shuffle on the correlation key) — the plan a
+    decorrelation rewrite produces, written directly. The oracle keeps
+    the correlated form to prove semantic equivalence."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    avg = o.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        o.join(avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            _cents(F.col("o_totalprice")).alias("price_cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # -- cube: order counts by (status, priority) over all subsets ---------
 _CUBE_ORACLE = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
