@@ -222,6 +222,34 @@ def agg_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- salted join under the oracle gate: must equal the plain join ------
+_SALTED_ORACLE = """
+SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY nation
+"""
+
+
+@register("join_salted_customer_nation", _SALTED_ORACLE)
+def join_salted_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling path under the correctness gate: the salted join
+    (hot keys split 8 ways, small side exploded per salt) must produce
+    exactly the plain join's rows — the oracle is the plain SQL join.
+    Nation keys are the canonical skew shape: few keys, many rows."""
+    from fastpyvectordb_spark.operators.scale import salted_join
+
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "n_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        salted_join(c, n, "n_nationkey", n_salts=8)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("nation")
+    )
+
+
 # -- correlated-subquery shape: orders above their customer's average --
 _ABOVE_AVG_ORACLE = """
 SELECT o_orderkey, o_custkey,
