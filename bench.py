@@ -187,6 +187,25 @@ def main() -> None:
         n_queries / timings["q_knn_ivf_batch_100k"], 1
     )
 
+    # packed driver-local IVF (the in-memory-index regime the
+    # reference's HNSW numbers describe): pack once, then pure-NumPy
+    # probed search — ivf_search_auto picks this below the size
+    # threshold and the distributed per-list plan above it
+    from fastpyvectordb_spark.ann.ivf import ivf_pack, ivf_search_local
+
+    t0 = time.perf_counter()
+    ivf_packed = ivf_pack(ivf)
+    extras["ivf_pack_sec"] = round(time.perf_counter() - t0, 3)
+
+    @bench("q_knn_ivf_local_100k")
+    def _():
+        res = ivf_search_local(ivf_packed, qpdf_big, k=K, nprobe=8)
+        assert len(res) == n_queries * K
+
+    extras["ivf_local_qps"] = round(
+        n_queries / timings["q_knn_ivf_local_100k"], 1
+    )
+
     # recall@k of the IVF batch path vs exact, on a query sample —
     # a QPS number without its recall is not comparable to anything
     from fastpyvectordb_spark.ann.ivf import ivf_search_batch
@@ -229,6 +248,22 @@ def main() -> None:
     extras["bm25_qps"] = round(
         len(BM25_QUERIES) / timings["q_bm25_query"], 2
     )
+
+    # batched keyword search: one job scores the whole query set (the
+    # per-action floor amortizes away — SURVEY §6 caveat). Queries are
+    # drawn from the corpus itself (5-token prefixes of sampled docs).
+    qtexts = [
+        " ".join(r["text"].split()[:5])
+        for r in docs.filter(F.col("doc_id") % 79 == 0)
+        .select("text").limit(64).collect()
+    ]
+
+    @bench("q_bm25_batch")
+    def _():
+        n = _bm25_idx.search_batch(qtexts, k=K).count()
+        assert n > 0
+
+    extras["bm25_batch_qps"] = round(len(qtexts) / timings["q_bm25_batch"], 2)
 
     @bench("q_hybrid_fusion")
     def _():

@@ -39,6 +39,25 @@ class IVFIndex:
         self.assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
 
+@dataclass
+class IVFPacked:
+    """Driver-resident packed form of an IVF index: vectors grouped by
+    list in one contiguous float32 matrix, with per-list offsets and
+    precomputed norms. The in-memory analogue of the reference's HNSW
+    index object (``vectordb_optimized.py:271-280``) — but *built by a
+    Spark job* and only collected when it fits (100K×64 f32 ≈ 26 MB).
+    Above the size threshold, :func:`ivf_search_auto` stays on the
+    distributed plan instead.
+    """
+
+    centroids: np.ndarray  # (L, D) float64
+    vmat: np.ndarray       # (N, D) float32, rows grouped by list_id
+    ids: np.ndarray        # (N,) int64
+    offsets: np.ndarray    # (L+1,) — list l occupies [offsets[l], offsets[l+1])
+    norms: np.ndarray      # (N,) float32 — ||v|| + 1e-10 (cosine)
+    sqnorms: np.ndarray    # (N,) float32 — ||v||² (l2)
+
+
 def ivf_build(
     df: DataFrame,
     n_lists: int = 16,
@@ -165,3 +184,160 @@ def ivf_search_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "dist")
     )
+
+
+def ivf_pack(
+    index: IVFIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFPacked:
+    """Collect the assigned table once (Arrow, zero Python-object churn)
+    into list-grouped contiguous arrays with precomputed norms."""
+    tbl = index.assigned.select("list_id", id_col, vec_col).toArrow()
+    lists = tbl["list_id"].to_numpy()
+    ids = tbl[id_col].to_numpy()
+    flat = tbl[vec_col].combine_chunks()
+    n = len(ids)
+    vmat = np.asarray(flat.flatten(), dtype=np.float32).reshape(n, -1)
+    order = np.argsort(lists, kind="stable")
+    lists = lists[order]
+    vmat = np.ascontiguousarray(vmat[order])
+    ids = np.ascontiguousarray(ids[order])
+    n_lists = index.centroids.shape[0]
+    offsets = np.searchsorted(lists, np.arange(n_lists + 1))
+    sqnorms = np.einsum("ij,ij->i", vmat, vmat)
+    norms = np.sqrt(sqnorms).astype(np.float32) + np.float32(1e-10)
+    return IVFPacked(
+        centroids=index.centroids,
+        vmat=vmat,
+        ids=ids,
+        offsets=offsets,
+        norms=norms,
+        sqnorms=sqnorms.astype(np.float32),
+    )
+
+
+def ivf_search_local(
+    packed: IVFPacked,
+    queries_pdf,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+) -> "pd.DataFrame":
+    """Batched IVF search over the packed index, pure NumPy: one GEMM
+    per probed list against that list's query subset (same kernel shape
+    as :func:`ivf_search_batch`, minus scheduling/Arrow transfer), then
+    a vectorized per-query merge of the ``nprobe × k`` partials.
+
+    Returns a pandas DataFrame ``(query_id, rank, <id_col>, dist)`` —
+    identical values/ordering to the distributed path.
+    """
+    import pandas as pd
+
+    eps = 1e-10
+    qids = queries_pdf["query_id"].to_numpy()
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in queries_pdf["query_vec"]]
+    )
+    nq = len(qids)
+    if metric == "cosine":
+        qn = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True) + eps)
+    else:
+        qn = qmat
+    # probe selection: same expression as the distributed path, so both
+    # paths pick identical lists (incl. tie order from argsort)
+    cd = (
+        (packed.centroids[None, :, :] - qmat.astype(np.float64)[:, None, :]) ** 2
+    ).sum(axis=2)
+    probe = np.argsort(cd, axis=1)[:, :nprobe]  # (Q, nprobe)
+
+    if metric == "l2":
+        q_sq = np.einsum("ij,ij->i", qn, qn)
+
+    out_d = np.full((nq, nprobe * k), np.inf, dtype=np.float32)
+    out_i = np.full((nq, nprobe * k), -1, dtype=np.int64)
+    fill = np.zeros(nq, dtype=np.int64)
+    qrows_cache = np.arange(nq)
+    for lid in np.unique(probe):
+        s, e = int(packed.offsets[lid]), int(packed.offsets[lid + 1])
+        if e <= s:
+            continue
+        qidx = qrows_cache[(probe == lid).any(axis=1)]
+        d = qn[qidx] @ packed.vmat[s:e].T  # (Q_l, n_l)
+        if metric == "cosine":
+            d /= packed.norms[s:e][None, :]
+            np.subtract(1.0, d, out=d)
+        elif metric == "l2":
+            d *= -2.0
+            d += packed.sqnorms[s:e][None, :]
+            d += q_sq[qidx][:, None]
+            np.sqrt(np.maximum(d, 0.0, out=d), out=d)
+        else:  # ip
+            np.negative(d, out=d)
+        kk = min(k, e - s)
+        p = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < e - s else (
+            np.broadcast_to(np.arange(e - s), (len(qidx), e - s))
+        )
+        rows = np.arange(len(qidx))[:, None]
+        cols = (fill[qidx] * k)[:, None] + np.arange(p.shape[1])[None, :]
+        out_d[qidx[:, None], cols] = d[rows, p]
+        out_i[qidx[:, None], cols] = packed.ids[s:e][p]
+        fill[qidx] += 1
+
+    kk = min(k, out_d.shape[1])
+    sel = np.argpartition(out_d, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(nq)[:, None]
+    d_sel = out_d[rows, sel]
+    i_sel = out_i[rows, sel]
+    order = np.lexsort((i_sel, d_sel), axis=1)
+    d_sorted = np.take_along_axis(d_sel, order, axis=1)
+    i_sorted = np.take_along_axis(i_sel, order, axis=1)
+    valid = np.isfinite(d_sorted).ravel()
+    return pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, kk)[valid],
+            "rank": np.tile(np.arange(1, kk + 1), nq)[valid],
+            id_col: i_sorted.ravel()[valid],
+            "dist": d_sorted.ravel()[valid].astype("float64"),
+        }
+    )
+
+
+# same driver-memory threshold as operators.knn.LOCAL_GEMM_THRESHOLD:
+# below this many floats the packed index is cheaper than task scheduling
+LOCAL_PACK_THRESHOLD = 20_000_000
+
+
+def ivf_search_auto(
+    index: IVFIndex,
+    queries_pdf,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    local_threshold: int = LOCAL_PACK_THRESHOLD,
+):
+    """Adaptive batch IVF: when the index fits the driver threshold it
+    is packed once (cached on the IVFIndex) and searched locally — the
+    reference's in-memory-index regime; otherwise the distributed
+    per-list plan runs. Returns pandas either way."""
+    packed = getattr(index, "_packed", None)
+    if packed is None:
+        first = index.assigned.select(F.size(vec_col).alias("d")).head()
+        if first is None:
+            import pandas as pd
+
+            return pd.DataFrame(columns=["query_id", "rank", id_col, "dist"])
+        if index.assigned.count() * first["d"] <= local_threshold:
+            packed = ivf_pack(index, id_col=id_col, vec_col=vec_col)
+            index._packed = packed
+    if packed is not None:
+        return ivf_search_local(
+            packed, queries_pdf, k=k, nprobe=nprobe, metric=metric, id_col=id_col
+        )
+    return ivf_search_batch(
+        index, queries_pdf, k=k, nprobe=nprobe, metric=metric,
+        id_col=id_col, vec_col=vec_col,
+    ).toPandas()

@@ -205,6 +205,74 @@ class BM25Index:
             .limit(k)
         )
 
+    def search_batch(self, queries, k: int = 10, k1: float = K1,
+                     b: float = B,
+                     round_digits: int | None = ROUND) -> DataFrame:
+        """Top-k per query for a whole query batch in ONE job — the
+        Spark-right way to get query throughput out of an engine with a
+        per-action latency floor (SURVEY §6 caveat): broadcast the
+        (query_id, term, qtf) table, join postings once, score
+        everything JVM-side, window top-k per query.
+
+        ``queries`` is a list of query strings (query_id = position).
+        Output: ``(query_id, rank, doc_id, score)``, score desc, ties
+        by doc_id, per-query ranks 1..k.
+        """
+        from pyspark.sql import Window
+
+        spark = self.postings.sparkSession
+        qdf = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(queries)],
+            "query_id long, query string",
+        )
+        qterms = (
+            qdf.select(
+                "query_id", F.explode(tokenize(F.col("query"))).alias("term")
+            )
+            .groupBy("query_id", "term")
+            .agg(F.count("*").alias("qtf"))
+        )
+        # df per term, computed once across the union of query terms
+        df_per_term = (
+            self.postings.join(
+                F.broadcast(qterms.select("term").distinct()), "term"
+            )
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+        qjoin = qterms.join(df_per_term, "term")
+        scored = (
+            self.postings.join(F.broadcast(qjoin), "term")
+            .join(self.doc_lengths, "doc_id")
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.lit(self.n_docs) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5) + 1.0
+                ),
+            )
+            .withColumn(
+                "term_score",
+                F.col("qtf") * F.col("idf") * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("doc_len") / F.lit(self.avgdl))
+                ),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("term_score").alias("score"))
+        )
+        score = F.col("score")
+        if round_digits is not None:
+            score = F.round(score, round_digits)
+        scored = scored.select("query_id", "doc_id", score.alias("score"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
 
 def bm25_search(
     docs: DataFrame,

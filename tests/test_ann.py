@@ -116,3 +116,48 @@ def test_ivf_partitioned_save_prunes_files(embeddings, tmp_path, spark):
         .toString()
     )
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_ivf_local_matches_distributed(embeddings):
+    """The packed driver-local IVF path (ivf_pack + ivf_search_local)
+    must return exactly what the distributed per-list plan returns —
+    identical probe decisions, ids, ranks, and distances — for every
+    metric. ivf_search_auto packs below the size threshold and caches."""
+    from fastpyvectordb_spark.ann.ivf import (
+        ivf_pack,
+        ivf_search_auto,
+        ivf_search_batch,
+        ivf_search_local,
+    )
+
+    index = ivf_build(embeddings, n_lists=16, max_iter=5)
+    index.assigned.cache()
+    qpdf = (
+        embeddings.filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .toPandas()
+    )
+    packed = ivf_pack(index)
+    assert packed.vmat.shape[0] == embeddings.count()
+    for metric in ("cosine", "l2", "ip"):
+        dist = (
+            ivf_search_batch(index, qpdf, k=10, nprobe=4, metric=metric)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        loc = (
+            ivf_search_local(packed, qpdf, k=10, nprobe=4, metric=metric)
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert len(dist) == len(loc)
+        assert (dist["vec_id"].to_numpy() == loc["vec_id"].to_numpy()).all()
+        assert np.allclose(dist["dist"], loc["dist"], atol=1e-6)
+
+    auto = ivf_search_auto(index, qpdf, k=10, nprobe=4)
+    assert hasattr(index, "_packed"), "auto should pack below threshold"
+    assert len(auto) == 16 * 10

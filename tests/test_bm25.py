@@ -41,3 +41,20 @@ def test_index_multi_query_reuse(spark, documents):
         assert _rows(idx.search(q, k=5)) == _rows(
             bm25_search(documents, q, k=5)
         )
+
+
+def test_search_batch_equals_per_query(spark, documents):
+    """One-job batched search must return, per query, exactly what the
+    per-query path returns (same scores, same tie order, ranks 1..k)."""
+    from fastpyvectordb_spark.operators.bm25 import BM25Index
+
+    idx = BM25Index.build(documents)
+    queries = [QUERY, "data pipeline quality", "vector index search",
+               "graph traversal nodes"]
+    got = idx.search_batch(queries, k=5).toPandas()
+    for qid, q in enumerate(queries):
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
+        assert [tuple(r) for r in sub[["doc_id", "score"]].to_numpy()] == _rows(
+            idx.search(q, k=5)
+        )
