@@ -206,6 +206,24 @@ def main() -> None:
         n_queries / timings["q_knn_ivf_local_100k"], 1
     )
 
+    # single-query exact scan in the in-memory regime (reference "BLAS
+    # vectorized scan, 6 ms/query"): one GEMV + argpartition per call
+    N_EXACT_LOCAL = 256
+
+    @bench("q_knn_exact_local_100k")
+    def _():
+        from fastpyvectordb_spark.ann.ivf import exact_search_packed
+
+        for i in range(N_EXACT_LOCAL):
+            res = exact_search_packed(
+                ivf_packed, qpdf_big["query_vec"].iloc[i], k=K
+            )
+            assert len(res) == K
+
+    extras["exact_local_qps"] = round(
+        N_EXACT_LOCAL / timings["q_knn_exact_local_100k"], 1
+    )
+
     # recall@k of the IVF batch path vs exact, on a query sample —
     # a QPS number without its recall is not comparable to anything
     from fastpyvectordb_spark.ann.ivf import ivf_search_batch
@@ -273,6 +291,26 @@ def main() -> None:
             "doc_id", "text", "embedding"
         )
         hybrid_search(corpus, qvec, "spark filter join stream table", k=K).collect()
+
+    # query-many hybrid: corpus cached + prebuilt BM25 index resident
+    # across queries (the reference engine's steady-state lifecycle)
+    corpus_cached = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select("doc_id", "text", "embedding")
+        .localCheckpoint()
+    )
+    corpus_idx = BM25Index.build(corpus_cached)
+
+    @bench("q_hybrid_fusion_indexed")
+    def _():
+        from fastpyvectordb_spark.operators.fusion import hybrid_search
+
+        for q in BM25_QUERIES[:4]:
+            hybrid_search(
+                corpus_cached, qvec, q, k=K, bm25_index=corpus_idx
+            ).collect()
+
+    extras["hybrid_qps"] = round(4 / timings["q_hybrid_fusion_indexed"], 2)
 
     # -- dedup pipeline ----------------------------------------------
     @bench("q_dedup_minhash_lsh")

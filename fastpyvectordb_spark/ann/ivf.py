@@ -304,6 +304,40 @@ def ivf_search_local(
     )
 
 
+def exact_search_packed(
+    packed: IVFPacked,
+    query_vec: Sequence[float],
+    k: int = 10,
+    metric: str = "cosine",
+):
+    """Single-query exact brute-force scan over the packed matrix — the
+    reference's BLAS vectorized scan (``vectordb_optimized.py:650-721``,
+    kernel ``parallel_search.py:105-134``) in its in-memory regime: one
+    GEMV over the contiguous float32 matrix with precomputed norms,
+    O(n) ``argpartition`` top-k. Returns ``[(id, dist), ...]`` sorted by
+    (dist, id). Same values as :func:`operators.knn.knn` modulo the
+    6-decimal rounding that operator applies.
+    """
+    eps = 1e-10
+    q = np.asarray(query_vec, dtype=np.float32)
+    if metric == "cosine":
+        q = q / (np.linalg.norm(q) + eps)
+    d = packed.vmat @ q  # (N,)
+    if metric == "cosine":
+        d /= packed.norms
+        d = 1.0 - d
+    elif metric == "l2":
+        d = packed.sqnorms - 2.0 * d + np.float32(q @ q)
+        d = np.sqrt(np.maximum(d, 0.0))
+    else:  # ip
+        d = -d
+    kk = min(k, d.shape[0])
+    p = np.argpartition(d, kk - 1)[:kk]
+    order = np.lexsort((packed.ids[p], d[p]))
+    sel = p[order]
+    return [(int(i), float(v)) for i, v in zip(packed.ids[sel], d[sel])]
+
+
 # same driver-memory threshold as operators.knn.LOCAL_GEMM_THRESHOLD:
 # below this many floats the packed index is cheaper than task scheduling
 LOCAL_PACK_THRESHOLD = 20_000_000

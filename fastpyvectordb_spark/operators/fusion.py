@@ -39,10 +39,16 @@ def hybrid_search(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     text_col: str = "text",
+    bm25_index=None,
 ) -> DataFrame:
     """Returns (doc_id, score, vector_score, keyword_score), score desc.
 
     ``corpus`` needs both an embedding column and a text column.
+    ``bm25_index`` (a prebuilt :class:`~...operators.bm25.BM25Index`
+    over the same corpus) skips the per-query postings rebuild — the
+    reference's engine keeps its inverted index resident across queries
+    (``hybrid_search.py:60-69``); this is the query-many path. Scores
+    are identical when the index was built on ``corpus``.
     """
     fetch_k = k * 5
 
@@ -71,8 +77,13 @@ def hybrid_search(
             .limit(k)
         )
 
+    kw_scores = (
+        bm25_index.score(query_text)
+        if bm25_index is not None
+        else bm25_score_df(corpus, query_text, id_col=id_col, text_col=text_col)
+    )
     kw_top = (
-        bm25_score_df(corpus, query_text, id_col=id_col, text_col=text_col)
+        kw_scores
         .select("doc_id", F.round(F.col("score"), ROUND).alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(fetch_k)

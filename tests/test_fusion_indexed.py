@@ -1,0 +1,55 @@
+"""Hybrid fusion over a prebuilt BM25 index (the reference engine's
+resident-index lifecycle, hybrid_search.py:60-69) must score exactly
+like the one-shot pipeline when the index was built on the same corpus,
+and the packed exact scan must match the declarative knn operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select("doc_id", "text", "embedding")
+        .cache()
+    )
+
+
+def test_hybrid_indexed_equals_oneshot(spark, corpus):
+    from fastpyvectordb_spark.operators.bm25 import BM25Index
+    from fastpyvectordb_spark.operators.fusion import hybrid_search
+
+    qvec = corpus.filter(F.col("doc_id") == 0).head()["embedding"]
+    idx = BM25Index.build(corpus)
+    for qtext in ("data pipeline quality", "vector index search"):
+        want = hybrid_search(corpus, qvec, qtext, k=10).collect()
+        got = hybrid_search(corpus, qvec, qtext, k=10, bm25_index=idx).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_exact_search_packed_matches_knn(spark, corpus):
+    from fastpyvectordb_spark.ann.ivf import exact_search_packed, ivf_build, ivf_pack
+    from fastpyvectordb_spark.operators.knn import knn
+
+    emb = corpus.select(F.col("doc_id").alias("vec_id"), "embedding")
+    packed = ivf_pack(ivf_build(emb, n_lists=4, max_iter=2))
+    qvec = emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    for metric in ("cosine", "l2", "ip"):
+        got = exact_search_packed(packed, qvec, k=10, metric=metric)
+        want = [
+            (r["vec_id"], r["dist"])
+            for r in knn(emb, qvec, k=10, metric=metric).collect()
+        ]
+        assert [i for i, _ in got] == [i for i, _ in want], metric
+        assert np.allclose(
+            [d for _, d in got], [d for _, d in want], atol=1e-5
+        ), metric
