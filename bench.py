@@ -312,6 +312,32 @@ def main() -> None:
 
     extras["hybrid_qps"] = round(4 / timings["q_hybrid_fusion_indexed"], 2)
 
+    # whole-batch hybrid: both sides scan the corpus once for ALL
+    # queries, fused in one job (the throughput answer to the
+    # reference's in-memory hybrid engine)
+    import pandas as pd
+
+    hq = pd.DataFrame(
+        {
+            "query_id": range(len(qtexts)),
+            "query_vec": [list(v) for v in qpdf["query_vec"].iloc[: len(qtexts)]],
+            "query_text": qtexts,
+        }
+    )
+
+    @bench("q_hybrid_batch")
+    def _():
+        from fastpyvectordb_spark.operators.fusion import hybrid_search_batch
+
+        n = hybrid_search_batch(
+            corpus_cached, hq, k=K, bm25_index=corpus_idx
+        ).count()
+        assert n > 0
+
+    extras["hybrid_batch_qps"] = round(
+        len(qtexts) / timings["q_hybrid_batch"], 2
+    )
+
     # -- dedup pipeline ----------------------------------------------
     @bench("q_dedup_minhash_lsh")
     def _():

@@ -214,17 +214,19 @@ class BM25Index:
         (query_id, term, qtf) table, join postings once, score
         everything JVM-side, window top-k per query.
 
-        ``queries`` is a list of query strings (query_id = position).
+        ``queries`` is a list of query strings (query_id = position) or
+        a list of ``(query_id, query_string)`` pairs.
         Output: ``(query_id, rank, doc_id, score)``, score desc, ties
         by doc_id, per-query ranks 1..k.
         """
         from pyspark.sql import Window
 
         spark = self.postings.sparkSession
-        qdf = spark.createDataFrame(
-            [(i, q) for i, q in enumerate(queries)],
-            "query_id long, query string",
-        )
+        pairs = [
+            q if isinstance(q, tuple) else (i, q)
+            for i, q in enumerate(queries)
+        ]
+        qdf = spark.createDataFrame(pairs, "query_id long, query string")
         qterms = (
             qdf.select(
                 "query_id", F.explode(tokenize(F.col("query"))).alias("term")

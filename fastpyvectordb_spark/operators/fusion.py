@@ -117,3 +117,103 @@ def hybrid_search(
         )
     )
     return fused.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def hybrid_search_batch(
+    corpus: DataFrame,
+    queries,
+    k: int = 10,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    text_col: str = "text",
+    bm25_index=None,
+) -> DataFrame:
+    """Whole-query-batch hybrid fusion in ONE job — same pinned
+    semantics as :func:`hybrid_search` applied per query (k*5 fetch
+    each side, per-result-set max normalization, union, weighted sum),
+    with the per-set max becoming a ``max() over (partition by
+    query_id)`` window. This is how the engine reaches the reference's
+    in-memory hybrid throughput regime (``hybrid_search.py:360-477``):
+    the corpus is scanned once for all queries on each side instead of
+    once per query.
+
+    ``queries`` is a pandas DataFrame with columns ``query_id`` (int64),
+    ``query_vec`` (list[float]) and ``query_text`` (str). Returns
+    ``(query_id, rank, doc_id, score, vector_score, keyword_score)``.
+    """
+    from fastpyvectordb_spark.operators.bm25 import BM25Index
+    from fastpyvectordb_spark.operators.knn import knn_join
+
+    fetch_k = k * 5
+    spark = corpus.sparkSession
+
+    qdf = spark.createDataFrame(
+        [
+            (int(r.query_id), [float(x) for x in r.query_vec])
+            for r in queries.itertuples()
+        ],
+        f"query_id long, query_vec array<float>",
+    )
+    vec_top = knn_join(
+        corpus, qdf, k=fetch_k, metric="cosine",
+        id_col=id_col, vec_col=vec_col,
+    ).withColumnRenamed(id_col, "doc_id")
+    wq = Window.partitionBy("query_id")
+    vec_norm = vec_top.withColumn("max_dist", F.max("dist").over(wq)).select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("max_dist") > 0, 1.0 - F.col("dist") / F.col("max_dist"))
+        .otherwise(F.lit(1.0))
+        .alias("vector_score"),
+    )
+
+    if bm25_index is None:
+        bm25_index = BM25Index.build(corpus, id_col=id_col, text_col=text_col)
+    kw_top = bm25_index.search_batch(
+        [(int(r.query_id), str(r.query_text)) for r in queries.itertuples()],
+        k=fetch_k,
+    )
+    kw_norm = kw_top.withColumn(
+        "max_score", F.max("score").over(wq)
+    ).select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("max_score") > 0, F.col("score") / F.col("max_score"))
+        .otherwise(F.lit(0.0))
+        .alias("keyword_score"),
+    )
+
+    fused = (
+        vec_norm.join(kw_norm, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("vector_score", F.lit(0.0)).alias("vector_score"),
+            F.coalesce("keyword_score", F.lit(0.0)).alias("keyword_score"),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                alpha * F.col("vector_score")
+                + (1 - alpha) * F.col("keyword_score"),
+                ROUND,
+            ),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            F.round("vector_score", ROUND).alias("vector_score"),
+            F.round("keyword_score", ROUND).alias("keyword_score"),
+        )
+    )
+    wrank = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id", "score",
+            "vector_score", "keyword_score",
+        )
+    )

@@ -53,3 +53,41 @@ def test_exact_search_packed_matches_knn(spark, corpus):
         assert np.allclose(
             [d for _, d in got], [d for _, d in want], atol=1e-5
         ), metric
+
+
+def test_hybrid_batch_equals_per_query(spark, corpus):
+    """One-job batched hybrid fusion must reproduce, per query, exactly
+    what the single-query operator returns (which is itself
+    oracle-gated via the hybrid_search_alpha* suite queries)."""
+    import pandas as pd
+
+    from fastpyvectordb_spark.operators.bm25 import BM25Index
+    from fastpyvectordb_spark.operators.fusion import (
+        hybrid_search,
+        hybrid_search_batch,
+    )
+
+    idx = BM25Index.build(corpus)
+    rows = corpus.filter(F.col("doc_id") < 3).select("doc_id", "embedding").collect()
+    texts = ["data pipeline quality", "vector index search", "graph traversal"]
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [r["doc_id"] for r in rows],
+            "query_vec": [list(r["embedding"]) for r in rows],
+            "query_text": texts,
+        }
+    )
+    got = hybrid_search_batch(corpus, qpdf, k=10, bm25_index=idx).toPandas()
+    for r, text in zip(rows, texts):
+        want = hybrid_search(
+            corpus, r["embedding"], text, k=10, bm25_index=idx
+        ).toPandas()
+        sub = (
+            got[got["query_id"] == r["doc_id"]]
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        assert sub["rank"].tolist() == list(range(1, len(want) + 1))
+        assert sub["doc_id"].tolist() == want["doc_id"].tolist()
+        for c in ("score", "vector_score", "keyword_score"):
+            assert (sub[c].to_numpy() == want[c].to_numpy()).all(), c
