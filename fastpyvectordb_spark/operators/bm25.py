@@ -242,7 +242,9 @@ class BM25Index:
             .groupBy("term")
             .agg(F.count("*").alias("df"))
         )
-        qjoin = qterms.join(df_per_term, "term")
+        # both sides are bounded by the number of distinct query terms —
+        # broadcast so the plan never sort-merges on a tiny dimension
+        qjoin = qterms.join(F.broadcast(df_per_term), "term")
         scored = (
             self.postings.join(F.broadcast(qjoin), "term")
             .join(self.doc_lengths, "doc_id")

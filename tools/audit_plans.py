@@ -23,13 +23,22 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 # full-outer fusion joins can't broadcast; BFS loops are exchange-deep
-# by construction — reviewed and accepted
-EXPECTED_SMJ = {"hybrid_search_alpha05", "hybrid_search_alpha08"}
+# by construction — reviewed and accepted. hybrid_search_batch adds the
+# doc_id-keyed postings ⋈ doc_lengths join (large-large at 100 TB —
+# co-partitioned/bucketed in production, never broadcast) and runs both
+# fusion sides in one pipeline, so its exchange count is the sum of the
+# two sides' (rows on the merge path stay bounded by queries × k × 5).
+EXPECTED_SMJ = {
+    "hybrid_search_alpha05",
+    "hybrid_search_alpha08",
+    "hybrid_search_batch",
+}
 EXPECTED_DEEP = {
     "graph_traverse",
     "gv_traverse_rerank",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "hybrid_search_batch",
 }
 DEEP_THRESHOLD = 12
 
