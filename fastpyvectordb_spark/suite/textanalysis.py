@@ -132,3 +132,129 @@ ORDER BY doc_id
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.fingerprint(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-data pipeline: quality filter → language ID →
+# exact dedup (normalized-text fingerprint, keep lowest doc_id) →
+# per-language corpus stats. Composes the gated operators above the way
+# a 100 TB pre-training cleanup job would chain them; every stage is a
+# single keyed shuffle. avg_quality uses the integer-micro trick so the
+# aggregation order can't affect the hash (scores are already rounded
+# to 6 decimals, so micro units are exact).
+# --------------------------------------------------------------------------
+
+_PIPE_THR = 0.81
+
+_PIPELINE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS toks,
+         regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, has_cjk,
+         {_sw_count("en")} AS c_en,
+         {_sw_count("es")} AS c_es,
+         {_sw_count("de")} AS c_de,
+         {_sw_count("fr")} AS c_fr
+  FROM t
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN has_cjk THEN 'zh'
+              WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+              WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+              WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+              WHEN c_de >= c_fr THEN 'de'
+              ELSE 'fr'
+         END AS lang_pred
+  FROM counts
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN {_sw_count("en")} / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS digit_ratio
+  FROM t
+),
+quality AS (
+  SELECT doc_id, n_tokens,
+         ROUND(
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 ELSE 0.4 END) * 0.5
+           + (1.0 - least(1.0, (punct_ratio + digit_ratio) * 2.0)) * 0.3
+           + stop_ratio * 0.2, 6) AS quality_score
+  FROM m
+),
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+kept AS (
+  SELECT q.doc_id, l.lang_pred, q.n_tokens, q.quality_score, f.fingerprint
+  FROM quality q
+  JOIN lang l USING (doc_id)
+  JOIN fp f USING (doc_id)
+  WHERE q.quality_score >= {_PIPE_THR}
+),
+dedup AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+)
+SELECT lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*), 6) AS avg_quality
+FROM dedup
+GROUP BY lang_pred
+ORDER BY lang_pred
+"""
+
+
+@register("pipeline_clean_corpus", _PIPELINE_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_metrics(docs).select("doc_id", "n_tokens", "quality_score")
+    lang = docs.select(
+        "doc_id", T.lang_id_expr(F.col("text")).alias("lang_pred")
+    )
+    fp = T.fingerprint(docs)
+    kept = (
+        q.join(lang, "doc_id")
+        .join(fp, "doc_id")
+        .filter(F.col("quality_score") >= _PIPE_THR)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    dedup = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        dedup.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("quality_score") * 1000000 + 0.5).cast("long")
+                ).cast("double")
+                / 1000000
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang_pred")
+    )
