@@ -228,6 +228,27 @@ def main() -> None:
         N_EXACT_LOCAL / timings["q_knn_exact_local_100k"], 1
     )
 
+    # binary-quantized hamming scan (reference "0.8 ms/query, 1.5 MB"):
+    # codes encoded by the JVM expression pipeline, packed driver-side
+    # (100K×64 bits = 0.8 MB), XOR+popcount batch scan
+    from fastpyvectordb_spark.operators import quantization as Qz
+
+    t0 = time.perf_counter()
+    bq_thresholds = [r["threshold"] for r in Qz.bq_train(big).collect()]
+    bq_ids, bq_codes = Qz.bq_pack_matrix(big, bq_thresholds)
+    extras["bq_encode_sec"] = round(time.perf_counter() - t0, 3)
+    bq_qcodes = bq_codes[:: len(bq_ids) // n_queries][:n_queries]
+    Qz.bq_hamming_search_local(bq_ids, bq_codes, bq_qcodes[:32], k=K)  # warm
+
+    @bench("q_bq_hamming_local_100k")
+    def _():
+        d, i = Qz.bq_hamming_search_local(bq_ids, bq_codes, bq_qcodes, k=K)
+        assert i.shape == (n_queries, K)
+
+    extras["bq_local_qps"] = round(
+        n_queries / timings["q_bq_hamming_local_100k"], 1
+    )
+
     # recall@k of the IVF batch path vs exact, on a query sample —
     # a QPS number without its recall is not comparable to anything
     from fastpyvectordb_spark.ann.ivf import ivf_search_batch

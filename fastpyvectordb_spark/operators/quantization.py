@@ -294,3 +294,139 @@ def pq_train_kmeans(
         for cidx, center in enumerate(model.clusterCenters()):
             rows.append((m, cidx, [float(x) for x in center]))
     return spark.createDataFrame(rows, "m int, cidx int, cvec array<double>")
+
+
+# ---------------------------------------------------------------------------
+# Packed driver-local BQ hamming scan (the reference's in-memory
+# binary-quantized regime, quantization.py:356-394: XOR + popcount over
+# packed codes). Codes are ENCODED BY A SPARK JOB (bq_bits_expr →
+# bq_pack_expr) and only collected when the code matrix fits the driver
+# (100K×64 bits = 0.8 MB); the distributed hamming_packed_expr plan is
+# the scale path.
+# ---------------------------------------------------------------------------
+
+def bq_pack_matrix(
+    df: DataFrame,
+    thresholds: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Encode+pack via the JVM expression pipeline, collect once via
+    Arrow → (ids (N,) int64, codes (N, n_words) uint64)."""
+    import numpy as np
+
+    dims = len(thresholds)
+    codes_df = df.select(
+        id_col,
+        bq_pack_expr(
+            bq_bits_expr(F.col(vec_col), thresholds), dims
+        ).alias("words"),
+    )
+    tbl = codes_df.toArrow()
+    ids = tbl[id_col].to_numpy()
+    flat = tbl["words"].combine_chunks()
+    words = np.asarray(flat.flatten(), dtype=np.int64).reshape(len(ids), -1)
+    return ids, np.ascontiguousarray(words).view(np.uint64)
+
+
+def _popcount_u64(x, tmp=None):
+    """Vectorized SWAR popcount over a uint64 array, IN PLACE: ``x`` is
+    destroyed and returned holding the bit counts. ``tmp`` is a reusable
+    scratch buffer of the same shape — with it, the whole count runs
+    with zero fresh allocations (fresh large buffers page-fault
+    expensively on lazy-memory VMs; numpy < 2 has no bitwise_count).
+    Standard parallel bit count; the multiply wraps mod 2^64 by design."""
+    import numpy as np
+
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    one, two, four, s56 = (np.uint64(c) for c in (1, 2, 4, 56))
+    if tmp is None:
+        tmp = np.empty_like(x)
+    np.right_shift(x, one, out=tmp)
+    tmp &= m1
+    x -= tmp
+    np.right_shift(x, two, out=tmp)
+    tmp &= m2
+    x &= m2
+    x += tmp
+    np.right_shift(x, four, out=tmp)
+    x += tmp
+    x &= m4
+    x *= h01
+    x >>= s56
+    return x
+
+
+def bq_hamming_search_local(
+    ids,
+    codes,
+    qcodes,
+    k: int = 10,
+    chunk: int = 32,
+    n_threads: int = 4,  # XOR+popcount saturates memory bandwidth ~4 threads
+):
+    """Batched hamming top-k over packed uint64 codes: per query-chunk
+    XOR + SWAR popcount (pure vectorized arithmetic, zero allocations
+    in the loop — fresh large buffers page-fault expensively on
+    lazy-memory VMs), argpartition top-k, ties by id. Query ranges are
+    fanned across a thread pool (ufuncs release the GIL; this is the
+    reference's chunked-thread search, parallel_search.py:313-368,
+    applied to the hamming kernel). Returns (dist (Q,k) int32,
+    idx (Q,k) int64)."""
+    import numpy as np
+
+    nq = qcodes.shape[0]
+    n, n_words = codes.shape
+    kk = min(k, n)
+    out_d = np.empty((nq, kk), dtype=np.int32)
+    out_i = np.empty((nq, kk), dtype=np.int64)
+    # composite selection key so ties AT the k boundary resolve by id
+    # exactly like ORDER BY h, id (argpartition on h alone is free to
+    # keep either of two equal-h rows)
+    id_span = np.int64(ids.max()) + 1 if len(ids) else np.int64(1)
+    codes_t = codes[None, :, :]
+
+    def run_range(lo: int, hi: int) -> None:
+        # per-thread buffers, allocated once, reused across chunks
+        x = np.empty((chunk, n, n_words), dtype=np.uint64)
+        tmp = np.empty_like(x)
+        hsum = np.empty((chunk, n), dtype=np.uint64)
+        key = np.empty((chunk, n), dtype=np.int64)
+        for s in range(lo, hi, chunk):
+            e = min(s + chunk, hi)
+            q = e - s
+            xv, tv, hv, kv = x[:q], tmp[:q], hsum[:q], key[:q]
+            np.bitwise_xor(qcodes[s:e, None, :], codes_t, out=xv)
+            _popcount_u64(xv, tv)
+            if n_words == 1:
+                hv[:] = xv[:, :, 0]
+            else:
+                xv.sum(axis=2, out=hv)
+            np.multiply(hv.view(np.int64), id_span, out=kv)
+            kv += ids[None, :]
+            p = np.argpartition(kv, kk - 1, axis=1)[:, :kk]
+            order = np.argsort(np.take_along_axis(kv, p, axis=1), axis=1)
+            sel = np.take_along_axis(p, order, axis=1)
+            rr = np.arange(q)[:, None]
+            out_d[s:e] = hv[rr, sel].astype(np.int32)
+            out_i[s:e] = ids[sel]
+
+    n_threads = max(1, min(n_threads, (nq + chunk - 1) // chunk))
+    if n_threads == 1:
+        run_range(0, nq)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        span = -(-nq // n_threads)
+        span = -(-span // chunk) * chunk  # align ranges to chunk size
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            futs = [
+                pool.submit(run_range, lo, min(lo + span, nq))
+                for lo in range(0, nq, span)
+            ]
+            for f in futs:
+                f.result()
+    return out_d, out_i

@@ -149,3 +149,48 @@ def test_pq_kmeans_candidates_plus_rerank_recall(embeddings):
     exact = _exact_top(embeddings, qvec, 10, "l2")
     recall = len(set(approx) & set(exact)) / 10
     assert recall >= 0.8, f"PQ+rerank recall@10 {recall}"
+
+
+def test_bq_local_matches_spark_hamming(embeddings):
+    """Packed driver-local BQ hamming top-k must agree with the JVM
+    hamming_packed_expr pipeline: same distances, same (hamming, id)
+    tie order."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    dims = len(embeddings.head()["embedding"])
+    thresholds = [r["threshold"] for r in Q.bq_train(embeddings).collect()]
+    ids, codes = Q.bq_pack_matrix(embeddings, thresholds)
+    assert codes.shape == (embeddings.count(), (dims + 63) // 64)
+    assert codes.dtype.name == "uint64"
+
+    qids = ids[:8]
+    qcodes = codes[:8]
+    d, i = Q.bq_hamming_search_local(ids, codes, qcodes, k=10)
+
+    coded = embeddings.select(
+        "vec_id",
+        Q.bq_pack_expr(
+            Q.bq_bits_expr(F.col("embedding"), thresholds), dims
+        ).alias("words"),
+    )
+    qdf = coded.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("words").alias("qwords")
+    )
+    scored = coded.crossJoin(F.broadcast(qdf)).select(
+        "query_id",
+        "vec_id",
+        Q.hamming_packed_expr(F.col("words"), F.col("qwords")).alias("h"),
+    )
+    w = Window.partitionBy("query_id").orderBy("h", "vec_id")
+    want = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .orderBy("query_id", "rn")
+        .toPandas()
+    )
+    for qi, qid in enumerate(qids):
+        sub = want[want["query_id"] == qid]
+        assert sub["vec_id"].tolist() == list(i[qi]), f"query {qid}"
+        assert sub["h"].tolist() == list(d[qi]), f"query {qid}"
