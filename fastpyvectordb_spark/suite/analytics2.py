@@ -207,3 +207,83 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("month_rank", F.row_number().over(w).cast("long"))
         .orderBy("custkey", "month")
     )
+
+
+# TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share).
+# Both sums are exact integer cents; the ratio divides two exact
+# BIGINTs in double — deterministic across engines.
+_Q14_ORACLE = """
+WITH j AS (
+  SELECT p.p_type,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS rev_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-07-01'
+)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END) AS BIGINT)
+         AS promo_cents,
+       CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END) AS DOUBLE)
+             / SUM(rev_cents), 6) AS promo_pct
+FROM j
+"""
+
+
+@register("agg_promo_revenue_ratio", _Q14_ORACLE)
+def agg_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_type",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_cents"
+        ),
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev_cents")).otherwise(F.lit(0))
+    )
+    total = F.sum("rev_cents")
+    return j.agg(
+        promo.alias("promo_cents"),
+        total.alias("total_cents"),
+        F.round(100.0 * promo.cast("double") / total, 6).alias("promo_pct"),
+    )
+
+
+# TPC-H Q12 shape: two-level conditional counts per group (the driver's
+# lineitem has no shipmode column; l_returnflag plays the group role,
+# o_orderpriority the urgency split — same join + CASE-count plan).
+_Q12_ORACLE = """
+SELECT l.l_returnflag AS l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("agg_priority_line_counts", _Q12_ORACLE)
+def agg_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
