@@ -254,3 +254,49 @@ def stream_from_parquet_dir(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "error",
+    right_type: str = "click",
+    interval: str = "5 minutes",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream interval join (beyond the reference — its event bus
+    has no join at all): for every ``left_type`` event, the
+    ``right_type`` events of the SAME user within ``(l_ts, l_ts +
+    interval]``. The same plan runs batch (oracle-checkable — the
+    join_range_click_burst suite query is this shape) and streaming:
+    with ``watermark`` set on both sides, Spark bounds the join state
+    buffer by watermark + interval and ages matched rows out — the
+    100 TB-stream answer to "correlate events across streams".
+
+    Output: ``(user_id, l_event_id, l_ts, r_event_id, r_ts)``.
+    """
+    l = left.filter(F.col("event_type") == left_type)
+    r = right.filter(F.col("event_type") == right_type)
+    if watermark is not None:
+        l = l.withWatermark(ts_col, watermark)
+        r = r.withWatermark(ts_col, watermark)
+    l = l.select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = r.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond).select(
+        F.col("l_user").alias("user_id"),
+        "l_event_id", "l_ts", "r_event_id", "r_ts",
+    )

@@ -137,3 +137,22 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path, events_batch):
     }
     assert got_map == want_map
     assert len(got_map) > 50
+
+
+def test_streaming_interval_join_equals_batch(spark, events_dir, events_batch):
+    """Stream-stream interval join (watermarked both sides) must emit
+    exactly the pairs the batch plan produces."""
+    from fastpyvectordb_spark.streaming.events import interval_join
+
+    sl = stream_from_parquet_dir(spark, events_dir)
+    sr = stream_from_parquet_dir(spark, events_dir)
+    got = _run_stream_to_memory(
+        spark,
+        interval_join(sl, sr, interval="5 minutes", watermark="2 hours"),
+        "ijoin",
+        "append",
+    ).collect()
+    want = interval_join(events_batch, events_batch, interval="5 minutes").collect()
+    key = lambda r: (r["l_event_id"], r["r_event_id"])
+    assert {key(r) for r in got} == {key(r) for r in want}
+    assert len(want) > 0
