@@ -78,3 +78,123 @@ def embed_column(df, text_col: str, out_col: str = "embedding", dimensions: int 
     """EmbeddingCollection.add pipeline stage (ref embeddings.py:563-597):
     attach an embedding column computed from text."""
     return df.withColumn(out_col, mock_embedder_udf(dimensions)(F.col(text_col)))
+
+
+def sentence_transformers_embedder_udf(
+    model: str = "all-MiniLM-L6-v2", dimensions: int = 384
+):
+    """Local-model embedder shape (ref embeddings.py:200-256): the model
+    would lazy-load ONCE PER PYTHON WORKER (inside the UDF closure, not
+    per row) and encode each Arrow batch. STUB: the library is not in
+    this environment; lazy-load raises, the batching plumbing is real.
+    """
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        try:
+            from sentence_transformers import SentenceTransformer  # noqa: F401
+        except ImportError as ex:  # pragma: no cover - always taken here
+            raise NotImplementedError(
+                "sentence-transformers not installed; use "
+                "mock_embedder_udf for deterministic local runs"
+            ) from ex
+        m = SentenceTransformer(model)  # lazy per-worker load
+        for texts in batches:
+            yield pd.Series(
+                [[float(x) for x in v] for v in m.encode(list(texts))]
+            )
+
+    return _embed
+
+
+def cohere_embedder_udf(model: str = "embed-english-v3.0", dimensions: int = 1024):
+    """Provider-backed embedder shape (ref embeddings.py:263-336).
+    STUB: no network in this environment."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            raise NotImplementedError(
+                "cohere embedder requires network access; use "
+                "mock_embedder_udf for deterministic local runs"
+            )
+            yield  # pragma: no cover
+
+    return _embed
+
+
+def get_embedder_udf(provider: str = "auto", dimensions: int = 384):
+    """Factory with the reference's auto-detect order (embeddings.py:
+    455-514): openai → sentence-transformers → mock. In this
+    environment auto always lands on mock; explicit providers return
+    their (stubbed) UDFs."""
+    if provider == "openai":
+        return openai_embedder_udf(dimensions=dimensions)
+    if provider == "sentence-transformers":
+        return sentence_transformers_embedder_udf(dimensions=dimensions)
+    if provider == "cohere":
+        return cohere_embedder_udf(dimensions=dimensions)
+    if provider in ("auto", "mock"):
+        if provider == "auto":
+            import importlib.util
+
+            for name, maker in (
+                ("openai", openai_embedder_udf),
+                ("sentence_transformers", sentence_transformers_embedder_udf),
+            ):
+                if importlib.util.find_spec(name) is not None:
+                    return maker(dimensions=dimensions)
+        return mock_embedder_udf(dimensions=dimensions)
+    raise ValueError(f"unknown embedder provider: {provider}")
+
+
+def embed_column_cached(
+    df,
+    cache_path: str,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dimensions: int = 384,
+    embedder=None,
+):
+    """Cached embedding stage (ref CachedEmbedder, embeddings.py:
+    374-448 — a disk JSON text→vec cache). Spark-first the cache is a
+    parquet table keyed by text hash: misses are embedded and APPENDED
+    to the cache, hits skip the (expensive) embedder entirely. At
+    100 TB this is the difference between re-embedding a corpus and an
+    incremental join — the cache table is the persisted artifact.
+
+    Returns ``df`` with ``out_col`` attached.
+    """
+    spark = df.sparkSession
+    if embedder is None:
+        embedder = mock_embedder_udf(dimensions)
+    keyed = df.withColumn("_text_hash", F.md5(F.col(text_col).cast("string")))
+    try:
+        cache = spark.read.parquet(cache_path)
+        have_cache = True
+    except Exception:
+        have_cache = False
+    if have_cache:
+        hits = keyed.join(
+            F.broadcast(cache.withColumnRenamed("vec", out_col)),
+            "_text_hash",
+            "left",
+        )
+        misses = (
+            hits.filter(F.col(out_col).isNull())
+            .select("_text_hash", text_col)
+            .distinct()
+        )
+    else:
+        hits = keyed.withColumn(out_col, F.lit(None).cast("array<float>"))
+        misses = keyed.select("_text_hash", text_col).distinct()
+    new_entries = misses.withColumn("vec", embedder(F.col(text_col))).select(
+        "_text_hash", "vec"
+    )
+    new_entries.write.mode("append").parquet(cache_path)
+    fresh = spark.read.parquet(cache_path).withColumnRenamed("vec", "_fresh_vec")
+    return (
+        keyed.join(F.broadcast(fresh), "_text_hash", "left")
+        .withColumn(out_col, F.col("_fresh_vec"))
+        .drop("_fresh_vec", "_text_hash")
+    )

@@ -81,3 +81,39 @@ def test_streaming_parquet_sink(spark, tmp_path, documents):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 100
+
+
+def test_embedder_factory_and_cache(spark, tmp_path):
+    """get_embedder_udf auto-detect lands on mock here; the cached
+    embedding stage embeds misses once, then serves every repeat from
+    the parquet cache with identical vectors."""
+    from fastpyvectordb_spark.embeddings import (
+        embed_column_cached,
+        get_embedder_udf,
+        mock_embed_batch,
+    )
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "id long, text string"
+    )
+    udf = get_embedder_udf("auto", dimensions=8)
+    direct = df.withColumn("e", udf(F.col("text"))).collect()
+    want = {
+        r["id"]: [round(float(x), 5) for x in r["e"]] for r in direct
+    }
+    expected_alpha = [
+        round(float(x), 5) for x in mock_embed_batch(pd.Series(["alpha"]), 8)[0]
+    ]
+    assert want[1] == expected_alpha == want[3]
+
+    cache = str(tmp_path / "emb_cache")
+    out1 = embed_column_cached(df, cache, dimensions=8).collect()
+    got1 = {r["id"]: [round(float(x), 5) for x in r["embedding"]] for r in out1}
+    assert got1 == want
+    # second pass: all hits, no new cache rows beyond the 2 distinct texts
+    out2 = embed_column_cached(df, cache, dimensions=8).collect()
+    got2 = {r["id"]: [round(float(x), 5) for x in r["embedding"]] for r in out2}
+    assert got2 == want
+    n_cache = spark.read.parquet(cache).count()
+    assert n_cache == 2, f"cache should hold 2 distinct texts, has {n_cache}"
