@@ -71,20 +71,53 @@ class Collection:
         v = self._current_version()
         return os.path.join(self.path, v) if v else None
 
-    def df(self) -> DataFrame:
-        """The collection as a DataFrame (S1)."""
-        p = self._data_path()
+    def df(self, version: str | None = None) -> DataFrame:
+        """The collection as a DataFrame (S1). ``version`` time-travels
+        to any committed snapshot (Delta ``VERSION AS OF``; every commit
+        is a full immutable version dir, so old snapshots stay
+        readable until vacuumed)."""
+        p = (
+            os.path.join(self.path, version)
+            if version is not None
+            else self._data_path()
+        )
         if p is None:
             return self.spark.createDataFrame(
                 [], f"id string, embedding array<float>"
             )
         return self.spark.read.parquet(p)
 
-    def _commit(self, df: DataFrame) -> None:
+    def _commit(self, df: DataFrame, op: str = "commit") -> None:
+        import time
+
         version = f"v_{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, version))
         with open(os.path.join(self.path, _POINTER), "w") as f:
             f.write(version)
+        with open(os.path.join(self.path, "_versions"), "a") as f:
+            f.write(json.dumps({"version": version, "op": op,
+                                "ts": time.time()}) + "\n")
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first (Delta ``DESCRIBE HISTORY``)."""
+        p = os.path.join(self.path, "_versions")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def restore(self, version: str) -> None:
+        """Point the collection back at an earlier snapshot (Delta
+        ``RESTORE``) — recorded as a new history entry; no data moves."""
+        if not os.path.isdir(os.path.join(self.path, version)):
+            raise ValueError(f"unknown version: {version}")
+        with open(os.path.join(self.path, _POINTER), "w") as f:
+            f.write(version)
+        import time
+
+        with open(os.path.join(self.path, "_versions"), "a") as f:
+            f.write(json.dumps({"version": version, "op": "restore",
+                                "ts": time.time()}) + "\n")
 
     # -- change feed (R5: ObservableCollection, realtime.py:325-442) --
 

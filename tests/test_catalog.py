@@ -115,3 +115,27 @@ def test_embed_column_pipeline(spark):
     assert all(len(r["embedding"]) == 16 for r in out)
     norms = [sum(x * x for x in r["embedding"]) for r in out]
     assert all(abs(n - 1.0) < 1e-5 for n in norms)
+
+
+def test_time_travel_and_restore(spark, tmp_path):
+    """Every commit is an immutable snapshot: df(version) reads any
+    point in history, restore() flips the pointer back (Delta
+    VERSION AS OF / RESTORE semantics on plain parquet)."""
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(spark, str(tmp_path / "tt"), CollectionConfig(dimensions=2))
+    c.insert_batch(
+        spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "id string, embedding array<float>"
+        )
+    )
+    v1 = c.history()[-1]["version"]
+    c.delete(ids=["b"])
+    hist = c.history()
+    assert len(hist) >= 2
+    assert {h["version"] for h in hist} >= {v1}
+    assert sorted(r["id"] for r in c.df().collect()) == ["a"]
+    assert sorted(r["id"] for r in c.df(version=v1).collect()) == ["a", "b"]
+    c.restore(v1)
+    assert sorted(r["id"] for r in c.df().collect()) == ["a", "b"]
+    assert c.history()[-1]["op"] == "restore"
