@@ -119,6 +119,26 @@ class Collection:
             f.write(json.dumps({"version": version, "op": "restore",
                                 "ts": time.time()}) + "\n")
 
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop snapshot dirs older than the last ``keep_last`` history
+        entries (never the current pointer) — Delta ``VACUUM``. Returns
+        the removed version names; time travel to them is gone."""
+        import shutil
+
+        hist = self.history()
+        keep = {h["version"] for h in hist[-max(keep_last, 1):]}
+        cur = self._current_version()
+        if cur:
+            keep.add(cur)
+        removed = []
+        for h in hist:
+            v = h["version"]
+            vp = os.path.join(self.path, v)
+            if v not in keep and os.path.isdir(vp):
+                shutil.rmtree(vp)
+                removed.append(v)
+        return removed
+
     # -- change feed (R5: ObservableCollection, realtime.py:325-442) --
 
     def _emit(self, event_type: str, ids_df: DataFrame | None) -> None:

@@ -139,3 +139,23 @@ def test_time_travel_and_restore(spark, tmp_path):
     c.restore(v1)
     assert sorted(r["id"] for r in c.df().collect()) == ["a", "b"]
     assert c.history()[-1]["op"] == "restore"
+
+
+def test_vacuum_drops_old_snapshots(spark, tmp_path):
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(spark, str(tmp_path / "vac"), CollectionConfig(dimensions=2))
+    c.insert_batch(
+        spark.createDataFrame([("a", [1.0, 0.0])], "id string, embedding array<float>")
+    )
+    v1 = c.history()[-1]["version"]
+    c.insert_batch(
+        spark.createDataFrame([("b", [0.0, 1.0])], "id string, embedding array<float>")
+    )
+    removed = c.vacuum(keep_last=1)
+    assert removed == [v1]
+    assert sorted(r["id"] for r in c.df().collect()) == ["a", "b"]
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        c.df(version=v1).collect()
