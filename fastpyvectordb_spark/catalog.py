@@ -119,6 +119,34 @@ class Collection:
             f.write(json.dumps({"version": version, "op": "restore",
                                 "ts": time.time()}) + "\n")
 
+    def optimize(
+        self,
+        target_partitions: int | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> None:
+        """Compact the current snapshot (Delta ``OPTIMIZE``): rewrite
+        the table into ``target_partitions`` files. Default target is
+        derived from the snapshot's on-disk size / ``target_file_bytes``
+        (128 MB files — Delta's bin-packing default), so a 100 TB table
+        compacts to ~800K right-sized files, not one. Small-file
+        pressure is the classic failure mode of append-heavy tables at
+        scale; this is the maintenance job that fixes it. Committed as
+        a new version — readers and time travel are unaffected."""
+        if target_partitions is None:
+            p = self._data_path()
+            on_disk = 0
+            if p and os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    on_disk += sum(
+                        os.path.getsize(os.path.join(root, fn))
+                        for fn in files
+                        if fn.endswith(".parquet")
+                    )
+            target_partitions = max(1, -(-on_disk // target_file_bytes))
+        self._commit(
+            self.df().coalesce(target_partitions), op="optimize"
+        )
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop snapshot dirs older than the last ``keep_last`` history
         entries (never the current pointer) — Delta ``VACUUM``. Returns

@@ -159,3 +159,31 @@ def test_vacuum_drops_old_snapshots(spark, tmp_path):
 
     with _pt.raises(Exception):
         c.df(version=v1).collect()
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    """OPTIMIZE rewrites an append-fragmented snapshot into few
+    right-sized files; contents identical, committed as a new version
+    so time travel still sees the fragmented snapshot."""
+    import glob
+
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(spark, str(tmp_path / "opt"), CollectionConfig(dimensions=2))
+    for i in range(4):
+        c.insert_batch(
+            spark.createDataFrame(
+                [(f"id{i}", [float(i), 0.0])], "id string, embedding array<float>"
+            )
+        )
+    before_v = c.history()[-1]["version"]
+    c.optimize()
+    after_v = c.history()[-1]["version"]
+    assert after_v != before_v and c.history()[-1]["op"] == "optimize"
+    n_files = len(glob.glob(str(tmp_path / "opt" / after_v / "*.parquet")))
+    assert n_files == 1  # tiny table, far under one 128 MB target file
+    assert sorted(r["id"] for r in c.df().collect()) == [f"id{i}" for i in range(4)]
+    # explicit target wins
+    c.optimize(target_partitions=2)
+    v2 = c.history()[-1]["version"]
+    assert len(glob.glob(str(tmp_path / "opt" / v2 / "*.parquet"))) <= 2
