@@ -62,13 +62,39 @@ def exact_duplicates(
 # shingling
 # ---------------------------------------------------------------------------
 
+MASK60 = (1 << 60) - 1  # 1152921504606846975
+P31 = (1 << 31) - 1  # Mersenne prime 2147483647 — minhash modulus
+
+# Fixed random multipliers/offsets for the minhash family
+# h_i(x) = (a_i·x + b_i) mod P31 over x = sh mod P31. a_i·x < 2^62 so
+# the arithmetic is overflow-safe int64 in both Spark and DuckDB.
+# (A naive "(sh + i·sh2) mod 2^60" family does NOT work: the i-term is
+# a negligible perturbation of the 60-bit sh ordering, so every h_i
+# ranks shingles identically and the signature collapses to 12 copies
+# of min(sh) — zero LSH recall on near-dups.)
+import random as _random
+
+_rng = _random.Random(42)
+MINHASH_AB = [
+    (_rng.randrange(1, P31), _rng.randrange(0, P31)) for _ in range(64)
+]
+
+
 def shingles(
     docs: DataFrame,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc → (doc_id, shingle)."""
+    """Distinct word n-gram shingles per doc, pre-hashed →
+    (doc_id, sh BIGINT, sh2 BIGINT).
+
+    The shingle *string* never leaves the projection that builds it:
+    one md5 per shingle yields a 60-bit primary hash (hex chars 1-15)
+    and a 40-bit secondary (chars 16-25), and everything downstream —
+    distinct, minhash, Jaccard joins — shuffles 8-byte longs instead of
+    ~20-char strings. At 100 TB that's the difference between shuffling
+    the corpus and shuffling a fingerprint of it."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
     )
@@ -84,28 +110,39 @@ def shingles(
             ).otherwise(F.array(F.array_join(F.col("t"), " "))),
         ).alias("shingle"),
     )
-    return grams.distinct()
+    hashed = grams.select("doc_id", F.md5("shingle").alias("m"))
+    return hashed.select(
+        "doc_id",
+        F.conv(F.substring("m", 1, HASH_HEX_WIDTH), 16, 10)
+        .cast("long")
+        .alias("sh"),
+        F.conv(F.substring("m", 16, 10), 16, 10).cast("long").alias("sh2"),
+    ).distinct()
 
 
 def duckdb_shingles_cte(table: str, n: int = 3, id_col: str = "doc_id",
                         text_col: str = "text") -> str:
-    """CTE ``shingles(doc_id, shingle)`` — identical shingling in DuckDB."""
+    """CTE ``shingles(doc_id, sh, sh2)`` — identical shingling in DuckDB."""
     return f"""
 _toks AS (
   SELECT {id_col} AS doc_id,
          list_filter(string_split_regex(lower({text_col}), '[^a-z0-9_]+'), t -> t <> '') AS t
   FROM {table}
 ),
-shingles AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
+_grams AS (
+  SELECT doc_id, md5(
            CASE WHEN len(t) >= {n}
                 THEN unnest(list_transform(range(1, len(t) - {n - 1} + 1),
                        i -> array_to_string(list_slice(t, i, i + {n - 1}), ' ')))
                 ELSE array_to_string(t, ' ')
-           END AS shingle
-    FROM _toks
-  )
+           END) AS m
+  FROM _toks
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substring(m, 1, {HASH_HEX_WIDTH}))::BIGINT AS sh,
+         ('0x' || substring(m, 16, 10))::BIGINT AS sh2
+  FROM _grams
 )"""
 
 
@@ -118,14 +155,19 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs sharing ≥1 shingle with Jaccard ≥ threshold.
 
-    (a, b, jaccard) with a < b. The join is on shingle (inverted-index
-    style) — pair enumeration cost is Σ_shingle df², not N².
+    (a, b, jaccard) with a < b. The join is on the shingle hash
+    (inverted-index style) — pair enumeration cost is Σ_shingle df²,
+    not N².
     """
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.sh2") == F.col("b.sh2")),
+        )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
@@ -161,17 +203,17 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = 12) -> DataFrame:
-    """(doc_id, sig ARRAY<BIGINT>[n_hashes]) — min over seeded portable
-    hashes of each shingle. One shuffle (groupBy doc)."""
-    hashed = sh.select(
-        "doc_id",
+    """(doc_id, sig ARRAY<BIGINT>[n_hashes]) — min over ``n_hashes``
+    universal-hash functions ``h_i = (a_i·x + b_i) mod P31`` of each
+    shingle's stored hash (x = sh mod P31, constants ``MINHASH_AB``).
+    Zero per-row md5 here — pure long arithmetic in codegen — and one
+    shuffle (groupBy doc)."""
+    x = F.col("sh") % F.lit(P31)
+    agg = sh.groupBy("doc_id").agg(
         *[
-            _hash64(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
-    )
-    agg = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
+            F.min((F.lit(a) * x + F.lit(b)) % F.lit(P31)).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+        ]
     )
     return agg.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
@@ -203,6 +245,10 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    # materialize once: the self-join would otherwise recompute the
+    # whole signature lineage (shingle agg) for each side. n_docs ×
+    # n_bands small rows — trivially cacheable at any scale.
+    bands = bands.localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -233,13 +279,13 @@ def jaccard_for_pairs(
     as a post-LSH verifier at 100 TB.)
     """
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # pair × left-side shingles, then equi-join (id_b, shingle) to keep
+    # pair × left-side shingles, then equi-join (id_b, hash) to keep
     # only shingles present on both sides → per-pair intersection size
-    a_sh = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    a_sh = sh.select(F.col("doc_id").alias("id_a"), "sh", "sh2")
+    b_sh = sh.select(F.col("doc_id").alias("id_b"), "sh", "sh2")
     common = (
         pairs.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "shingle"])
+        .join(b_sh, ["id_b", "sh", "sh2"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )

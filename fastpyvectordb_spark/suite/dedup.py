@@ -91,9 +91,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("canonical_id")
 
 
+# universal-hash family h_i = (a_i*(sh % P) + b_i) % P — same
+# MINHASH_AB constants as operators/dedup.py minhash_signatures
 _MINHASH_MINS = ",\n         ".join(
-    f"MIN(('0x' || substring(md5('{i}:' || shingle), 1, 15))::BIGINT) AS m{i}"
-    for i in range(N_HASHES)
+    f"MIN((({a} * (sh % {D.P31}) + {b}) % {D.P31})) AS m{i}"
+    for i, (a, b) in enumerate(D.MINHASH_AB[:N_HASHES])
 )
 _ROWS_PER_BAND = N_HASHES // N_BANDS
 _BAND_KEYS = "\n  UNION ALL\n".join(
@@ -121,7 +123,7 @@ sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles GROUP BY d
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
   FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ON a.sh = b.sh AND a.sh2 = b.sh2 AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 verified AS (
@@ -155,7 +157,7 @@ sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles GROUP BY d
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
   FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ON a.sh = b.sh AND a.sh2 = b.sh2 AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT c.id_a AS id_a, c.id_b AS id_b,

@@ -1,0 +1,86 @@
+"""Dedup operator unit tests (exact, MinHash+LSH, SimHash, Jaccard).
+
+The suite queries gate these against the DuckDB oracle end-to-end;
+these tests pin the operator-level contracts on tiny hand-checked
+corpora so failures localize.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.operators import dedup as D
+
+
+@pytest.fixture()
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        # near-dup of 1/2: J = 10/13 ≈ 0.77 — high enough that the fixed
+        # seed-42 LSH bands deterministically catch it (verified; at
+        # J≈0.67 the 4×3 band scheme has a ~25% miss rate by design)
+        (3, base + " tail words differ"),
+        (4, "completely different text about spark dataframes and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(spark, corpus):
+    dups = D.exact_duplicates(corpus).collect()
+    assert len(dups) == 1
+    assert dups[0]["canonical_id"] == 1
+    assert dups[0]["member_ids"] == [1, 2]
+
+
+def test_shingles_are_hashed_and_distinct(spark, corpus):
+    sh = D.shingles(corpus)
+    assert set(sh.columns) == {"doc_id", "sh", "sh2"}
+    rows = sh.collect()
+    assert all(0 <= r["sh"] < (1 << 60) and 0 <= r["sh2"] < (1 << 40) for r in rows)
+    # identical texts → identical shingle sets
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add((r["sh"], r["sh2"]))
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[4]
+
+
+def test_minhash_signature_shape_and_equality(spark, corpus):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in D.minhash_signatures(D.shingles(corpus), n_hashes=12).collect()
+    }
+    assert all(len(s) == 12 for s in sigs.values())
+    assert sigs[1] == sigs[2]  # identical docs → identical signatures
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_lsh_finds_dups_not_unrelated(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_duplicates(corpus, min_jaccard=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0  # near-dup
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_pairs_value(spark):
+    # doc 1: shingles {a b c, b c d}; doc 2: {a b c, b c e} → J = 1/3
+    rows = [(1, "a b c d"), (2, "a b c e")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = D.jaccard_pairs(D.shingles(docs, n=3), min_jaccard=0.1).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_simhash_near_pairs(spark, corpus):
+    fps = D.simhash(corpus, n_bits=32)
+    # exact dups have identical fingerprints -> hamming 0
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(fps, max_hamming=6, n_bits=32).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert not any(4 in p for p in got)
