@@ -363,6 +363,46 @@ def main() -> None:
         len(qtexts) / timings["q_hybrid_batch"], 2
     )
 
+    # packed driver-local keyword + hybrid serving (adaptive-local
+    # pattern, parity-tested vs the distributed plans): the reference's
+    # resident-in-memory index regime at matching latency
+    _kw_packed = corpus_idx.pack()
+
+    @bench("q_bm25_local")
+    def _():
+        for _rep in range(4):
+            for q in qtexts:
+                assert len(_kw_packed.search(q, k=K)) > 0
+
+    extras["bm25_local_qps"] = round(
+        4 * len(qtexts) / timings["q_bm25_local"], 2
+    )
+
+    from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_pack
+
+    _vec_packed_corpus = ivf_pack(
+        ivf_build(
+            corpus_cached.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            n_lists=8, max_iter=3,
+        )
+    )
+
+    @bench("q_hybrid_local")
+    def _():
+        from fastpyvectordb_spark.operators.fusion import hybrid_search_local
+
+        for _rep in range(4):
+            for qv, qt in zip(hq["query_vec"], hq["query_text"]):
+                assert len(
+                    hybrid_search_local(
+                        _vec_packed_corpus, _kw_packed, qv, qt, k=K
+                    )
+                ) > 0
+
+    extras["hybrid_local_qps"] = round(
+        4 * len(qtexts) / timings["q_hybrid_local"], 2
+    )
+
     # -- dedup pipeline ----------------------------------------------
     @bench("q_dedup_minhash_lsh")
     def _():

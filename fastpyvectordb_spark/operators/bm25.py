@@ -159,6 +159,12 @@ class BM25Index:
         return cls(postings, doc_lengths, int(stats["n"]),
                    float(stats["avgdl"] or 0.0))
 
+    def pack(self) -> "BM25Packed":
+        """Driver-local packed form (cached) — see :class:`BM25Packed`."""
+        if getattr(self, "_packed", None) is None:
+            self._packed = bm25_pack(self)
+        return self._packed
+
     def score(self, query: str, k1: float = K1, b: float = B) -> DataFrame:
         spark = self.postings.sparkSession
         qtoks = spark.range(1).select(
@@ -276,6 +282,129 @@ class BM25Index:
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score")
         )
+
+
+class BM25Packed:
+    """Driver-resident packed inverted index — the reference's
+    in-memory regime (``hybrid_search.py:60-69``: dict postings resident
+    across queries) re-expressed as contiguous NumPy arrays, the same
+    adaptive-local pattern as ``ann.ivf.ivf_pack``: when the index fits
+    on the driver, a query is term-dict lookups + vectorized score
+    accumulation (~ms), no job scheduling; at scale the distributed
+    ``BM25Index`` plans are the same math. Parity-tested against them.
+    """
+
+    def __init__(self, doc_ids, denom, terms, offsets, post_doc, post_tf,
+                 idf, k1: float = K1, b: float = B):
+        self.doc_ids = doc_ids      # (N,) int64 sorted asc
+        self.denom = denom          # (N,) f64 = k1*(1-b+b*len/avgdl)
+        self.terms = terms          # dict term -> slot
+        self.offsets = offsets      # (T+1,) postings row ranges per slot
+        self.post_doc = post_doc    # (P,) doc row index
+        self.post_tf = post_tf      # (P,) f64 term frequency
+        self.idf = idf              # (T,) f64 ln((N-df+.5)/(df+.5)+1)
+        self.k1 = k1
+        self.b = b
+
+    @staticmethod
+    def _tokenize(text: str) -> list[str]:
+        import re
+
+        return [t for t in re.split("[^a-z0-9_]+", text.lower()) if t]
+
+    def _scores(self, query: str):
+        """Dense (N,) f64 score vector; untouched docs stay exactly 0."""
+        import numpy as np
+        from collections import Counter
+
+        s = np.zeros(len(self.doc_ids))
+        for term, qtf in Counter(self._tokenize(query)).items():
+            slot = self.terms.get(term)
+            if slot is None:
+                continue
+            lo, hi = int(self.offsets[slot]), int(self.offsets[slot + 1])
+            rows = self.post_doc[lo:hi]
+            tf = self.post_tf[lo:hi]
+            s[rows] += (
+                qtf * self.idf[slot] * tf * (self.k1 + 1)
+                / (tf + self.denom[rows])
+            )
+        return s
+
+    def search(self, query: str, k: int = 10,
+               round_digits: int | None = ROUND):
+        """Top-k ``[(doc_id, score), ...]`` — same values/ordering as
+        ``BM25Index.search`` (score desc rounded, ties by doc_id)."""
+        import numpy as np
+
+        s = self._scores(query)
+        cand = np.nonzero(s)[0]
+        sc = s[cand]
+        if round_digits is not None:
+            sc = np.round(sc, round_digits)
+        order = np.lexsort((self.doc_ids[cand], -sc))[:k]
+        return [
+            (int(self.doc_ids[cand[i]]), float(sc[i])) for i in order
+        ]
+
+    def search_batch(self, queries, k: int = 10,
+                     round_digits: int | None = ROUND):
+        """Pandas ``(query_id, rank, doc_id, score)`` — the local twin
+        of ``BM25Index.search_batch``."""
+        import pandas as pd
+
+        pairs = [
+            q if isinstance(q, tuple) else (i, q)
+            for i, q in enumerate(queries)
+        ]
+        out = []
+        for qid, q in pairs:
+            for rank, (doc_id, score) in enumerate(
+                self.search(q, k, round_digits), 1
+            ):
+                out.append((qid, rank, doc_id, score))
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "doc_id", "score"]
+        )
+
+
+def bm25_pack(index: "BM25Index", k1: float = K1, b: float = B) -> BM25Packed:
+    """Collect the postings/doc-length tables once (Arrow) into a
+    :class:`BM25Packed`. Postings are sorted by (term, doc row) so each
+    term is one contiguous slice."""
+    import numpy as np
+
+    dl = index.doc_lengths.select("doc_id", "doc_len").toArrow()
+    doc_ids = dl["doc_id"].to_numpy()
+    doc_len = dl["doc_len"].to_numpy().astype("float64")
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = np.ascontiguousarray(doc_ids[order])
+    denom = k1 * (1 - b + b * doc_len[order] / (index.avgdl or 1.0))
+
+    pt = index.postings.select("term", "doc_id", "tf").toArrow()
+    terms_arr = pt["term"].to_numpy(zero_copy_only=False)
+    pdoc_ids = pt["doc_id"].to_numpy()
+    tf = pt["tf"].to_numpy().astype("float64")
+    # doc id -> packed row
+    rows = np.searchsorted(doc_ids, pdoc_ids)
+    t_order = np.argsort(terms_arr, kind="stable")
+    terms_sorted = terms_arr[t_order]
+    uniq, starts = np.unique(terms_sorted, return_index=True)
+    offsets = np.append(starts, len(terms_sorted))
+    df = np.diff(offsets).astype("float64")
+    n = len(doc_ids)
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    return BM25Packed(
+        doc_ids=doc_ids,
+        denom=denom,
+        terms={t: i for i, t in enumerate(uniq)},
+        offsets=offsets,
+        post_doc=np.ascontiguousarray(rows[t_order]),
+        post_tf=np.ascontiguousarray(tf[t_order]),
+        idf=idf,
+        k1=k1,
+        b=b,
+    )
 
 
 def bm25_search(

@@ -119,6 +119,96 @@ def hybrid_search(
     return fused.orderBy(F.desc("score"), "doc_id").limit(k)
 
 
+def _vmat64(packed):
+    """Lazy f64 copy of a packed vector matrix + sequential-equivalent
+    norms, cached on the object: the distributed fusion path computes
+    distances as double-precision SQL expressions, so the local twin
+    must run the kernel in f64 too or 6-decimal rounding won't close
+    the f32 gap."""
+    import numpy as np
+
+    cached = getattr(packed, "_vmat64", None)
+    if cached is None:
+        m = packed.vmat.astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m)) + 1e-10
+        cached = (m, norms)
+        packed._vmat64 = cached
+    return cached
+
+
+def hybrid_search_local(
+    vec_packed,
+    bm25_packed,
+    query_vec: Sequence[float],
+    query_text: str | None,
+    k: int = 10,
+    alpha: float = 0.5,
+):
+    """Driver-local twin of :func:`hybrid_search` over packed indexes
+    (``ann.ivf.IVFPacked`` / ``ivf_pack`` output for the vector side,
+    ``operators.bm25.BM25Packed`` for the keyword side) — the
+    reference's resident-index hybrid regime (``hybrid_search.py:
+    360-477``: both indexes in memory, per-query work is two lookups +
+    a dict merge). Pinned semantics identical: k*5 fetch each side,
+    per-result-set max normalization, union with missing side 0,
+    ``alpha·v+(1-alpha)·kw``. Returns ``[(doc_id, score, vector_score,
+    keyword_score), ...]`` score desc, ties by id. Parity-tested
+    against the distributed plan; at scale the distributed path is the
+    same math."""
+    import numpy as np
+
+    fetch_k = k * 5
+    m, norms = _vmat64(vec_packed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) + 1e-10)
+    d = 1.0 - (m @ qn) / norms
+    d = np.round(d, ROUND)  # knn rounds before its ORDER BY dist, id
+    kk = min(fetch_k, d.shape[0])
+    part = np.argpartition(d, kk - 1)[:kk] if kk < d.shape[0] else np.arange(
+        d.shape[0]
+    )
+    sel = part[np.lexsort((vec_packed.ids[part], d[part]))]
+    max_dist = d[sel].max() if len(sel) else 0.0
+    vec_scores = {
+        int(i): (1.0 - dv / max_dist) if max_dist > 0 else 1.0
+        for i, dv in zip(vec_packed.ids[sel], d[sel])
+    }
+
+    if not query_text:
+        # H4 fallback: pure vector, score == vector_score (unweighted)
+        out = [
+            (doc_id, round(v, ROUND), round(v, ROUND), 0.0)
+            for doc_id, v in vec_scores.items()
+        ]
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
+    kw_scores = {}
+    if query_text:
+        top = bm25_packed.search(query_text, k=fetch_k)
+        if top:
+            max_score = max(s for _, s in top)
+            kw_scores = {
+                i: (s / max_score if max_score > 0 else 0.0) for i, s in top
+            }
+
+    fused = [
+        (
+            doc_id,
+            round(
+                alpha * vec_scores.get(doc_id, 0.0)
+                + (1 - alpha) * kw_scores.get(doc_id, 0.0),
+                ROUND,
+            ),
+            round(vec_scores.get(doc_id, 0.0), ROUND),
+            round(kw_scores.get(doc_id, 0.0), ROUND),
+        )
+        for doc_id in set(vec_scores) | set(kw_scores)
+    ]
+    fused.sort(key=lambda r: (-r[1], r[0]))
+    return fused[:k]
+
+
 def hybrid_search_batch(
     corpus: DataFrame,
     queries,

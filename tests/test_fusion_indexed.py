@@ -91,3 +91,60 @@ def test_hybrid_batch_equals_per_query(spark, corpus):
         assert sub["doc_id"].tolist() == want["doc_id"].tolist()
         for c in ("score", "vector_score", "keyword_score"):
             assert (sub[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_bm25_packed_matches_distributed(spark, corpus):
+    """The driver-local packed BM25 searcher must reproduce
+    BM25Index.search / search_batch exactly (values and tie order)."""
+    from fastpyvectordb_spark.operators.bm25 import BM25Index
+
+    idx = BM25Index.build(corpus)
+    packed = idx.pack()
+    queries = [
+        "data pipeline quality",
+        "vector index search",
+        "graph traversal nodes",
+        "zzz_no_such_term",
+    ]
+    for q in queries:
+        want = [(r["doc_id"], r["score"]) for r in idx.search(q, k=10).collect()]
+        got = packed.search(q, k=10)
+        assert got == want, q
+    bt = packed.search_batch(queries, k=10)
+    wt = idx.search_batch(queries, k=10).toPandas()
+    assert bt["query_id"].tolist() == wt["query_id"].tolist()
+    assert bt["doc_id"].tolist() == wt["doc_id"].tolist()
+    assert (bt["score"].to_numpy() == wt["score"].to_numpy()).all()
+
+
+def test_hybrid_local_matches_distributed(spark, corpus):
+    """Packed-local hybrid fusion == the oracle-gated distributed plan."""
+    from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_pack
+    from fastpyvectordb_spark.operators.bm25 import BM25Index
+    from fastpyvectordb_spark.operators.fusion import (
+        hybrid_search,
+        hybrid_search_local,
+    )
+
+    emb = corpus.select(F.col("doc_id").alias("vec_id"), "embedding")
+    vec_packed = ivf_pack(ivf_build(emb, n_lists=4, max_iter=2))
+    idx = BM25Index.build(corpus)
+    kw_packed = idx.pack()
+    qvec = corpus.filter(F.col("doc_id") == 0).head()["embedding"]
+    for qtext, alpha in [
+        ("data pipeline quality", 0.5),
+        ("vector index search", 0.8),
+        (None, 0.5),
+    ]:
+        want = [
+            tuple(r)
+            for r in hybrid_search(
+                corpus, qvec, qtext, k=10, alpha=alpha, bm25_index=idx
+            ).collect()
+        ]
+        got = hybrid_search_local(
+            vec_packed, kw_packed, qvec, qtext, k=10, alpha=alpha
+        )
+        assert [g[0] for g in got] == [w[0] for w in want], qtext
+        for g, w in zip(got, want):
+            assert g[1:] == pytest.approx(w[1:], abs=2e-6), (qtext, g, w)
