@@ -127,11 +127,23 @@ class BM25Index:
     """
 
     def __init__(self, postings: DataFrame, doc_lengths: DataFrame,
-                 n_docs: int, avgdl: float):
+                 n_docs: int, avgdl: float,
+                 term_stats: DataFrame | None = None):
         self.postings = postings
         self.doc_lengths = doc_lengths
         self.n_docs = n_docs
         self.avgdl = avgdl
+        # (term, df) — document frequency is query-independent, so it
+        # is computed ONCE here instead of re-aggregated per query (the
+        # reference's index stores it the same way,
+        # hybrid_search.py:60-69). At scale: a persisted derived table.
+        self.term_stats = (
+            term_stats
+            if term_stats is not None
+            else postings.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .localCheckpoint()
+        )
 
     @classmethod
     def build(cls, docs: DataFrame, id_col: str = "doc_id",
@@ -148,16 +160,24 @@ class BM25Index:
     def save(self, path: str) -> None:
         self.postings.write.mode("overwrite").parquet(f"{path}/postings")
         self.doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")
+        self.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
 
     @classmethod
     def load(cls, spark, path: str) -> "BM25Index":
+        import os
+
         postings = spark.read.parquet(f"{path}/postings")
         doc_lengths = spark.read.parquet(f"{path}/doc_lengths")
         stats = doc_lengths.agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
         ).head()
+        term_stats = (
+            spark.read.parquet(f"{path}/term_stats")
+            if os.path.isdir(f"{path}/term_stats")
+            else None
+        )
         return cls(postings, doc_lengths, int(stats["n"]),
-                   float(stats["avgdl"] or 0.0))
+                   float(stats["avgdl"] or 0.0), term_stats=term_stats)
 
     def pack(self) -> "BM25Packed":
         """Driver-local packed form (cached) — see :class:`BM25Packed`."""
@@ -171,11 +191,8 @@ class BM25Index:
             F.explode(tokenize(F.lit(query))).alias("term")
         )
         qterms = qtoks.groupBy("term").agg(F.count("*").alias("qtf"))
-        df_per_term = (
-            self.postings.join(F.broadcast(qterms), "term")
-            .groupBy("term", "qtf")
-            .agg(F.count("*").alias("df"))
-        )
+        # df comes from the prebuilt (term, df) table — no per-query agg
+        df_per_term = self.term_stats.join(F.broadcast(qterms), "term")
         scored = (
             self.postings.join(F.broadcast(df_per_term), "term")
             .join(self.doc_lengths, "doc_id")
@@ -240,16 +257,12 @@ class BM25Index:
             .groupBy("query_id", "term")
             .agg(F.count("*").alias("qtf"))
         )
-        # df per term, computed once across the union of query terms
-        df_per_term = (
-            self.postings.join(
-                F.broadcast(qterms.select("term").distinct()), "term"
-            )
-            .groupBy("term")
-            .agg(F.count("*").alias("df"))
+        # df comes from the prebuilt (term, df) table; both sides are
+        # bounded by the number of distinct query terms — broadcast so
+        # the plan never sort-merges on a tiny dimension
+        df_per_term = self.term_stats.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
         )
-        # both sides are bounded by the number of distinct query terms —
-        # broadcast so the plan never sort-merges on a tiny dimension
         qjoin = qterms.join(F.broadcast(df_per_term), "term")
         scored = (
             self.postings.join(F.broadcast(qjoin), "term")
