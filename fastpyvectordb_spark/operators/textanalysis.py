@@ -46,13 +46,12 @@ def lang_id_expr(text: Column) -> Column:
     return F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
 
 
-def quality_metrics(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Per-doc quality signals: n_chars, n_tokens, mean token length,
-    punctuation ratio, stopword ratio, digit ratio, and a composite
-    quality score in [0,1]."""
-    t = F.col(text_col)
+def quality_exprs(t: Column) -> dict[str, Column]:
+    """The quality signals as named column expressions — all row-local,
+    so callers can fuse them with other per-row stages (lang-id,
+    fingerprint) into a single projection/scan instead of joining
+    per-stage DataFrames back together (one pass over 100 TB, not
+    three plus two shuffles)."""
     tokens = tokenize(t)
     n_chars = F.length(t)
     n_tokens = F.size(tokens)
@@ -78,15 +77,27 @@ def quality_metrics(
         F.lit(1.0), (punct_ratio + digit_ratio) * F.lit(2.0)
     )
     score = F.round(length_ok * 0.5 + noise_ok * 0.3 + stop_ratio * 0.2, 6)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_tok_len": F.round(mean_tok_len, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "digit_ratio": F.round(digit_ratio, 6),
+        "quality_score": score,
+    }
+
+
+def quality_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality signals: n_chars, n_tokens, mean token length,
+    punctuation ratio, stopword ratio, digit ratio, and a composite
+    quality score in [0,1]."""
+    exprs = quality_exprs(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(mean_tok_len, 6).alias("mean_tok_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
-        score.alias("quality_score"),
+        *[c.alias(name) for name, c in exprs.items()],
     )
 
 
@@ -114,12 +125,18 @@ def extract_text(docs: DataFrame, fields: list[str], out_col: str = "text") -> D
     return docs.withColumn(out_col, F.concat_ws(" ", *[F.col(f) for f in fields]))
 
 
+def fingerprint_expr(text: Column) -> Column:
+    """md5 over lowercased, whitespace-collapsed text — the
+    exact-dedup/content-address key, as a fusable expression."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")))
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Normalized content fingerprint: md5 over lowercased,
     whitespace-collapsed text — the exact-dedup/content-address key."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint")
+        F.col(id_col).alias("doc_id"),
+        fingerprint_expr(F.col(text_col)).alias("fingerprint"),
     )

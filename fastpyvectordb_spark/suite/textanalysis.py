@@ -226,16 +226,18 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    q = T.quality_metrics(docs).select("doc_id", "n_tokens", "quality_score")
-    lang = docs.select(
-        "doc_id", T.lang_id_expr(F.col("text")).alias("lang_pred")
-    )
-    fp = T.fingerprint(docs)
-    kept = (
-        q.join(lang, "doc_id")
-        .join(fp, "doc_id")
-        .filter(F.col("quality_score") >= _PIPE_THR)
-    )
+    # every stage is a row-local expression, so the whole
+    # quality→lang→fingerprint front of the pipeline fuses into ONE
+    # projection over one scan (no per-stage joins: at 100 TB, three
+    # scans plus two doc_id shuffles vs one codegen pass)
+    exprs = T.quality_exprs(F.col("text"))
+    kept = docs.select(
+        "doc_id",
+        exprs["n_tokens"].alias("n_tokens"),
+        exprs["quality_score"].alias("quality_score"),
+        T.lang_id_expr(F.col("text")).alias("lang_pred"),
+        T.fingerprint_expr(F.col("text")).alias("fingerprint"),
+    ).filter(F.col("quality_score") >= _PIPE_THR)
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     dedup = (
         kept.withColumn("rn", F.row_number().over(w))
