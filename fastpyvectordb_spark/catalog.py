@@ -330,6 +330,139 @@ class Collection:
         """D9."""
         return self.df().limit(limit)
 
+    # -- ChromaDB-shaped API (ref fastpyvectordb/client.py:146-274) ---
+
+    def add(
+        self,
+        ids: Sequence[str],
+        documents: Sequence[str] | None = None,
+        embeddings: Sequence[Sequence[float]] | None = None,
+        metadatas: Sequence[dict] | None = None,
+    ) -> list[str]:
+        """ChromaDB-style ingestion (ref client.py:146-159): embeds
+        ``documents`` with the deterministic mock embedder when explicit
+        ``embeddings`` are absent, and stashes the document text in a
+        ``_document`` column (the reference keeps it in metadata under
+        the same key)."""
+        if embeddings is None:
+            if documents is None:
+                raise ValueError("add() needs documents or embeddings")
+            import pandas as pd
+
+            from fastpyvectordb_spark.embeddings import mock_embed_batch
+
+            embeddings = [
+                [float(x) for x in v]
+                for v in mock_embed_batch(
+                    pd.Series(list(documents)), self.config.dimensions
+                )
+            ]
+        rows = []
+        meta_keys: list[str] = []
+        for m in metadatas or []:
+            for k in m:
+                if k not in meta_keys:
+                    meta_keys.append(k)
+        for i, id_ in enumerate(ids):
+            row = {"id": str(id_), "embedding": list(embeddings[i])}
+            if documents is not None:
+                row["_document"] = documents[i]
+            meta = (metadatas or [{}] * len(ids))[i] if metadatas else {}
+            for k in meta_keys:
+                row[k] = meta.get(k)
+            rows.append(row)
+        batch = self.spark.createDataFrame(rows).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        self.insert_batch(batch)
+        return [str(i) for i in ids]
+
+    def query(
+        self,
+        query_texts: Sequence[str] | None = None,
+        query_embeddings: Sequence[Sequence[float]] | None = None,
+        n_results: int = 10,
+        where: Filter | dict | None = None,
+        include: Sequence[str] = ("metadatas", "documents", "distances"),
+    ) -> dict:
+        """The reference's flagship query path (client.py:212-274,
+        SURVEY §3.1) — embed → filter → kNN → assemble lists-of-lists —
+        as ONE Spark job for the whole query batch (broadcast queries +
+        per-query window top-k), with pre-filter semantics (SURVEY §4:
+        WHERE before top-k, strictly better recall than the reference's
+        ×10 over-fetch post-filter). Returns the ChromaDB-shaped dict
+        ``{ids, distances, metadatas, documents, embeddings}``;
+        excluded sections are None. ``_``-prefixed metadata keys are
+        stripped (F9) and ``_document`` feeds ``documents``."""
+        from fastpyvectordb_spark.operators.knn import knn_join
+
+        if query_embeddings is None:
+            if not query_texts:
+                raise ValueError("query() needs query_texts or query_embeddings")
+            import pandas as pd
+
+            from fastpyvectordb_spark.embeddings import mock_embed_batch
+
+            query_embeddings = [
+                [float(x) for x in v]
+                for v in mock_embed_batch(
+                    pd.Series(list(query_texts)), self.config.dimensions
+                )
+            ]
+        n_q = len(query_embeddings)
+        cur = self.df()
+        if where is not None:
+            f = from_dict(where) if isinstance(where, dict) else where
+            cur = cur.filter(F.coalesce(f.col(), F.lit(False)))
+        qdf = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(query_embeddings)],
+            "query_id long, query_vec array<float>",
+        )
+        hits = knn_join(
+            cur, qdf, k=n_results, metric=self.config.metric,
+            id_col="id", vec_col="embedding",
+        )
+        want_vec = "embeddings" in include
+        want_meta = "metadatas" in include
+        want_docs = "documents" in include
+        side_cols = [c for c in cur.columns if c not in ("id", "embedding")]
+        side = cur.select(
+            "id", *side_cols, *(["embedding"] if want_vec else [])
+        )
+        rows = (
+            hits.join(side, "id")
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        ids = [[] for _ in range(n_q)]
+        dists = [[] for _ in range(n_q)]
+        metas = [[] for _ in range(n_q)]
+        docs = [[] for _ in range(n_q)]
+        vecs = [[] for _ in range(n_q)]
+        for r in rows:
+            q = r["query_id"]
+            ids[q].append(r["id"])
+            dists[q].append(r["dist"])
+            if want_meta:
+                metas[q].append(
+                    {
+                        k: r[k]
+                        for k in side_cols
+                        if not k.startswith("_") and r[k] is not None
+                    }
+                )
+            if want_docs:
+                docs[q].append(r["_document"] if "_document" in side_cols else None)
+            if want_vec:
+                vecs[q].append(list(r["embedding"]))
+        return {
+            "ids": ids,
+            "distances": dists if "distances" in include else None,
+            "metadatas": metas if want_meta else None,
+            "documents": docs if want_docs else None,
+            "embeddings": vecs if want_vec else None,
+        }
+
     # -- queries ------------------------------------------------------
 
     def search(

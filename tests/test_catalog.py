@@ -187,3 +187,49 @@ def test_optimize_compacts_small_files(spark, tmp_path):
     c.optimize(target_partitions=2)
     v2 = c.history()[-1]["version"]
     assert len(glob.glob(str(tmp_path / "opt" / v2 / "*.parquet"))) <= 2
+
+
+def test_chroma_add_query_roundtrip(spark, tmp_path):
+    """ChromaDB-shaped add()/query() (ref client.py:146-274): auto-embed
+    with the deterministic mock embedder, batch query as one job,
+    include-control, _-prefixed key stripping, pre-filter semantics."""
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(spark, str(tmp_path / "chroma"), CollectionConfig(dimensions=16))
+    c.add(
+        ids=["a", "b", "c"],
+        documents=["hello world", "goodbye world", "spark engine"],
+        metadatas=[
+            {"topic": "greet", "lang": "en"},
+            {"topic": "greet"},
+            {"topic": "tech"},
+        ],
+    )
+    out = c.query(query_texts=["hello world"], n_results=2)
+    # deterministic mock embedder: the identical text is its own nearest
+    # neighbor at distance ~0
+    assert out["ids"][0][0] == "a"
+    assert out["distances"][0][0] == pytest.approx(0.0, abs=1e-5)
+    assert out["documents"][0][0] == "hello world"
+    assert out["metadatas"][0][0] == {"topic": "greet", "lang": "en"}
+    # _document never leaks into metadatas; missing fields dropped
+    assert all("_document" not in m for row in out["metadatas"] for m in row)
+    assert out["embeddings"] is None  # not in default include
+
+    # where pre-filter + include control + multi-query batching
+    out2 = c.query(
+        query_texts=["hello world", "spark engine"],
+        n_results=3,
+        where={"topic": "greet"},
+        include=("embeddings", "distances"),
+    )
+    assert len(out2["ids"]) == 2
+    assert set(out2["ids"][0]) == {"a", "b"}  # c filtered out pre-topk
+    assert out2["metadatas"] is None and out2["documents"] is None
+    assert len(out2["embeddings"][0][0]) == 16
+
+    # explicit embeddings path
+    out3 = c.query(
+        query_embeddings=[[0.0] * 16], n_results=1, include=("distances",)
+    )
+    assert len(out3["ids"][0]) == 1
