@@ -98,6 +98,55 @@ def sq_l2_distance_expr(
     )
 
 
+def sq_decode_expr(
+    codes: Column, vmins: Sequence[float], scales: Sequence[float]
+) -> Column:
+    """Reconstruct ARRAY<DOUBLE>: code*scale/255 + min (ref
+    ``quantization.py:127-139`` linear decode)."""
+    scaled = F.zip_with(
+        codes,
+        _lit_double_array(scales),
+        lambda c, s: c.cast("double") * s / F.lit(255.0),
+    )
+    return F.zip_with(scaled, _lit_double_array(vmins), lambda x, m: x + m)
+
+
+def _dot_seq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def sq_cosine_distance_expr(
+    codes_a: Column,
+    codes_b: Column,
+    vmins: Sequence[float],
+    scales: Sequence[float],
+) -> Column:
+    """Cosine distance over reconstructed vectors (ref Q3 "cos via
+    decode+normalize", ``quantization.py:217-251``): 1 - dot/((|a|+eps)
+    (|b|+eps)) with the reference's 1e-10 norm epsilon."""
+    da = sq_decode_expr(codes_a, vmins, scales)
+    db = sq_decode_expr(codes_b, vmins, scales)
+    eps = F.lit(1e-10)
+    return F.lit(1.0) - _dot_seq(da, db) / (
+        (F.sqrt(_dot_seq(da, da)) + eps) * (F.sqrt(_dot_seq(db, db)) + eps)
+    )
+
+
+def sq_ip_distance_expr(
+    codes_a: Column,
+    codes_b: Column,
+    vmins: Sequence[float],
+    scales: Sequence[float],
+) -> Column:
+    """Inner-product distance (−dot) over reconstructed vectors (ref Q3
+    "dot via reconstruct")."""
+    da = sq_decode_expr(codes_a, vmins, scales)
+    db = sq_decode_expr(codes_b, vmins, scales)
+    return -_dot_seq(da, db)
+
+
 # ---------------------------------------------------------------------------
 # Binary quantization (BQ)
 # ---------------------------------------------------------------------------

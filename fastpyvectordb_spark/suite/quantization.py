@@ -111,6 +111,111 @@ def sq_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ_PARAMS_CTE = """
+stats AS (
+  SELECT i AS dim, MIN(CAST(v AS DOUBLE)) AS vmin, MAX(CAST(v AS DOUBLE)) AS vmax
+  FROM (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+        FROM embeddings)
+  GROUP BY i
+),
+params AS (
+  SELECT list(vmin ORDER BY dim) AS mins,
+         list(CASE WHEN vmax - vmin = 0 THEN 1.0 ELSE vmax - vmin END ORDER BY dim) AS scales
+  FROM stats
+),
+encoded AS (
+  SELECT e.vec_id,
+         list_transform(
+           list_zip(e.embedding, p.mins, p.scales),
+           t -> CAST(floor(least(greatest((CAST(t[1] AS DOUBLE) - t[2]) / t[3] * 255.0, 0.0), 255.0)) AS INT)
+         ) AS codes
+  FROM embeddings e CROSS JOIN params p
+),
+decoded AS (
+  SELECT en.vec_id,
+         list_transform(list_zip(en.codes, p.mins, p.scales),
+                        t -> CAST(t[1] AS DOUBLE) * t[3] / 255.0 + t[2]) AS d
+  FROM encoded en CROSS JOIN params p
+),
+q AS (SELECT d AS qd FROM decoded WHERE vec_id = 0)"""
+
+_SQ_COS_ORACLE = f"""
+WITH {_SQ_PARAMS_CTE.lstrip()}
+SELECT e.vec_id AS vec_id,
+       ROUND(1.0 - list_sum(list_transform(list_zip(e.d, q.qd), t -> t[1] * t[2]))
+             / ((sqrt(list_sum(list_transform(e.d, x -> x * x))) + 1e-10)
+              * (sqrt(list_sum(list_transform(q.qd, x -> x * x))) + 1e-10)), 6) AS dist
+FROM decoded e CROSS JOIN q
+ORDER BY dist, vec_id
+LIMIT {K}
+"""
+
+
+@register("sq_knn_cosine", _SQ_COS_ORACLE)
+def sq_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 cosine variant: decode+normalize over reconstructed vectors
+    (ref quantization.py:217-251)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = Q.sq_train(emb).collect()
+    mins = [r["vmin"] for r in stats]
+    scales = [r["scale"] for r in stats]
+    codes = emb.select(
+        "vec_id", Q.sq_encode_expr(F.col("embedding"), mins, scales).alias("codes")
+    )
+    q = codes.filter(F.col("vec_id") == 0).select(F.col("codes").alias("qcodes"))
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                Q.sq_cosine_distance_expr(
+                    F.col("codes"), F.col("qcodes"), mins, scales
+                ),
+                6,
+            ).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(K)
+    )
+
+
+_SQ_IP_ORACLE = f"""
+WITH {_SQ_PARAMS_CTE.lstrip()}
+SELECT e.vec_id AS vec_id,
+       ROUND(-list_sum(list_transform(list_zip(e.d, q.qd), t -> t[1] * t[2])), 6) AS dist
+FROM decoded e CROSS JOIN q
+ORDER BY dist, vec_id
+LIMIT {K}
+"""
+
+
+@register("sq_knn_ip", _SQ_IP_ORACLE)
+def sq_knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 dot variant: −dot over reconstructed vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = Q.sq_train(emb).collect()
+    mins = [r["vmin"] for r in stats]
+    scales = [r["scale"] for r in stats]
+    codes = emb.select(
+        "vec_id", Q.sq_encode_expr(F.col("embedding"), mins, scales).alias("codes")
+    )
+    q = codes.filter(F.col("vec_id") == 0).select(F.col("codes").alias("qcodes"))
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                Q.sq_ip_distance_expr(
+                    F.col("codes"), F.col("qcodes"), mins, scales
+                ),
+                6,
+            ).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(K)
+    )
+
+
 _BQ_ORACLE = f"""
 WITH thresholds AS (
   SELECT i AS dim, quantile_cont(CAST(v AS DOUBLE), 0.5) AS threshold

@@ -194,3 +194,36 @@ def test_bq_local_matches_spark_hamming(embeddings):
         sub = want[want["query_id"] == qid]
         assert sub["vec_id"].tolist() == list(i[qi]), f"query {qid}"
         assert sub["h"].tolist() == list(d[qi]), f"query {qid}"
+
+
+def test_sq_cosine_recall(embeddings):
+    """Q3 cosine variant (decode+normalize): recall@10 vs exact cosine."""
+    stats = Q.sq_train(embeddings).collect()
+    mins = [r["vmin"] for r in stats]
+    scales = [r["scale"] for r in stats]
+    codes = embeddings.select(
+        "vec_id", Q.sq_encode_expr(F.col("embedding"), mins, scales).alias("codes")
+    ).cache()
+    recalls = []
+    for qid in range(5):
+        q = embeddings.filter(F.col("vec_id") == qid).head()["embedding"]
+        qc = codes.filter(F.col("vec_id") == qid).select(
+            F.col("codes").alias("qcodes")
+        )
+        approx = [
+            r["vec_id"]
+            for r in codes.crossJoin(F.broadcast(qc))
+            .select(
+                "vec_id",
+                Q.sq_cosine_distance_expr(
+                    F.col("codes"), F.col("qcodes"), mins, scales
+                ).alias("d"),
+            )
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        ]
+        exact = _exact_top(embeddings, q, 10, "cosine")
+        recalls.append(len(set(approx) & set(exact)) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.90, f"SQ cosine mean recall@10 {mean} ({recalls})"
