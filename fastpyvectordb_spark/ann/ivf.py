@@ -326,13 +326,25 @@ def exact_search_packed(
     if metric == "cosine":
         d /= packed.norms
         d = 1.0 - d
+        kk = min(k, d.shape[0])
+        p = np.argpartition(d, kk - 1)[:kk]
     elif metric == "l2":
         d = packed.sqnorms - 2.0 * d + np.float32(q @ q)
         d = np.sqrt(np.maximum(d, 0.0))
+        # the fp32 dot-expansion loses ~1e-3 absolute near zero
+        # (catastrophic cancellation); over-select, then recompute the
+        # candidates' distances exactly in float64 before the final cut
+        cand = min(max(4 * k, 64), d.shape[0])
+        p = np.argpartition(d, cand - 1)[:cand]
+        diff = packed.vmat[p].astype(np.float64) - q.astype(np.float64)
+        d = d.astype(np.float64)
+        d[p] = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+        kk = min(k, cand)
+        p = p[np.argpartition(d[p], kk - 1)[:kk]]
     else:  # ip
         d = -d
-    kk = min(k, d.shape[0])
-    p = np.argpartition(d, kk - 1)[:kk]
+        kk = min(k, d.shape[0])
+        p = np.argpartition(d, kk - 1)[:kk]
     order = np.lexsort((packed.ids[p], d[p]))
     sel = p[order]
     return [(int(i), float(v)) for i, v in zip(packed.ids[sel], d[sel])]
