@@ -27,6 +27,7 @@ K = 10
 
 
 def main() -> None:
+    import numpy as np
     from pyspark.sql import functions as F
 
     from fastpyvectordb_spark.session import get_spark
@@ -238,7 +239,7 @@ def main() -> None:
     bq_ids, bq_codes = Qz.bq_pack_matrix(big, bq_thresholds)
     extras["bq_encode_sec"] = round(time.perf_counter() - t0, 3)
     bq_qcodes = bq_codes[:: len(bq_ids) // n_queries][:n_queries]
-    Qz.bq_hamming_search_local(bq_ids, bq_codes, bq_qcodes[:32], k=K)  # warm
+    Qz.bq_hamming_search_local(bq_ids, bq_codes, bq_qcodes, k=K)  # warm
 
     @bench("q_bq_hamming_local_100k")
     def _():
@@ -247,6 +248,82 @@ def main() -> None:
 
     extras["bq_local_qps"] = round(
         n_queries / timings["q_bq_hamming_local_100k"], 1
+    )
+
+    # scalar-quantized scan (reference "6 ms/query, 12 MB"): uint8
+    # codes encoded by the JVM expression pipeline, packed driver-side
+    # (100K×64 = 6.4 MB), GEMM batch scan + float64 candidate rerank
+    t0 = time.perf_counter()
+    sq_stats = Qz.sq_train(big).collect()
+    sq_mins = [r["vmin"] for r in sq_stats]
+    sq_scales = [r["scale"] for r in sq_stats]
+    sq_ids, sq_codes = Qz.sq_pack_matrix(big, sq_mins, sq_scales)
+    extras["sq_encode_sec"] = round(time.perf_counter() - t0, 3)
+    sq_qcodes = Qz.sq_encode_queries(
+        [list(v) for v in qpdf_big["query_vec"]], sq_mins, sq_scales
+    )
+    # full-size warm pass: fresh (chunk, N) buffers page-fault on
+    # first touch (~0.4 ms/page on lazy-memory VMs) — warm ALL threads
+    Qz.sq_search_local(sq_ids, sq_codes, sq_mins, sq_scales, sq_qcodes, k=K)
+
+    @bench("q_sq_scan_local_100k")
+    def _():
+        d, i = Qz.sq_search_local(
+            sq_ids, sq_codes, sq_mins, sq_scales, sq_qcodes, k=K, metric="l2"
+        )
+        assert i.shape == (n_queries, K)
+
+    extras["sq_local_qps"] = round(
+        n_queries / timings["q_sq_scan_local_100k"], 1
+    )
+
+    # PQ ADC scan (reference PQ LUT search): codes from a Spark encode
+    # job against fixed codebooks (subvector slices of the first 16
+    # vectors — the pq_adc_knn suite fixture), packed to (100K×8) uint8
+    t0 = time.perf_counter()
+    pq_m = 8
+    pq_cb = Qz.pq_subvectors(
+        big.filter(F.col("vec_id") < 16), pq_m, 64
+    ).select(
+        "m",
+        F.col("vec_id").cast("int").alias("cidx"),
+        F.col("subvec").cast("array<double>").alias("cvec"),
+    )
+    pq_codes_df = Qz.pq_encode(big, pq_cb, pq_m, 64)
+    pq_ids, pq_cmat, pq_cents = Qz.pq_pack(pq_codes_df, pq_cb, pq_m)
+    extras["pq_encode_sec"] = round(time.perf_counter() - t0, 3)
+    pq_queries = np.array([list(v) for v in qpdf_big["query_vec"]])
+    Qz.pq_adc_search_local(pq_ids, pq_cmat, pq_cents, pq_queries, k=K)  # warm
+
+    @bench("q_pq_adc_local_100k")
+    def _():
+        d, i = Qz.pq_adc_search_local(
+            pq_ids, pq_cmat, pq_cents, pq_queries, k=K
+        )
+        assert i.shape == (n_queries, K)
+
+    extras["pq_local_qps"] = round(
+        n_queries / timings["q_pq_adc_local_100k"], 1
+    )
+
+    # IVF-PQ (the billion-scale index shape): coarse lists + PQ
+    # residual codes, ADC scan of probed lists, exact refine join
+    from fastpyvectordb_spark.ann.ivfpq import ivfpq_build, ivfpq_search_batch
+
+    t0 = time.perf_counter()
+    ivfpq = ivfpq_build(
+        big, n_lists=64, m_subspaces=8, n_centroids=64, max_iter=5
+    )
+    ivfpq.codes = ivfpq.codes.localCheckpoint()
+    extras["ivfpq_build_sec"] = round(time.perf_counter() - t0, 3)
+
+    @bench("q_knn_ivfpq_batch_100k")
+    def _():
+        n = ivfpq_search_batch(ivfpq, qpdf_big, k=K, nprobe=8).count()
+        assert n == n_queries * K
+
+    extras["ivfpq_batch_qps"] = round(
+        n_queries / timings["q_knn_ivfpq_batch_100k"], 1
     )
 
     # recall@k of the IVF batch path vs exact, on a query sample —

@@ -114,7 +114,9 @@ def knn_join(
     )
 
 
-def _gemm_topk_chunked(qn, vmat, ids, k, metric, chunk_floats=8_000_000):
+def _gemm_topk_chunked(
+    qn, vmat, ids, k, metric, chunk_floats=8_000_000, n_threads=1
+):
     """Q-major chunked GEMM top-k: returns (dist (Q,k) f32, idx (Q,k) i64).
 
     The distance matrix is never materialized whole — work proceeds in
@@ -124,6 +126,13 @@ def _gemm_topk_chunked(qn, vmat, ids, k, metric, chunk_floats=8_000_000):
     first-touch page faults on fresh large allocations are expensive
     (VMs with lazy host memory). Q-major layout keeps the per-chunk
     ``argpartition`` row-contiguous.
+
+    ``n_threads > 1`` fans *query blocks* across a thread pool (GEMM
+    and argpartition release the GIL). This container's OpenBLAS is
+    built with MAX_THREADS=2, so BLAS cannot parallelize a single GEMM
+    itself — query-block threading restores the multi-core speedup
+    driver-side. Executor-side callers must keep the default 1: Spark
+    already runs one task per core.
     """
     import numpy as np
 
@@ -131,35 +140,56 @@ def _gemm_topk_chunked(qn, vmat, ids, k, metric, chunk_floats=8_000_000):
     nq = qn.shape[0]
     n = vmat.shape[0]
     kk = min(k, n)
-    ch = max(kk, chunk_floats // max(nq, 1))
-    rows = np.arange(nq)[:, None]
     best_d = np.full((nq, kk), np.inf, dtype=np.float32)
     best_i = np.full((nq, kk), -1, dtype=np.int64)
-    if metric == "l2":
-        q_sq = np.einsum("ij,ij->i", qn, qn)[:, None]
-    for s in range(0, n, ch):
-        e = min(s + ch, n)
-        vc = np.ascontiguousarray(vmat[s:e], dtype=np.float32)
-        d = qn @ vc.T  # (Q, ch)
-        if metric == "cosine":
-            vn = np.linalg.norm(vc, axis=1) + eps
-            d /= vn[None, :]
-            np.subtract(1.0, d, out=d)
-        elif metric == "l2":
-            v_sq = np.einsum("ij,ij->i", vc, vc)[None, :]
-            d *= -2.0
-            d += v_sq
-            d += q_sq
-            np.sqrt(np.maximum(d, 0.0, out=d), out=d)
-        else:  # ip
-            np.negative(d, out=d)
-        kc = min(kk, e - s)
-        p = np.argpartition(d, kc - 1, axis=1)[:, :kc]
-        cand_d = np.concatenate([best_d, d[rows, p]], axis=1)
-        cand_i = np.concatenate([best_i, ids[s:e][p]], axis=1)
-        sel = np.argpartition(cand_d, kk - 1, axis=1)[:, :kk]
-        best_d = cand_d[rows, sel]
-        best_i = cand_i[rows, sel]
+
+    def run_queries(qlo: int, qhi: int) -> None:
+        qb = qn[qlo:qhi]
+        nqb = qhi - qlo
+        ch = max(kk, chunk_floats // max(nqb, 1))
+        rows = np.arange(nqb)[:, None]
+        bd = best_d[qlo:qhi]
+        bi = best_i[qlo:qhi]
+        if metric == "l2":
+            q_sq = np.einsum("ij,ij->i", qb, qb)[:, None]
+        for s in range(0, n, ch):
+            e = min(s + ch, n)
+            vc = np.ascontiguousarray(vmat[s:e], dtype=np.float32)
+            d = qb @ vc.T  # (Qb, ch)
+            if metric == "cosine":
+                vn = np.linalg.norm(vc, axis=1) + eps
+                d /= vn[None, :]
+                np.subtract(1.0, d, out=d)
+            elif metric == "l2":
+                v_sq = np.einsum("ij,ij->i", vc, vc)[None, :]
+                d *= -2.0
+                d += v_sq
+                d += q_sq
+                np.sqrt(np.maximum(d, 0.0, out=d), out=d)
+            else:  # ip
+                np.negative(d, out=d)
+            kc = min(kk, e - s)
+            p = np.argpartition(d, kc - 1, axis=1)[:, :kc]
+            cand_d = np.concatenate([bd, d[rows, p]], axis=1)
+            cand_i = np.concatenate([bi, ids[s:e][p]], axis=1)
+            sel = np.argpartition(cand_d, kk - 1, axis=1)[:, :kk]
+            bd[:] = cand_d[rows, sel]
+            bi[:] = cand_i[rows, sel]
+
+    n_threads = max(1, min(n_threads, nq))
+    if n_threads == 1:
+        run_queries(0, nq)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        span = -(-nq // n_threads)
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            futs = [
+                pool.submit(run_queries, lo, min(lo + span, nq))
+                for lo in range(0, nq, span)
+            ]
+            for f in futs:
+                f.result()
     return best_d, best_i
 
 
@@ -298,7 +328,12 @@ def knn_batch_auto(
         qn = qmat
     kk = min(k, len(ids))
     nq = len(qids)
-    d_sel, i_sel = _gemm_topk_chunked(qn, vmat, ids, kk, metric)  # (Q, kk)
+    import os
+
+    nt = max(1, min(16, (os.cpu_count() or 2) // 2, nq // 32))
+    d_sel, i_sel = _gemm_topk_chunked(
+        qn, vmat, ids, kk, metric, n_threads=nt
+    )  # (Q, kk)
     # per-query (dist, id) sort, vectorized across all queries at once
     order = np.lexsort((i_sel, d_sel), axis=1)  # (Q, kk)
     d_sorted = np.take_along_axis(d_sel, order, axis=1)

@@ -415,7 +415,7 @@ def bq_hamming_search_local(
     qcodes,
     k: int = 10,
     chunk: int = 32,
-    n_threads: int = 4,  # XOR+popcount saturates memory bandwidth ~4 threads
+    n_threads: int = 8,  # XOR+popcount saturates memory bandwidth ~8 threads
 ):
     """Batched hamming top-k over packed uint64 codes: per query-chunk
     XOR + SWAR popcount (pure vectorized arithmetic, zero allocations
@@ -474,6 +474,261 @@ def bq_hamming_search_local(
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
             futs = [
                 pool.submit(run_range, lo, min(lo + span, nq))
+                for lo in range(0, nq, span)
+            ]
+            for f in futs:
+                f.result()
+    return out_d, out_i
+
+
+# ---------------------------------------------------------------------------
+# Packed driver-local SQ scan (the reference's in-memory scalar-
+# quantized regime, quantization.py:145-181: uint8 codes, 4x memory
+# win, distances on codes). Codes are ENCODED BY A SPARK JOB
+# (sq_encode_expr) and collected once via Arrow; the distributed
+# sq_*_distance_expr plans are the scale path.
+# ---------------------------------------------------------------------------
+
+def sq_pack_matrix(
+    df: DataFrame,
+    vmins: Sequence[float],
+    scales: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Encode via the JVM expression pipeline, collect once via Arrow →
+    (ids (N,) int64, codes (N, D) uint8)."""
+    import numpy as np
+
+    codes_df = df.select(
+        id_col,
+        sq_encode_expr(F.col(vec_col), vmins, scales).alias("codes"),
+    )
+    tbl = codes_df.toArrow()
+    ids = tbl[id_col].to_numpy()
+    flat = tbl["codes"].combine_chunks()
+    codes = np.asarray(flat.flatten(), dtype=np.int64).reshape(len(ids), -1)
+    return ids, np.ascontiguousarray(codes.astype(np.uint8))
+
+
+def sq_encode_queries(queries, vmins, scales):
+    """Encode raw float queries with the same per-dim (min, scale):
+    floor(clip((v-min)/scale*255, 0, 255)) — numpy twin of
+    sq_encode_expr. Returns (Q, D) uint8."""
+    import numpy as np
+
+    q = np.asarray(queries, dtype=np.float64)
+    mins = np.asarray(vmins, dtype=np.float64)
+    sc = np.asarray(scales, dtype=np.float64)
+    codes = np.floor(np.clip((q - mins) / sc * 255.0, 0.0, 255.0))
+    return codes.astype(np.uint8)
+
+
+def sq_search_local(
+    ids,
+    codes,
+    vmins,
+    scales,
+    qcodes,
+    k: int = 10,
+    metric: str = "l2",
+    chunk: int = 128,
+):
+    """Batched SQ scan over uint8 codes — the reference's in-memory
+    scalar-quantized search (``quantization.py:145-181, 217-251``):
+    l2 on codes via the scaled-diff identity, cosine/ip on decoded
+    values. One transient scaled float32 matrix + GEMM per call
+    (storage stays uint8 — the 4x memory win is at rest); per-query
+    candidates are over-selected in float32, recomputed in float64,
+    ties broken by id — same ORDER BY dist, id contract as the
+    distributed sq_*_distance_expr plans. Returns (dist (Q, k)
+    float64, idx (Q, k) int64)."""
+    import numpy as np
+
+    n, dims = codes.shape
+    nq = qcodes.shape[0]
+    kk = min(k, n)
+    s255_64 = np.asarray(scales, dtype=np.float64) / 255.0
+    mins64 = np.asarray(vmins, dtype=np.float64)
+    s255 = s255_64.astype(np.float32)
+    mins32 = mins64.astype(np.float32)
+
+    # decoded-minus-min matrix; + mins == full decode (linear codec).
+    # float32 GEMM picks candidates; float64 decode-from-codes reranks.
+    smat = codes.astype(np.float32) * s255
+    if metric == "l2":
+        base = smat
+        qmat = qcodes.astype(np.float32) * s255
+        q64 = qcodes.astype(np.float64) * s255_64
+    else:
+        base = smat + mins32
+        qmat = qcodes.astype(np.float32) * s255 + mins32
+        q64 = qcodes.astype(np.float64) * s255_64 + mins64
+    sqn = np.einsum("ij,ij->i", base, base)  # float32 norms²
+    eps = 1e-10
+
+    def decode64(cidx):
+        dec = codes[cidx].astype(np.float64) * s255_64
+        if metric != "l2":
+            dec += mins64
+        return dec
+
+    out_d = np.empty((nq, kk), dtype=np.float64)
+    out_i = np.empty((nq, kk), dtype=np.int64)
+    cand = min(max(4 * kk, 64), n)
+
+    if metric == "cosine":
+        inv_norms = (1.0 / (np.sqrt(sqn) + eps)).astype(np.float32)
+
+    def run_queries(qlo: int, qhi: int) -> None:
+        for s in range(qlo, qhi, chunk):
+            e = min(s + chunk, qhi)
+            key = qmat[s:e] @ base.T  # (q, N) one GEMM, q-major
+            # selection key only needs per-query ORDER — terms constant
+            # within a row (q·q, ||q||) are dropped, the rest is in-place
+            if metric == "l2":
+                key *= -2.0
+                key += sqn[None, :]
+            elif metric == "cosine":
+                key *= inv_norms[None, :]
+                np.negative(key, out=key)
+            else:  # ip
+                np.negative(key, out=key)
+            p = np.argpartition(key, cand - 1, axis=1)[:, :cand]  # (q, cand)
+            for j in range(e - s):
+                cidx = p[j]
+                dec = decode64(cidx)
+                if metric == "l2":
+                    diff = dec - q64[s + j]
+                    d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+                elif metric == "cosine":
+                    qn64 = np.sqrt(q64[s + j] @ q64[s + j])
+                    norms64 = np.sqrt(np.einsum("ij,ij->i", dec, dec))
+                    d = 1.0 - (dec @ q64[s + j]) / (
+                        (norms64 + eps) * (qn64 + eps)
+                    )
+                else:
+                    d = -(dec @ q64[s + j])
+                order = np.lexsort((ids[cidx], d))[:kk]
+                out_d[s + j] = d[order]
+                out_i[s + j] = ids[cidx[order]]
+
+    import os
+
+    n_threads = max(1, min(16, (os.cpu_count() or 2) // 2, nq // chunk))
+    if n_threads <= 1:
+        run_queries(0, nq)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        span = -(-nq // n_threads)
+        span = -(-span // chunk) * chunk
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            futs = [
+                pool.submit(run_queries, lo, min(lo + span, nq))
+                for lo in range(0, nq, span)
+            ]
+            for f in futs:
+                f.result()
+    return out_d, out_i
+
+
+# ---------------------------------------------------------------------------
+# Packed driver-local PQ ADC scan (the reference's in-memory PQ search,
+# quantization.py:541-597: per-query LUT + code gather). Codes are
+# ENCODED BY A SPARK JOB (pq_encode) and collected once; the
+# distributed pq_adc_search broadcast-LUT join is the scale path.
+# ---------------------------------------------------------------------------
+
+def pq_pack(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    m_subspaces: int,
+    id_col: str = "vec_id",
+):
+    """Collect long-form (id, m, code) + (m, cidx, cvec) → (ids (N,)
+    int64, codes (N, M) uint8, cents (M, K, sub_dim) float64)."""
+    import numpy as np
+
+    pdf = codes.orderBy(id_col, "m").toPandas()
+    ids = pdf[id_col].to_numpy()[::m_subspaces].astype(np.int64)
+    cmat = (
+        pdf["code"].to_numpy().astype(np.uint8).reshape(len(ids), m_subspaces)
+    )
+    cb = codebooks.orderBy("m", "cidx").toPandas()
+    n_cent = cb["cidx"].max() + 1
+    cents = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in cb["cvec"]]
+    ).reshape(m_subspaces, n_cent, -1)
+    return ids, cmat, cents
+
+
+def pq_adc_search_local(
+    ids,
+    codes,
+    cents,
+    queries,
+    k: int = 10,
+    chunk: int = 64,
+    round_digits: int | None = 6,
+):
+    """Batched ADC: per-query LUT (M, K) of squared L2 to every
+    centroid, then dist = sqrt(Σ_m LUT[m, code_m]) via M fancy-gathers
+    (ref ``build_lookup_table/distances_with_table``). Ties by id,
+    optional ROUND 6 to match the distributed pq_adc_search contract.
+    Returns (dist (Q, k) float64, idx (Q, k) int64)."""
+    import numpy as np
+
+    q = np.asarray(queries, dtype=np.float64)
+    nq, dims = q.shape
+    n, m_subspaces = codes.shape
+    sub = dims // m_subspaces
+    kk = min(k, n)
+    codes_i = codes.astype(np.intp)
+    out_d = np.empty((nq, kk), dtype=np.float64)
+    out_i = np.empty((nq, kk), dtype=np.int64)
+    # the (q, N) gather-accumulate dominates — float32 halves its
+    # memory traffic; candidates are recomputed in float64 from the
+    # exact LUT before the final cut, so accuracy is unaffected
+    cand = min(max(4 * kk, 64), n)
+
+    def run_queries(qlo: int, qhi: int) -> None:
+        for s in range(qlo, qhi, chunk):
+            e = min(s + chunk, qhi)
+            qsubs = q[s:e].reshape(e - s, m_subspaces, sub)
+            # (q, M, K) squared L2 LUT — exact, float64
+            diff = qsubs[:, :, None, :] - cents[None, :, :, :]
+            lut = np.einsum("qmkd,qmkd->qmk", diff, diff)
+            lut32 = lut.astype(np.float32)
+            d2 = lut32[:, 0, :][:, codes_i[:, 0]].copy()  # (q, N)
+            for m in range(1, m_subspaces):
+                d2 += lut32[:, m, :][:, codes_i[:, m]]
+            p = np.argpartition(d2, cand - 1, axis=1)[:, :cand]
+            for j in range(e - s):
+                cidx = p[j]
+                d2_64 = lut[j, 0][codes_i[cidx, 0]].copy()
+                for m in range(1, m_subspaces):
+                    d2_64 += lut[j, m][codes_i[cidx, m]]
+                d = np.sqrt(np.maximum(d2_64, 0.0))
+                if round_digits is not None:
+                    d = np.round(d, round_digits)
+                order = np.lexsort((ids[cidx], d))[:kk]
+                out_d[s + j] = d[order]
+                out_i[s + j] = ids[cidx[order]]
+
+    import os
+
+    n_threads = max(1, min(16, (os.cpu_count() or 2) // 2, nq // chunk))
+    if n_threads <= 1:
+        run_queries(0, nq)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        span = -(-nq // n_threads)
+        span = -(-span // chunk) * chunk
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            futs = [
+                pool.submit(run_queries, lo, min(lo + span, nq))
                 for lo in range(0, nq, span)
             ]
             for f in futs:

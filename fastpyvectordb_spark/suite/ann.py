@@ -34,3 +34,17 @@ def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = hyperplanes(64, n_bits=6, seed=42)
     signed = add_signatures(emb, planes)
     return lsh_knn(signed, qvec, planes, k=10, multiprobe=16)
+
+
+@register("ann_ivfpq_knn")
+def ann_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (8 lists, M=8, K=16) ADC search with exact refine — the
+    billion-scale index shape (coarse partition pruning + M-byte codes
+    + candidate-join rerank). Recall gate: tests/test_ann.py."""
+    from fastpyvectordb_spark.ann.ivfpq import ivfpq_build, ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    index = ivfpq_build(emb, n_lists=8, m_subspaces=8, n_centroids=16,
+                        max_iter=5)
+    return ivfpq_search(index, qvec, k=10, nprobe=8, refine_df=emb, refine=50)

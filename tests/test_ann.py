@@ -161,3 +161,62 @@ def test_ivf_local_matches_distributed(embeddings):
     auto = ivf_search_auto(index, qpdf, k=10, nprobe=4)
     assert hasattr(index, "_packed"), "auto should pack below threshold"
     assert len(auto) == 16 * 10
+
+
+def test_ivfpq_recall_and_refine(embeddings, spark):
+    """IVF-PQ ADC with full probing must land in the reference's PQ
+    recall regime (≥0.85 with exact refine, README:508); the refined
+    path must strictly dominate raw ADC. nprobe=n_lists isolates the
+    PQ error from the coarse-probe error."""
+    from fastpyvectordb_spark.ann.ivfpq import ivfpq_build, ivfpq_search_batch
+
+    import pandas as pd
+
+    index = ivfpq_build(
+        embeddings, n_lists=4, m_subspaces=8, n_centroids=32, max_iter=5
+    )
+    index.codes = index.codes.localCheckpoint()
+
+    qrows = embeddings.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [r["vec_id"] for r in qrows],
+            "query_vec": [list(r["embedding"]) for r in qrows],
+        }
+    )
+    adc = ivfpq_search_batch(index, qpdf, k=10, nprobe=4).toPandas()
+    ref = ivfpq_search_batch(
+        index, qpdf, k=10, nprobe=4, refine_df=embeddings, refine=100
+    ).toPandas()
+    r_adc, r_ref = [], []
+    for r in qrows:
+        exact = _exact(embeddings, r["embedding"])
+        r_adc.append(
+            _recall(adc.loc[adc.query_id == r["vec_id"], "vec_id"], exact)
+        )
+        r_ref.append(
+            _recall(ref.loc[ref.query_id == r["vec_id"], "vec_id"], exact)
+        )
+    m_adc, m_ref = float(np.mean(r_adc)), float(np.mean(r_ref))
+    assert m_ref >= 0.85, f"refined recall@10 {m_ref} ({r_ref})"
+    assert m_ref >= m_adc, (m_ref, m_adc)
+
+
+def test_ivfpq_codes_table_is_compact(embeddings, tmp_path):
+    """The codes table must carry only (id, list_id, codes[M]) — the
+    at-rest representation that makes 100 TB feasible — and a
+    partitioned save must prune probed reads to matching directories."""
+    from fastpyvectordb_spark.ann.ivfpq import ivfpq_build
+
+    index = ivfpq_build(
+        embeddings, n_lists=4, m_subspaces=8, n_centroids=16, max_iter=2
+    )
+    assert set(index.codes.columns) == {"vec_id", "list_id", "codes"}
+    row = index.codes.head()
+    assert len(row["codes"]) == 8
+    path = str(tmp_path / "ivfpq")
+    index.save(path)
+    import os
+
+    parts = [p for p in os.listdir(path) if p.startswith("list_id=")]
+    assert len(parts) == 4

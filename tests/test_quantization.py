@@ -227,3 +227,96 @@ def test_sq_cosine_recall(embeddings):
         recalls.append(len(set(approx) & set(exact)) / 10)
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.90, f"SQ cosine mean recall@10 {mean} ({recalls})"
+
+
+def test_sq_local_matches_spark_sq(embeddings):
+    """Packed driver-local SQ scan must agree with the JVM
+    sq_*_distance_expr pipelines: same ids, same distances (1e-6),
+    same (dist, id) tie order — for all three metrics."""
+    from pyspark.sql import Window
+
+    stats = Q.sq_train(embeddings).collect()
+    mins = [r["vmin"] for r in stats]
+    scales = [r["scale"] for r in stats]
+    ids, codes = Q.sq_pack_matrix(embeddings, mins, scales)
+    assert codes.dtype.name == "uint8"
+
+    qcodes = codes[:4]
+    coded = embeddings.select(
+        "vec_id",
+        Q.sq_encode_expr(F.col("embedding"), mins, scales).alias("codes"),
+    )
+    qdf = coded.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    exprs = {
+        "l2": Q.sq_l2_distance_expr(F.col("codes"), F.col("qcodes"), scales),
+        "cosine": Q.sq_cosine_distance_expr(
+            F.col("codes"), F.col("qcodes"), mins, scales
+        ),
+        "ip": Q.sq_ip_distance_expr(F.col("codes"), F.col("qcodes"), mins, scales),
+    }
+    for metric, expr in exprs.items():
+        d, i = Q.sq_search_local(ids, codes, mins, scales, qcodes, k=10, metric=metric)
+        scored = coded.crossJoin(F.broadcast(qdf)).select(
+            "query_id", "vec_id", expr.alias("d")
+        )
+        w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+        want = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .orderBy("query_id", "rn")
+            .toPandas()
+        )
+        for qi in range(4):
+            sub = want[want["query_id"] == qi]
+            assert sub["vec_id"].tolist() == list(i[qi]), (metric, qi)
+            assert np.allclose(sub["d"].to_numpy(), d[qi], atol=1e-6), (metric, qi)
+
+
+def test_sq_encode_queries_matches_expr(embeddings):
+    """The numpy query encoder must reproduce sq_encode_expr exactly."""
+    stats = Q.sq_train(embeddings).collect()
+    mins = [r["vmin"] for r in stats]
+    scales = [r["scale"] for r in stats]
+    rows = (
+        embeddings.filter(F.col("vec_id") < 8)
+        .select(
+            "embedding",
+            Q.sq_encode_expr(F.col("embedding"), mins, scales).alias("codes"),
+        )
+        .collect()
+    )
+    raw = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    want = np.array([r["codes"] for r in rows])
+    got = Q.sq_encode_queries(raw, mins, scales)
+    assert (got == want).all()
+
+
+def test_pq_local_matches_spark_adc(embeddings):
+    """Packed driver-local PQ ADC must agree with the distributed
+    broadcast-LUT join (pq_adc_search): same ids, same ROUND-6
+    distances, same tie order."""
+    dims = len(embeddings.head()["embedding"])
+    m_sub, n_cent = 8, 16
+    # deterministic codebooks: subvector slices of vec_id 0..15 (the
+    # same fixture the pq_adc_knn suite query uses)
+    cb_src = embeddings.filter(F.col("vec_id") < n_cent)
+    codebooks = Q.pq_subvectors(cb_src, m_sub, dims).select(
+        "m", F.col("vec_id").cast("int").alias("cidx"),
+        F.col("subvec").cast("array<double>").alias("cvec"),
+    )
+    codes = Q.pq_encode(embeddings, codebooks, m_sub, dims)
+    ids, cmat, cents = Q.pq_pack(codes, codebooks, m_sub)
+    assert cmat.shape == (embeddings.count(), m_sub)
+    assert cents.shape == (m_sub, n_cent, dims // m_sub)
+
+    qrows = embeddings.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    d, i = Q.pq_adc_search_local(ids, cmat, cents, queries, k=10)
+    for qi, qrow in enumerate(qrows):
+        want = Q.pq_adc_search(
+            codes, codebooks, qrow["embedding"], m_sub, k=10
+        ).collect()
+        assert [r["vec_id"] for r in want] == list(i[qi]), qi
+        assert np.allclose([r["dist"] for r in want], d[qi], atol=1e-9), qi
