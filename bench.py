@@ -229,6 +229,21 @@ def main() -> None:
         N_EXACT_LOCAL / timings["q_knn_exact_local_100k"], 1
     )
 
+    # batch exact scan over the packed matrix (reference batch-GEMM
+    # search, 1.66 ms/query at 100K): pack once, thread-fanned GEMM
+    from fastpyvectordb_spark.ann.ivf import exact_search_packed_batch
+
+    exact_search_packed_batch(ivf_packed, qpdf_big, k=K)  # warm
+
+    @bench("q_knn_exact_batch_local_100k")
+    def _():
+        res = exact_search_packed_batch(ivf_packed, qpdf_big, k=K)
+        assert len(res) == n_queries * K
+
+    extras["exact_batch_local_qps"] = round(
+        n_queries / timings["q_knn_exact_batch_local_100k"], 1
+    )
+
     # binary-quantized hamming scan (reference "0.8 ms/query, 1.5 MB"):
     # codes encoded by the JVM expression pipeline, packed driver-side
     # (100K×64 bits = 0.8 MB), XOR+popcount batch scan
@@ -325,6 +340,17 @@ def main() -> None:
     extras["ivfpq_batch_qps"] = round(
         n_queries / timings["q_knn_ivfpq_batch_100k"], 1
     )
+
+    # IVF-PQ recall vs exact on a query sample (raw ADC, no refine)
+    sample_pq = qpdf_big.head(64)
+    approx_pq = ivfpq_search_batch(ivfpq, sample_pq, k=K, nprobe=8).toPandas()
+    exact_pq = exact_search_packed_batch(ivf_packed, sample_pq, k=K, metric="l2")
+    hits = 0
+    for qid in sample_pq["query_id"]:
+        a = set(approx_pq.loc[approx_pq.query_id == qid, "vec_id"])
+        e = set(exact_pq.loc[exact_pq.query_id == qid, "vec_id"])
+        hits += len(a & e)
+    extras["ivfpq_recall_at_k"] = round(hits / (len(sample_pq) * K), 4)
 
     # recall@k of the IVF batch path vs exact, on a query sample —
     # a QPS number without its recall is not comparable to anything

@@ -387,3 +387,51 @@ def ivf_search_auto(
         index, queries_pdf, k=k, nprobe=nprobe, metric=metric,
         id_col=id_col, vec_col=vec_col,
     ).toPandas()
+
+
+def exact_search_packed_batch(
+    packed: IVFPacked,
+    queries_pdf,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+):
+    """Batched exact scan over the packed matrix — the reference's
+    batch-GEMM search (``parallel_search.py:246-311``) in its in-memory
+    regime: the thread-fanned chunked GEMM kernel over the whole
+    matrix, then the same vectorized (dist, id) sort as
+    ``operators.knn.knn_batch_auto``. Returns pandas
+    ``(query_id, rank, <id_col>, dist)`` with identical values/order to
+    the distributed exact plan."""
+    import os
+
+    import pandas as pd
+
+    from fastpyvectordb_spark.operators.knn import _gemm_topk_chunked
+
+    eps = 1e-10
+    qids = queries_pdf["query_id"].to_numpy()
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in queries_pdf["query_vec"]]
+    )
+    if metric == "cosine":
+        qn = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True) + eps)
+    else:
+        qn = qmat
+    nq = len(qids)
+    kk = min(k, len(packed.ids))
+    nt = max(1, min(16, (os.cpu_count() or 2) // 2, nq // 32))
+    d_sel, i_sel = _gemm_topk_chunked(
+        qn, packed.vmat, packed.ids, kk, metric, n_threads=nt
+    )
+    order = np.lexsort((i_sel, d_sel), axis=1)
+    d_sorted = np.take_along_axis(d_sel, order, axis=1)
+    i_sorted = np.take_along_axis(i_sel, order, axis=1)
+    return pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, kk),
+            "rank": np.tile(np.arange(1, kk + 1), nq),
+            id_col: i_sorted.ravel(),
+            "dist": d_sorted.ravel().astype("float64"),
+        }
+    )

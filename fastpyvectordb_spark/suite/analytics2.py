@@ -320,3 +320,91 @@ def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus, o_orderpriority
         """
     )
+
+
+# TPC-H Q13 shape: outer-join fan-out → per-customer counts → count
+# histogram. Exercises LEFT OUTER with an ON-clause residual predicate
+# (comment-filtered orders) and a double aggregation.
+_CUST_DIST_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("agg_cust_order_distribution", _CUST_DIST_ORACLE)
+def agg_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape). The join
+    predicate must live in the ON clause — as a WHERE it would turn the
+    outer join inner and drop zero-order customers."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# lag-window shape over the event stream: inter-event gap percentiles
+# per event type (sessionization's core primitive, measured exactly)
+_GAP_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(gap_s, 0.50), 6) AS p50_gap_s,
+       ROUND(quantile_cont(gap_s, 0.95), 6) AS p95_gap_s,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM (
+  SELECT event_type,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+                   ts) / 1e6 AS gap_s
+  FROM events
+)
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_gap_percentiles", _GAP_ORACLE)
+def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, type) inter-event gaps via lag() — exact p50/p95 per
+    type. The gap is a MICROSECOND timestamp_diff (integer in both
+    engines, no timezone involved — ts is TIMESTAMP_NTZ) divided by
+    1e6."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.timestamp_diff(
+                "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+            )
+            / 1e6
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.95)), 6).alias("p95_gap_s"),
+            F.count("*").alias("n_gaps"),
+        )
+        .orderBy("event_type")
+    )

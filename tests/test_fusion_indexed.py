@@ -148,3 +148,33 @@ def test_hybrid_local_matches_distributed(spark, corpus):
         assert [g[0] for g in got] == [w[0] for w in want], qtext
         for g, w in zip(got, want):
             assert g[1:] == pytest.approx(w[1:], abs=2e-6), (qtext, g, w)
+
+
+def test_exact_batch_packed_matches_auto(spark, corpus):
+    """Packed batch exact scan must reproduce knn_batch_auto (which is
+    itself parity-checked against the oracle-gated knn_batch plan)."""
+    import pandas as pd
+
+    from fastpyvectordb_spark.ann.ivf import (
+        exact_search_packed_batch,
+        ivf_build,
+        ivf_pack,
+    )
+    from fastpyvectordb_spark.operators.knn import knn_batch_auto
+
+    emb = corpus.select(F.col("doc_id").alias("vec_id"), "embedding")
+    packed = ivf_pack(ivf_build(emb, n_lists=4, max_iter=2))
+    rows = emb.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [r["vec_id"] for r in rows],
+            "query_vec": [list(r["embedding"]) for r in rows],
+        }
+    )
+    for metric in ("cosine", "ip"):
+        got = exact_search_packed_batch(packed, qpdf, k=10, metric=metric)
+        want = knn_batch_auto(emb, qpdf, k=10, metric=metric)
+        g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        w = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert g["vec_id"].tolist() == w["vec_id"].tolist(), metric
+        assert np.allclose(g["dist"], w["dist"], atol=1e-6), metric
