@@ -40,8 +40,15 @@ def hybrid_search(
     vec_col: str = "embedding",
     text_col: str = "text",
     bm25_index=None,
+    vector_weight: float | None = None,
+    keyword_weight: float | None = None,
 ) -> DataFrame:
     """Returns (doc_id, score, vector_score, keyword_score), score desc.
+
+    ``vector_weight``/``keyword_weight`` are the reference's H3 alias
+    pair (``hybrid_search.py:392-395``): when both are set,
+    ``alpha = vector_weight / (vector_weight + keyword_weight)``
+    (0.5 on zero total), overriding ``alpha``.
 
     ``corpus`` needs both an embedding column and a text column.
     ``bm25_index`` (a prebuilt :class:`~...operators.bm25.BM25Index`
@@ -50,6 +57,9 @@ def hybrid_search(
     (``hybrid_search.py:60-69``); this is the query-many path. Scores
     are identical when the index was built on ``corpus``.
     """
+    if vector_weight is not None and keyword_weight is not None:
+        total = vector_weight + keyword_weight
+        alpha = vector_weight / total if total > 0 else 0.5
     fetch_k = k * 5
 
     vec_top = knn(

@@ -25,6 +25,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _is_ntz(df: DataFrame, ts_col: str) -> bool:
+    from pyspark.sql.types import TimestampNTZType
+
+    return isinstance(df.schema[ts_col].dataType, TimestampNTZType)
+
+
 def subscription_filter(
     events: DataFrame,
     event_types: list[str] | None = None,
@@ -64,8 +70,17 @@ def windowed_counts(
     sums are exact integer cents (order-independent across engines).
     """
     src = events
+    ntz = _is_ntz(events, ts_col)
     if watermark is not None:
+        # withWatermark requires TIMESTAMP (LTZ); the tables carry
+        # TIMESTAMP_NTZ. Session tz is pinned UTC, so the cast is a
+        # relabel — window bounds are cast back below
+        if ntz:
+            src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         src = src.withWatermark(ts_col, watermark)
+    start = F.col("w.start")
+    if watermark is not None and ntz:
+        start = start.cast("timestamp_ntz")
     return (
         src.groupBy(
             F.window(F.col(ts_col), window).alias("w"), F.col("event_type")
@@ -77,7 +92,7 @@ def windowed_counts(
             ),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            start.alias("window_start"),
             "event_type",
             "n_events",
             "sum_value_cents",
@@ -279,6 +294,12 @@ def interval_join(
     l = left.filter(F.col("event_type") == left_type)
     r = right.filter(F.col("event_type") == right_type)
     if watermark is not None:
+        # NTZ → LTZ relabel for watermark support (UTC session tz);
+        # see windowed_counts
+        if _is_ntz(l, ts_col):
+            l = l.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        if _is_ntz(r, ts_col):
+            r = r.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         l = l.withWatermark(ts_col, watermark)
         r = r.withWatermark(ts_col, watermark)
     l = l.select(
@@ -300,3 +321,58 @@ def interval_join(
         F.col("l_user").alias("user_id"),
         "l_event_id", "l_ts", "r_event_id", "r_ts",
     )
+
+
+def push_to_subscribers(
+    events: DataFrame,
+    subscribers: list[dict],
+    post_json,
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """S10 broadcast sink (``realtime.py:184-215``): for each
+    micro-batch, evaluate every subscriber's predicate and POST the
+    matching rows as a JSON payload to the subscriber's URL.
+
+    ``subscribers``: ``[{"url": ..., "event_types": [...] | None,
+    "user_ids": [...] | None}, ...]`` — the reference's Subscription
+    model (collection wildcard == both filters None).
+    ``post_json(url, payload)`` does the transport (injected so tests
+    can capture; production: urllib/requests). Matching happens
+    DRIVER-SIDE on the already-collected micro-batch — batches are
+    small by construction (micro-batch cadence), and per-subscriber
+    re-filtering of a collected batch avoids one Spark job per
+    subscriber per batch.
+
+    Returns the started ``StreamingQuery`` (streaming input) or runs a
+    single pass (batch input, for tests/replay).
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        rows = [r.asDict() for r in batch_df.collect()]
+        if not rows:
+            return
+        for sub in subscribers:
+            ets = sub.get("event_types")
+            uids = sub.get("user_ids")
+            matched = [
+                r
+                for r in rows
+                if (ets is None or r.get("event_type") in ets)
+                and (uids is None or r.get("user_id") in uids)
+            ]
+            if matched:
+                post_json(
+                    sub["url"],
+                    {"batch_id": batch_id, "events": matched},
+                )
+
+    if not events.isStreaming:
+        handle(events, 0)
+        return None
+    writer = events.writeStream.foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

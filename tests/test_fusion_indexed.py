@@ -178,3 +178,18 @@ def test_exact_batch_packed_matches_auto(spark, corpus):
         w = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
         assert g["vec_id"].tolist() == w["vec_id"].tolist(), metric
         assert np.allclose(g["dist"], w["dist"], atol=1e-6), metric
+
+
+def test_hybrid_weight_aliases(spark, corpus):
+    """H3 (hybrid_search.py:392-395): vector_weight/keyword_weight
+    override alpha as vw/(vw+kw)."""
+    from fastpyvectordb_spark.operators.fusion import hybrid_search
+
+    qvec = corpus.filter(F.col("doc_id") == 0).head()["embedding"]
+    qtext = "data pipeline quality"
+    want = hybrid_search(corpus, qvec, qtext, k=5, alpha=0.8).collect()
+    got = hybrid_search(
+        corpus, qvec, qtext, k=5, alpha=0.123,
+        vector_weight=4.0, keyword_weight=1.0,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

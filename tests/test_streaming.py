@@ -156,3 +156,55 @@ def test_streaming_interval_join_equals_batch(spark, events_dir, events_batch):
     key = lambda r: (r["l_event_id"], r["r_event_id"])
     assert {key(r) for r in got} == {key(r) for r in want}
     assert len(want) > 0
+
+
+def test_push_to_subscribers_streaming(spark, tmp_path):
+    """S10: foreachBatch broadcast — each subscriber receives exactly
+    the rows its predicate matches, delivered per micro-batch, in both
+    streaming and batch (replay) mode."""
+    import json
+
+    from fastpyvectordb_spark.streaming.events import (
+        push_to_subscribers,
+        stream_from_parquet_dir,
+    )
+    from fastpyvectordb_spark.tables import load_table
+
+    src = load_table(spark, SF_DIR, "events").limit(200)
+    src_dir = str(tmp_path / "evsrc")
+    src.write.mode("overwrite").parquet(src_dir)
+
+    received: list[tuple[str, dict]] = []
+    subs = [
+        {"url": "http://sub-err", "event_types": ["error"], "user_ids": None},
+        {"url": "http://sub-u7", "event_types": None, "user_ids": [7]},
+        {"url": "http://sub-all", "event_types": None, "user_ids": None},
+    ]
+
+    stream = stream_from_parquet_dir(spark, src_dir, schema=src.schema)
+    q = push_to_subscribers(
+        stream, subs, lambda url, payload: received.append((url, payload)),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+
+    want = {r["event_id"]: r.asDict() for r in src.collect()}
+    got_err = [e for u, p in received if u == "http://sub-err" for e in p["events"]]
+    got_u7 = [e for u, p in received if u == "http://sub-u7" for e in p["events"]]
+    got_all = [e for u, p in received if u == "http://sub-all" for e in p["events"]]
+    assert {e["event_id"] for e in got_all} == set(want)
+    assert {e["event_id"] for e in got_err} == {
+        k for k, v in want.items() if v["event_type"] == "error"
+    }
+    assert {e["event_id"] for e in got_u7} == {
+        k for k, v in want.items() if v["user_id"] == 7
+    }
+    assert all(e["event_type"] == "error" for e in got_err)
+
+    # batch mode: same function, single pass (replay path)
+    received.clear()
+    push_to_subscribers(
+        src, subs, lambda url, payload: received.append((url, payload))
+    )
+    got_all2 = [e for u, p in received if u == "http://sub-all" for e in p["events"]]
+    assert {e["event_id"] for e in got_all2} == set(want)
