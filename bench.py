@@ -327,7 +327,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     ivfpq = ivfpq_build(
-        big, n_lists=64, m_subspaces=8, n_centroids=64, max_iter=5
+        big, n_lists=64, m_subspaces=16, n_centroids=64, max_iter=5
     )
     ivfpq.codes = ivfpq.codes.localCheckpoint()
     extras["ivfpq_build_sec"] = round(time.perf_counter() - t0, 3)
@@ -341,16 +341,27 @@ def main() -> None:
         n_queries / timings["q_knn_ivfpq_batch_100k"], 1
     )
 
-    # IVF-PQ recall vs exact on a query sample (raw ADC, no refine)
+    # IVF-PQ recall vs exact on a query sample: raw ADC and the
+    # refined path (ADC top-100 → exact rerank — the production plan)
     sample_pq = qpdf_big.head(64)
-    approx_pq = ivfpq_search_batch(ivfpq, sample_pq, k=K, nprobe=8).toPandas()
     exact_pq = exact_search_packed_batch(ivf_packed, sample_pq, k=K, metric="l2")
-    hits = 0
-    for qid in sample_pq["query_id"]:
-        a = set(approx_pq.loc[approx_pq.query_id == qid, "vec_id"])
-        e = set(exact_pq.loc[exact_pq.query_id == qid, "vec_id"])
-        hits += len(a & e)
-    extras["ivfpq_recall_at_k"] = round(hits / (len(sample_pq) * K), 4)
+
+    def _recall_vs_exact(df):
+        hits = 0
+        for qid in sample_pq["query_id"]:
+            a = set(df.loc[df.query_id == qid, "vec_id"])
+            e = set(exact_pq.loc[exact_pq.query_id == qid, "vec_id"])
+            hits += len(a & e)
+        return round(hits / (len(sample_pq) * K), 4)
+
+    extras["ivfpq_recall_at_k"] = _recall_vs_exact(
+        ivfpq_search_batch(ivfpq, sample_pq, k=K, nprobe=8).toPandas()
+    )
+    extras["ivfpq_refined_recall_at_k"] = _recall_vs_exact(
+        ivfpq_search_batch(
+            ivfpq, sample_pq, k=K, nprobe=8, refine_df=big, refine=100
+        ).toPandas()
+    )
 
     # recall@k of the IVF batch path vs exact, on a query sample —
     # a QPS number without its recall is not comparable to anything

@@ -56,6 +56,24 @@ class _Handler(BaseHTTPRequestHandler):
         ("POST", r"^/collections/([^/]+)/search/batch$", "search_batch"),
         ("GET", r"^/collections/([^/]+)/ids$", "list_ids"),
         ("POST", r"^/admin/save$", "admin_save"),
+        # server_full.py surface: text auto-embed, graph, embeddings
+        ("POST", r"^/collections/([^/]+)/texts$", "insert_texts"),
+        ("GET", r"^/graph/stats$", "graph_stats"),
+        ("POST", r"^/graph/nodes$", "create_node"),
+        ("GET", r"^/graph/nodes/([^/]+)$", "get_node"),
+        ("GET", r"^/graph/nodes$", "find_nodes"),
+        ("DELETE", r"^/graph/nodes/([^/]+)$", "delete_node"),
+        ("POST", r"^/graph/edges$", "create_edge"),
+        ("GET", r"^/graph/edges/([^/]+)$", "get_edge"),
+        ("GET", r"^/graph/edges$", "edges_by_type"),
+        ("DELETE", r"^/graph/edges/([^/]+)$", "delete_edge"),
+        ("POST", r"^/graph/query$", "graph_query"),
+        ("POST", r"^/graph/traverse$", "graph_traverse"),
+        ("POST", r"^/graph/shortest-path$", "graph_shortest_path"),
+        ("GET", r"^/graph/neighbors/([^/]+)$", "graph_neighbors"),
+        ("GET", r"^/embeddings/info$", "embeddings_info"),
+        ("POST", r"^/embeddings/embed$", "embed_one"),
+        ("POST", r"^/embeddings/embed-batch$", "embed_batch"),
     ]
 
     def log_message(self, *a):  # quiet
@@ -297,6 +315,247 @@ class _Handler(BaseHTTPRequestHandler):
         # flush (the reference flushes its in-memory index here)
         self._send(200, {"saved": True, "collections": self.db.list_collections()})
 
+    # -- server_full.py parity: text auto-embed ----------------------
+
+    def insert_texts(self, name: str):
+        """Auto-embed texts and insert (``server_full.py:313-346``):
+        deterministic mock embedder (``embeddings.py:343-371``
+        algorithm), ``_document`` stashed like the Python API."""
+        from fastpyvectordb_spark.embeddings import mock_embed_batch
+
+        import pandas as pd
+
+        b = self._body()
+        c = self._collection(name)
+        texts = b["texts"]
+        ids = b.get("ids") or [f"text_{i}" for i in range(len(texts))]
+        metas = b.get("metadatas") or [{}] * len(texts)
+        vecs = mock_embed_batch(pd.Series(texts), c.config.dimensions)
+        rows = [
+            {"id": i, "embedding": v, "_document": t, **(m or {})}
+            for i, v, t, m in zip(ids, list(vecs), texts, metas)
+        ]
+        from pyspark.sql import functions as F
+
+        batch = self.db.spark.createDataFrame(rows).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        with self.lock:
+            n = c.insert_batch(batch)
+        self._send(200, {"ids": ids, "count": n, "success": True})
+
+    # -- server_full.py parity: graph endpoints -----------------------
+    # The graph store here is control-plane sized (the reference's is a
+    # pure in-memory dict, graph.py:57-148); rows live driver-side and
+    # every READ builds the same DataFrame plans the Python graph API
+    # uses (operators/graph.py, cypher.py).
+
+    def _graph_dfs(self):
+        import pandas as pd
+
+        spark = self.db.spark
+        nodes_rows = self.server.graph_nodes  # type: ignore[attr-defined]
+        edges_rows = self.server.graph_edges  # type: ignore[attr-defined]
+        nodes_pdf = pd.DataFrame.from_records(
+            [
+                {"id": r["id"], "labels": r["labels"], **r["properties"]}
+                for r in nodes_rows.values()
+            ]
+            or [{"id": None, "labels": None}]
+        )
+        edges_pdf = pd.DataFrame.from_records(
+            [
+                {
+                    "id": r["id"], "src": r["src"], "dst": r["dst"],
+                    "type": r["type"], **r["properties"],
+                }
+                for r in edges_rows.values()
+            ]
+            or [{"id": None, "src": None, "dst": None, "type": None}]
+        )
+        nodes = spark.createDataFrame(nodes_pdf).filter("id is not null")
+        edges = spark.createDataFrame(edges_pdf).filter("id is not null")
+        return nodes, edges
+
+    def graph_stats(self):
+        from fastpyvectordb_spark.operators.graph import graph_stats
+
+        nodes, edges = self._graph_dfs()
+        row = graph_stats(nodes, edges).head().asDict()
+        self._send(200, {k: (v if v is not None else 0) for k, v in row.items()})
+
+    def create_node(self):
+        b = self._body()
+        store = self.server.graph_nodes  # type: ignore[attr-defined]
+        with self.lock:
+            if b["id"] in store:
+                raise ValueError(f"node {b['id']!r} exists")
+            store[b["id"]] = {
+                "id": b["id"],
+                "labels": list(b.get("labels") or []),
+                "properties": dict(b.get("properties") or {}),
+            }
+        self._send(200, {**store[b["id"]], "success": True})
+
+    def get_node(self, node_id: str):
+        store = self.server.graph_nodes  # type: ignore[attr-defined]
+        if node_id not in store:
+            self._send(404, {"detail": f"node {node_id!r} not found"})
+            return
+        self._send(200, store[node_id])
+
+    def find_nodes(self):
+        """G4/G5 over the DataFrame plan (label + property equality)."""
+        from fastpyvectordb_spark.operators.graph import find_nodes
+
+        nodes, _ = self._graph_dfs()
+        label = self.query.get("label")
+        df = find_nodes(nodes, label=label)
+        ids = [r["id"] for r in df.select("id").collect()]
+        store = self.server.graph_nodes  # type: ignore[attr-defined]
+        self._send(200, [store[i] for i in ids])
+
+    def delete_node(self, node_id: str):
+        nodes = self.server.graph_nodes  # type: ignore[attr-defined]
+        edges = self.server.graph_edges  # type: ignore[attr-defined]
+        with self.lock:
+            if node_id not in nodes:
+                self._send(404, {"detail": f"node {node_id!r} not found"})
+                return
+            del nodes[node_id]
+            # G1 cascade (graph.py:640-657): drop touching edges
+            for eid in [
+                e for e, r in edges.items()
+                if r["src"] == node_id or r["dst"] == node_id
+            ]:
+                del edges[eid]
+        self._send(200, {"deleted": node_id, "success": True})
+
+    def create_edge(self):
+        b = self._body()
+        nodes = self.server.graph_nodes  # type: ignore[attr-defined]
+        edges = self.server.graph_edges  # type: ignore[attr-defined]
+        src, dst = b["from"], b["to"]
+        with self.lock:
+            # J8 FK validation (graph.py:714-718)
+            for nid in (src, dst):
+                if nid not in nodes:
+                    raise ValueError(f"endpoint node {nid!r} does not exist")
+            if b["id"] in edges:
+                raise ValueError(f"edge {b['id']!r} exists")
+            edges[b["id"]] = {
+                "id": b["id"], "src": src, "dst": dst,
+                "type": b.get("type", "RELATED"),
+                "properties": dict(b.get("properties") or {}),
+            }
+        self._send(200, {**edges[b["id"]], "success": True})
+
+    def get_edge(self, edge_id: str):
+        edges = self.server.graph_edges  # type: ignore[attr-defined]
+        if edge_id not in edges:
+            self._send(404, {"detail": f"edge {edge_id!r} not found"})
+            return
+        self._send(200, edges[edge_id])
+
+    def edges_by_type(self):
+        edges = self.server.graph_edges  # type: ignore[attr-defined]
+        etype = self.query.get("type")
+        out = [
+            r for r in edges.values() if etype is None or r["type"] == etype
+        ]
+        self._send(200, out)
+
+    def delete_edge(self, edge_id: str):
+        edges = self.server.graph_edges  # type: ignore[attr-defined]
+        with self.lock:
+            if edge_id not in edges:
+                self._send(404, {"detail": f"edge {edge_id!r} not found"})
+                return
+            del edges[edge_id]
+        self._send(200, {"deleted": edge_id, "success": True})
+
+    def graph_query(self):
+        """G14: Cypher subset compiled to DataFrame plans."""
+        from fastpyvectordb_spark.cypher import cypher_query
+
+        b = self._body()
+        nodes, edges = self._graph_dfs()
+        df = cypher_query(nodes, edges, b["query"])
+        self._send(
+            200,
+            {
+                "columns": df.columns,
+                "rows": [list(r) for r in df.collect()],
+            },
+        )
+
+    def graph_traverse(self):
+        from fastpyvectordb_spark.operators.graph import traverse
+
+        b = self._body()
+        _, edges = self._graph_dfs()
+        df = traverse(
+            edges,
+            [b["start_id"]],
+            max_depth=int(b.get("max_depth", 3)),
+            edge_type=b.get("edge_type"),
+        )
+        self._send(200, {"paths": [r["path"] for r in df.collect()]})
+
+    def graph_shortest_path(self):
+        from fastpyvectordb_spark.operators.graph import shortest_path
+
+        b = self._body()
+        _, edges = self._graph_dfs()
+        df = shortest_path(
+            edges, b["from"], b["to"], max_depth=int(b.get("max_depth", 4))
+        )
+        rows = df.collect()
+        self._send(
+            200,
+            {"path": rows[0]["path"] if rows else None, "found": bool(rows)},
+        )
+
+    def graph_neighbors(self, node_id: str):
+        from fastpyvectordb_spark.operators.graph import neighbors
+
+        _, edges = self._graph_dfs()
+        df = neighbors(
+            edges,
+            node_id,
+            direction=self.query.get("direction", "both"),
+            edge_type=self.query.get("type"),
+        )
+        self._send(200, [r.asDict() for r in df.collect()])
+
+    # -- server_full.py parity: embeddings endpoints ------------------
+
+    def embeddings_info(self):
+        self._send(
+            200,
+            {"provider": "mock", "dimensions": 384, "deterministic": True},
+        )
+
+    def embed_one(self):
+        from fastpyvectordb_spark.embeddings import mock_embed_batch
+
+        import pandas as pd
+
+        b = self._body()
+        dims = int(b.get("dimensions", 384))
+        vec = mock_embed_batch(pd.Series([b["text"]]), dims).iloc[0]
+        self._send(200, {"embedding": vec, "dimensions": dims})
+
+    def embed_batch(self):
+        from fastpyvectordb_spark.embeddings import mock_embed_batch
+
+        import pandas as pd
+
+        b = self._body()
+        dims = int(b.get("dimensions", 384))
+        vecs = mock_embed_batch(pd.Series(b["texts"]), dims)
+        self._send(200, {"embeddings": list(vecs), "dimensions": dims})
+
 
 def serve(db: VectorDB, host: str = "127.0.0.1", port: int = 8000):
     """Create (not start) a threaded HTTP server bound to ``db``.
@@ -306,4 +565,6 @@ def serve(db: VectorDB, host: str = "127.0.0.1", port: int = 8000):
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.db = db  # type: ignore[attr-defined]
     srv.db_lock = threading.Lock()  # type: ignore[attr-defined]
+    srv.graph_nodes = {}  # type: ignore[attr-defined]
+    srv.graph_edges = {}  # type: ignore[attr-defined]
     return srv

@@ -123,3 +123,115 @@ def test_rest_lifecycle(api):
     assert status == 200
     status, names = _req(api, "GET", "/collections")
     assert names == []
+
+
+def test_rest_texts_and_embeddings(api):
+    status, r = _req(
+        api, "POST", "/collections",
+        {"name": "texts", "dimensions": 384, "metric": "cosine"},
+    )
+    assert status == 200
+
+    status, r = _req(
+        api, "POST", "/collections/texts/texts",
+        {
+            "ids": ["t1", "t2"],
+            "texts": ["hello world", "spark engine"],
+            "metadatas": [{"lang": "en"}, {"lang": "en"}],
+        },
+    )
+    assert status == 200 and r["count"] == 2
+
+    # auto-embedding is the deterministic mock: /embeddings/embed of
+    # the same text must equal the stored vector
+    status, e = _req(api, "POST", "/embeddings/embed", {"text": "hello world"})
+    assert status == 200 and len(e["embedding"]) == 384
+    status, v = _req(api, "GET", "/collections/texts/vectors/t1")
+    assert "_document" not in v["metadata"]  # internal keys stripped
+    import numpy as np
+
+    assert np.allclose(v["vector"], e["embedding"], atol=1e-6)
+
+    # semantic search via the stored mock embeddings
+    status, r = _req(
+        api, "POST", "/collections/texts/search",
+        {"vector": e["embedding"], "k": 1},
+    )
+    assert r["results"][0]["id"] == "t1"
+
+    status, r = _req(
+        api, "POST", "/embeddings/embed-batch", {"texts": ["a", "b"]}
+    )
+    assert len(r["embeddings"]) == 2
+    status, info = _req(api, "GET", "/embeddings/info")
+    assert info["provider"] == "mock"
+    _req(api, "DELETE", "/collections/texts")
+
+
+def test_rest_graph(api):
+    for nid, labels, props in [
+        ("p1", ["Person"], {"name": "Alice", "age": 30}),
+        ("p2", ["Person"], {"name": "Bob", "age": 25}),
+        ("c1", ["Company"], {"name": "Acme"}),
+    ]:
+        status, r = _req(
+            api, "POST", "/graph/nodes",
+            {"id": nid, "labels": labels, "properties": props},
+        )
+        assert status == 200, r
+
+    # duplicate node id → 400
+    status, r = _req(api, "POST", "/graph/nodes", {"id": "p1"})
+    assert status == 400
+
+    for eid, src, dst, etype in [
+        ("e1", "p1", "c1", "WORKS_AT"),
+        ("e2", "p2", "c1", "WORKS_AT"),
+        ("e3", "p1", "p2", "KNOWS"),
+    ]:
+        status, r = _req(
+            api, "POST", "/graph/edges",
+            {"id": eid, "from": src, "to": dst, "type": etype},
+        )
+        assert status == 200, r
+
+    # FK validation (J8)
+    status, r = _req(
+        api, "POST", "/graph/edges",
+        {"id": "e9", "from": "p1", "to": "nope", "type": "KNOWS"},
+    )
+    assert status == 400
+
+    status, r = _req(api, "GET", "/graph/stats")
+    assert r["n_nodes"] == 3 and r["n_edges"] == 3
+
+    status, r = _req(api, "GET", "/graph/nodes?label=Person")
+    assert {n["id"] for n in r} == {"p1", "p2"}
+
+    status, r = _req(api, "GET", "/graph/edges?type=WORKS_AT")
+    assert {e["id"] for e in r} == {"e1", "e2"}
+
+    status, r = _req(api, "GET", "/graph/neighbors/p1?direction=out")
+    assert {n["neighbor_id"] for n in r} == {"c1", "p2"}
+
+    status, r = _req(
+        api, "POST", "/graph/query",
+        {"query": "MATCH (p:Person) WHERE p.age > 26 RETURN p.name"},
+    )
+    assert r["rows"] == [["Alice"]]
+
+    status, r = _req(
+        api, "POST", "/graph/traverse", {"start_id": "p1", "max_depth": 2}
+    )
+    assert "p1->p2->c1" in r["paths"]
+
+    status, r = _req(
+        api, "POST", "/graph/shortest-path", {"from": "p1", "to": "c1"}
+    )
+    assert r["found"] and r["path"] == "p1->c1"
+
+    # cascade delete (G1): removing p1 drops e1 and e3
+    status, r = _req(api, "DELETE", "/graph/nodes/p1")
+    assert status == 200
+    status, r = _req(api, "GET", "/graph/stats")
+    assert r["n_nodes"] == 2 and r["n_edges"] == 1
