@@ -354,12 +354,20 @@ def main() -> None:
             hits += len(a & e)
         return round(hits / (len(sample_pq) * K), 4)
 
+    # at-rest footprint of each index form (reference: 48 MB f32 →
+    # 12 MB SQ / 1.5 MB BQ at 100K×128; here 100K×64)
+    extras["raw_f32_mb"] = round(ivf_packed.vmat.nbytes / 2**20, 2)
+    extras["sq_codes_mb"] = round(sq_codes.nbytes / 2**20, 2)
+    extras["bq_codes_mb"] = round(bq_codes.nbytes / 2**20, 2)
+    extras["pq_codes_mb"] = round(pq_cmat.nbytes / 2**20, 2)
+    extras["ivfpq_codes_mb"] = round(N_BIG * 16 / 2**20, 2)
+
     extras["ivfpq_recall_at_k"] = _recall_vs_exact(
         ivfpq_search_batch(ivfpq, sample_pq, k=K, nprobe=8).toPandas()
     )
     extras["ivfpq_refined_recall_at_k"] = _recall_vs_exact(
         ivfpq_search_batch(
-            ivfpq, sample_pq, k=K, nprobe=8, refine_df=big, refine=100
+            ivfpq, sample_pq, k=K, nprobe=16, refine_df=big, refine=200
         ).toPandas()
     )
 
