@@ -408,3 +408,49 @@ def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# TPC-H Q18 shape: HAVING-filtered aggregate feeding a semi join, then
+# a re-aggregation over the joined fact — two keyed shuffles, the
+# second pre-pruned by the first's tiny output (broadcastable id set)
+_LARGE_ORDERS_ORACLE = """
+SELECT c.c_name,
+       o.o_orderkey,
+       CAST(o.o_custkey AS BIGINT) AS custkey,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("agg_large_orders", _LARGE_ORDERS_ORACLE)
+def agg_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-quantity orders (TPC-H Q18 shape). The HAVING subquery's
+    id set is k-sized → broadcast semi join, no second full shuffle of
+    lineitem."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    big_ids = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big_ids), o.o_orderkey == big_ids.l_orderkey, "left_semi")
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(l.select("l_orderkey", "l_quantity"), l.l_orderkey == o.o_orderkey)
+        .groupBy("c_name", "o_orderkey", F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )

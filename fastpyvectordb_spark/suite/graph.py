@@ -267,3 +267,46 @@ def graph_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = build_nodes(spark, sf_dir)
     edges = build_edges(spark, sf_dir)
     return G.graph_stats(nodes, edges)
+
+
+@register(
+    "graph_shortest_path",
+    f"""
+WITH RECURSIVE {_EDGES_CTE.lstrip()},
+walk AS (
+  SELECT 'o:3' AS node, ['o:3'] AS path_arr, 0 AS depth
+  UNION ALL
+  SELECT e.dst, list_append(w.path_arr, e.dst), w.depth + 1
+  FROM walk w JOIN (SELECT DISTINCT src, dst FROM edges) e ON e.src = w.node
+  WHERE w.depth < 4 AND NOT list_contains(w.path_arr, e.dst)
+),
+hits AS (SELECT * FROM walk WHERE node LIKE 'r:%'),
+best AS (SELECT MIN(depth) AS hops FROM hits)
+SELECT 'o:3' AS src_id,
+       node AS dst_id,
+       CAST(depth AS INT) AS hops,
+       list_aggregate(path_arr, 'string_agg', '->') AS path
+FROM hits, best WHERE depth = best.hops
+ORDER BY path LIMIT 1
+""",
+)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 proper: BFS shortest path from order o:3 to its region (the
+    o→c→n→r chain makes the answer 3 hops), early-stop driver loop vs
+    a recursive-CTE oracle. The target is the region the BFS reaches
+    first — computed by running the same plan for dst discovery."""
+    edges = build_edges(spark, sf_dir)
+    # discover the reachable region (deterministic: o→c→n→r is a chain)
+    reach = G.bfs_levels(edges, "o:3", max_depth=4)
+    dst = (
+        reach.filter(F.col("node_id").startswith("r:"))
+        .orderBy("hops", "node_id")
+        .head()["node_id"]
+    )
+    out = G.shortest_path(edges, "o:3", dst, max_depth=4)
+    return out.select(
+        "src_id",
+        F.col("dst_id"),
+        F.col("hops").cast("int").alias("hops"),
+        "path",
+    )
