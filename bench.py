@@ -341,6 +341,22 @@ def main() -> None:
         n_queries / timings["q_knn_ivfpq_batch_100k"], 1
     )
 
+    # packed driver-local IVF-PQ (1.6 MB codes for 100K×16): the
+    # memory-frugal serving twin — parity-tested vs the distributed plan
+    from fastpyvectordb_spark.ann.ivfpq import ivfpq_pack, ivfpq_search_local
+
+    ivfpq_packed = ivfpq_pack(ivfpq)
+    ivfpq_search_local(ivfpq_packed, qpdf_big, k=K, nprobe=8)  # warm
+
+    @bench("q_knn_ivfpq_local_100k")
+    def _():
+        res = ivfpq_search_local(ivfpq_packed, qpdf_big, k=K, nprobe=8)
+        assert len(res) == n_queries * K
+
+    extras["ivfpq_local_qps"] = round(
+        n_queries / timings["q_knn_ivfpq_local_100k"], 1
+    )
+
     # IVF-PQ recall vs exact on a query sample: raw ADC and the
     # refined path (ADC top-100 → exact rerank — the production plan)
     sample_pq = qpdf_big.head(64)

@@ -311,3 +311,110 @@ def ivfpq_search(
         index, qpdf, k=k, nprobe=nprobe, refine_df=refine_df, refine=refine,
         vec_col=vec_col,
     ).drop("query_id")
+
+
+@dataclass
+class IVFPQPacked:
+    """Driver-resident packed IVF-PQ: list-grouped code matrix +
+    codebooks. At M=16 a 100M-vector index is 1.6 GB — an index over
+    data three orders of magnitude bigger than driver memory could
+    hold raw. Built BY Spark (the codes table), collected once."""
+
+    centroids: np.ndarray   # (L, D) float64
+    codebooks: np.ndarray   # (M, K, D/M) float64
+    codes: np.ndarray       # (N, M) uint8, rows grouped by list_id
+    ids: np.ndarray         # (N,) int64
+    offsets: np.ndarray     # (L+1,)
+
+
+def ivfpq_pack(index: IVFPQIndex) -> IVFPQPacked:
+    """Collect the codes table once (Arrow) into list-grouped arrays."""
+    id_col = index.id_col
+    tbl = index.codes.select("list_id", id_col, "codes").toArrow()
+    lists = tbl["list_id"].to_numpy()
+    ids = tbl[id_col].to_numpy()
+    flat = tbl["codes"].combine_chunks()
+    m_subspaces = index.codebooks.shape[0]
+    codes = np.asarray(flat.flatten(), dtype=np.int64).reshape(
+        len(ids), m_subspaces
+    )
+    order = np.argsort(lists, kind="stable")
+    lists = lists[order]
+    n_lists = index.centroids.shape[0]
+    return IVFPQPacked(
+        centroids=index.centroids,
+        codebooks=index.codebooks,
+        codes=np.ascontiguousarray(codes[order].astype(np.uint8)),
+        ids=np.ascontiguousarray(ids[order]),
+        offsets=np.searchsorted(lists, np.arange(n_lists + 1)),
+    )
+
+
+def ivfpq_search_local(
+    packed: IVFPQPacked,
+    queries_pdf: pd.DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Driver-local twin of :func:`ivfpq_search_batch` (ADC, no
+    refine): per probed list one LUT per querying query, M
+    fancy-gathers over that list's code slice, vectorized global
+    merge. Identical probe selection and float64 accumulation order →
+    identical values/ordering to the distributed plan."""
+    qids = queries_pdf["query_id"].to_numpy()
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in queries_pdf["query_vec"]]
+    )
+    nq, dims = qmat.shape
+    m_subspaces, n_cent, sub = packed.codebooks.shape
+    cd = ((packed.centroids[None, :, :] - qmat[:, None, :]) ** 2).sum(axis=2)
+    probe = np.argsort(cd, axis=1)[:, :nprobe]
+
+    out_d = np.full((nq, nprobe * k), np.inf, dtype=np.float64)
+    out_i = np.full((nq, nprobe * k), -1, dtype=np.int64)
+    fill = np.zeros(nq, dtype=np.int64)
+    all_rows = np.arange(nq)
+    for lid in np.unique(probe):
+        s, e = int(packed.offsets[lid]), int(packed.offsets[lid + 1])
+        if e <= s:
+            continue
+        qidx = all_rows[(probe == lid).any(axis=1)]
+        cslice = packed.codes[s:e].astype(np.intp)
+        qr = (qmat[qidx] - packed.centroids[lid]).reshape(
+            len(qidx), m_subspaces, sub
+        )
+        diff = qr[:, :, None, :] - packed.codebooks[None, :, :, :]
+        lut = np.einsum("qmkd,qmkd->qmk", diff, diff)
+        d2 = lut[:, 0, :][:, cslice[:, 0]].copy()
+        for m in range(1, m_subspaces):
+            d2 += lut[:, m, :][:, cslice[:, m]]
+        d = np.sqrt(np.maximum(d2, 0.0))
+        kk = min(k, e - s)
+        if kk < e - s:
+            p = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        else:
+            p = np.broadcast_to(np.arange(e - s), (len(qidx), e - s))
+        rows = np.arange(len(qidx))[:, None]
+        cols = (fill[qidx] * k)[:, None] + np.arange(p.shape[1])[None, :]
+        out_d[qidx[:, None], cols] = d[rows, p]
+        out_i[qidx[:, None], cols] = packed.ids[s:e][p]
+        fill[qidx] += 1
+
+    kk = min(k, out_d.shape[1])
+    sel = np.argpartition(out_d, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(nq)[:, None]
+    d_sel = out_d[rows, sel]
+    i_sel = out_i[rows, sel]
+    order = np.lexsort((i_sel, d_sel), axis=1)
+    d_sorted = np.take_along_axis(d_sel, order, axis=1)
+    i_sorted = np.take_along_axis(i_sel, order, axis=1)
+    valid = np.isfinite(d_sorted).ravel()
+    return pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, kk)[valid],
+            "rank": np.tile(np.arange(1, kk + 1), nq)[valid],
+            id_col: i_sorted.ravel()[valid],
+            "dist": d_sorted.ravel()[valid],
+        }
+    )

@@ -486,6 +486,36 @@ class Collection:
             pre_filter=pre, id_col="id", vec_col="embedding",
         )
 
+    def search_batch(
+        self,
+        query_vecs: Sequence[Sequence[float]],
+        k: int = 10,
+        where: Filter | dict | None = None,
+    ) -> DataFrame:
+        """K2: batch search as ONE job (ref ``search_batch``,
+        vectordb_optimized.py:577-644 — its native multi-query call is
+        Spark's broadcast-queries + per-query window). Returns
+        (query_id, rank, id, dist); query_id is the input position."""
+        from fastpyvectordb_spark.operators.knn import knn_join
+
+        for v in query_vecs:
+            if len(v) != self.config.dimensions:
+                raise ValueError(
+                    f"query dimension {len(v)} != {self.config.dimensions}"
+                )
+        base = self.df()
+        if where is not None:
+            f = from_dict(where) if isinstance(where, dict) else where
+            base = base.filter(f.col())
+        qdf = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
+            "query_id long, query_vec array<double>",
+        )
+        return knn_join(
+            base, qdf, k=k, metric=self.config.metric,
+            id_col="id", vec_col="embedding",
+        )
+
 
 class VectorDB:
     """Database = named directory of collections (S3,

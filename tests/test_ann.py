@@ -220,3 +220,43 @@ def test_ivfpq_codes_table_is_compact(embeddings, tmp_path):
 
     parts = [p for p in os.listdir(path) if p.startswith("list_id=")]
     assert len(parts) == 4
+
+
+def test_ivfpq_local_matches_distributed(embeddings, spark):
+    """Packed driver-local IVF-PQ ADC must reproduce the distributed
+    per-list plan exactly (same probes, same float64 LUT accumulation
+    order, same tie rule)."""
+    import pandas as pd
+
+    from fastpyvectordb_spark.ann.ivfpq import (
+        ivfpq_build,
+        ivfpq_pack,
+        ivfpq_search_batch,
+        ivfpq_search_local,
+    )
+
+    index = ivfpq_build(
+        embeddings, n_lists=4, m_subspaces=8, n_centroids=16, max_iter=3
+    )
+    index.codes = index.codes.localCheckpoint()
+    packed = ivfpq_pack(index)
+    qrows = embeddings.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [r["vec_id"] for r in qrows],
+            "query_vec": [list(r["embedding"]) for r in qrows],
+        }
+    )
+    want = (
+        ivfpq_search_batch(index, qpdf, k=10, nprobe=2)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = (
+        ivfpq_search_local(packed, qpdf, k=10, nprobe=2)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(got["dist"], want["dist"], atol=1e-9)

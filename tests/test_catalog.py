@@ -233,3 +233,17 @@ def test_chroma_add_query_roundtrip(spark, tmp_path):
         query_embeddings=[[0.0] * 16], n_results=1, include=("distances",)
     )
     assert len(out3["ids"][0]) == 1
+
+
+def test_search_batch_matches_single(spark, db):
+    """K2 API parity: search_batch per-query rows must equal per-query
+    search() results (which knn_filtered oracle-gates)."""
+    c = db.create_collection("batchcol", dimensions=4, metric="l2")
+    c.insert_batch(_batch(spark, _vecs(12)))
+    vecs = [r["embedding"] for r in c.df().orderBy("id").limit(3).collect()]
+    batch = c.search_batch(vecs, k=5).collect()
+    for qi, v in enumerate(vecs):
+        single = c.search(v, k=5).collect()
+        got = [(r["id"], r["dist"]) for r in batch if r["query_id"] == qi]
+        want = [(r["id"], r["dist"]) for r in single]
+        assert got == want, qi
