@@ -1,0 +1,86 @@
+"""Edge-case pins: the failure modes the reference handles explicitly
+(H4 no-text fallback, k > N clamp, empty inputs, dim mismatch)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.operators.knn import knn
+from fastpyvectordb_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_hybrid_no_text_falls_back_to_vector(spark):
+    """H4 (hybrid_search.py:397-411): no query_text ⇒ pure vector
+    ranking with keyword_score 0."""
+    from fastpyvectordb_spark.operators.fusion import hybrid_search
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    qvec = corpus.head()["embedding"]
+    rows = hybrid_search(corpus, qvec, None, k=5).collect()
+    assert len(rows) == 5
+    assert all(r["keyword_score"] == 0.0 for r in rows)
+    vec_only = knn(
+        corpus, qvec, k=5, metric="cosine", id_col="doc_id"
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in vec_only]
+
+
+def test_knn_k_larger_than_n(spark):
+    """k > N returns all N rows (ref clamps fetch_k to N,
+    vectordb_optimized.py:531-532)."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(7)
+    qvec = emb.head()["embedding"]
+    assert knn(emb, qvec, k=100).count() == 7
+
+
+def test_knn_empty_table(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    empty = emb.filter(F.lit(False))
+    qvec = emb.head()["embedding"]
+    assert knn(empty, qvec, k=5).count() == 0
+
+
+def test_bm25_unknown_terms(spark):
+    """A query of out-of-vocabulary terms matches no candidate docs
+    (T5: candidates = docs containing ≥1 term)."""
+    from fastpyvectordb_spark.operators.bm25 import BM25Index
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    idx = BM25Index.build(docs.select("doc_id", "text"))
+    assert idx.search("zzzqqqxyzzy frobnicate", k=5).count() == 0
+
+
+def test_collection_dim_mismatch(spark, tmp_path):
+    from fastpyvectordb_spark.catalog import VectorDB
+
+    db = VectorDB(spark, str(tmp_path / "db"))
+    c = db.create_collection("c", dimensions=4)
+    with pytest.raises(ValueError, match="dimension"):
+        c.search([1.0, 2.0], k=3)
+    with pytest.raises(ValueError, match="dimension"):
+        c.search_batch([[1.0, 2.0, 3.0, 4.0], [1.0]], k=3)
+
+
+def test_sq_constant_dimension(spark):
+    """A constant dim has range 0 → scale falls back to 1.0 (Q1 zero
+    guard, quantization.py:103-105) and encode yields code 0."""
+    from fastpyvectordb_spark.operators import quantization as Q
+
+    df = spark.createDataFrame(
+        [(i, [1.5, float(i)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    stats = {r["dim"]: r for r in Q.sq_train(df).collect()}
+    assert stats[0]["scale"] == 1.0
+    mins = [stats[d]["vmin"] for d in (0, 1)]
+    scales = [stats[d]["scale"] for d in (0, 1)]
+    row = df.select(
+        Q.sq_encode_expr(F.col("embedding"), mins, scales).alias("codes")
+    ).head()
+    assert row["codes"][0] == 0
