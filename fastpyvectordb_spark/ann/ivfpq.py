@@ -114,6 +114,9 @@ def ivfpq_build(
     dims = int(first["d"])
     if dims % m_subspaces:
         raise ValueError(f"dims={dims} not divisible by M={m_subspaces}")
+    if n_centroids > 256:
+        # codes are packed to uint8 (one byte per subspace)
+        raise ValueError(f"n_centroids={n_centroids} > 256 (uint8 codes)")
 
     ivf = ivf_build(df, n_lists=n_lists, vec_col=vec_col, seed=seed,
                     max_iter=max_iter)
