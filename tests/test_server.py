@@ -235,3 +235,36 @@ def test_rest_graph(api):
     assert status == 200
     status, r = _req(api, "GET", "/graph/stats")
     assert r["n_nodes"] == 2 and r["n_edges"] == 1
+
+
+def test_rest_concurrent_search(api):
+    """The shim serves concurrent searches correctly (reads need no
+    lock — each runs an independent DataFrame job)."""
+    import concurrent.futures
+
+    status, _ = _req(
+        api, "POST", "/collections",
+        {"name": "conc", "dimensions": 4, "metric": "l2"},
+    )
+    assert status == 200
+    status, _ = _req(
+        api, "POST", "/collections/conc/vectors/batch",
+        {
+            "ids": [f"v{i}" for i in range(8)],
+            "vectors": [[float(i), 0, 0, 0] for i in range(8)],
+        },
+    )
+    assert status == 200
+
+    def hit(i):
+        s, r = _req(
+            api, "POST", "/collections/conc/search",
+            {"vector": [float(i), 0, 0, 0], "k": 1},
+        )
+        return s, r["results"][0]["id"]
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        out = list(ex.map(hit, range(8)))
+    assert all(s == 200 for s, _ in out)
+    assert [rid for _, rid in out] == [f"v{i}" for i in range(8)]
+    _req(api, "DELETE", "/collections/conc")
