@@ -464,3 +464,61 @@ def embedding_neardup_topk(
         .orderBy(F.desc("cos_sim"), "id_a", "id_b")
         .limit(k)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id,
+    cluster_id), cluster_id = smallest member id.
+
+    The real-world output of dedup at scale: LSH/Jaccard emit PAIRS,
+    but retention decisions need CLUSTERS (keep one doc per component).
+    Algorithm: iterative min-label propagation — each node adopts the
+    smallest label among itself and its neighbors until fixpoint
+    (≤ diameter iterations; duplicate clusters are shallow in
+    practice). Every step is a keyed join + groupBy-min — shuffles on
+    the node id only; lineage is cut by localCheckpoint every few
+    hops. Singleton docs (no pair) are not emitted — callers union
+    them back with cluster_id = doc_id if needed.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    for it in range(max_iter):
+        # candidate labels: own + each neighbor's current label
+        neighbor_labels = (
+            edges.join(labels, edges.v == labels.node)
+            .select(F.col("u").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -228,3 +228,49 @@ LIMIT 10
 def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_neardup_topk(emb, k=10)
+
+
+# Connected components over near-dup pairs: cluster_id = min member.
+# Oracle: recursive transitive closure of min-reachable-id (UNION
+# dedups rows, so the recursion terminates at the fixpoint).
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_NEAR_CORPUS_SQL.lstrip()},
+{D.duckdb_shingles_cte("corpus").lstrip()},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.sh = b.sh AND a.sh2 = b.sh2 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM common c
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  WHERE c.n_common / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) >= 0.3
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+)
+SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+ORDER BY doc_id
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via iterative min-label propagation (Spark)
+    vs recursive transitive closure (oracle). The retention decision a
+    real pipeline makes: one canonical doc per component."""
+    corpus = _near_corpus(spark, sf_dir)
+    sh = D.shingles(corpus)
+    pairs = D.jaccard_pairs(sh, min_jaccard=0.3)
+    return D.duplicate_clusters(pairs).orderBy("doc_id")

@@ -84,3 +84,39 @@ def test_simhash_near_pairs(spark, corpus):
     }
     assert got[(1, 2)] == 0
     assert not any(4 in p for p in got)
+
+
+def test_duplicate_clusters_chain_transitivity(spark):
+    """A chain a-b, b-c, plus an isolated pair d-e must yield two
+    components with min-id labels — even though a and c never share a
+    pair (transitivity is the point of clustering vs raw pairs)."""
+    import pandas as pd
+
+    from fastpyvectordb_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 20, 40], "id_b": [20, 30, 50]}),
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds; the
+    fixpoint check must converge to a single component."""
+    import pandas as pd
+
+    from fastpyvectordb_spark.operators.dedup import duplicate_clusters
+
+    n = 12
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))}),
+        "id_a long, id_b long",
+    )
+    got = duplicate_clusters(pairs).collect()
+    assert len(got) == n
+    assert {r["cluster_id"] for r in got} == {0}
