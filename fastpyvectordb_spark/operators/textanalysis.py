@@ -140,3 +140,44 @@ def fingerprint(
         F.col(id_col).alias("doc_id"),
         fingerprint_expr(F.col(text_col)).alias("fingerprint"),
     )
+
+
+def deterministic_split_expr(
+    id_col: Column, weights: dict[str, int], salt: int = 42
+) -> Column:
+    """Deterministic dataset split (train/val/test) from the row id —
+    the reproducibility contract a training pipeline needs: the split
+    is a pure function of (id, salt), stable across runs, engines, and
+    partitionings (no rand()). Knuth multiplicative hash mod 100;
+    ``weights`` maps split name → percent (must sum to 100).
+
+    Pure integer arithmetic so any SQL engine computes the identical
+    assignment (cross-engine oracle-checkable, unlike xxhash64).
+    """
+    if sum(weights.values()) != 100:
+        raise ValueError(f"weights must sum to 100: {weights}")
+    bucket = F.pmod(
+        (id_col.cast("bigint") + F.lit(salt)) * F.lit(2654435761),
+        F.lit(2**32),
+    ) % 100
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return expr
+
+
+def deterministic_split_sql(
+    id_sql: str, weights: dict[str, int], salt: int = 42
+) -> str:
+    """DuckDB twin of :func:`deterministic_split_expr` (same arithmetic,
+    same bucket boundaries)."""
+    bucket = f"((({id_sql} + {salt}) * 2654435761) % 4294967296 % 100)"
+    cases = []
+    lo = 0
+    for name, pct in weights.items():
+        cases.append(f"WHEN {bucket} >= {lo} AND {bucket} < {lo + pct} THEN '{name}'")
+        lo += pct
+    return "CASE " + " ".join(cases) + " END"

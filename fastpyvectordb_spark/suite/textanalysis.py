@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from fastpyvectordb_spark.operators import textanalysis as T
 from fastpyvectordb_spark.operators.textanalysis import STOPWORDS
+from fastpyvectordb_spark.functions.text import tokenize
 from fastpyvectordb_spark.suite import register
 from fastpyvectordb_spark.tables import load_table
 
@@ -259,4 +260,41 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
         .orderBy("lang_pred")
+    )
+
+
+# Deterministic train/val/test split: pure-arithmetic hash of doc_id →
+# identical assignment in any engine; counts per (split, token bucket)
+_SPLIT_SQL = T.deterministic_split_sql("doc_id", {"train": 80, "val": 10, "test": 10})
+_SPLIT_ORACLE = f"""
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                t -> t <> ''))) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, text, {_SPLIT_SQL} AS split FROM documents)
+GROUP BY split ORDER BY split
+"""
+
+
+@register("pipeline_split_counts", _SPLIT_ORACLE)
+def pipeline_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 split of the corpus with per-split doc and
+    token counts — the dataset-freeze step of a training pipeline. The
+    assignment is a pure function of doc_id (stable across runs,
+    engines, partitionings)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = T.deterministic_split_expr(
+        F.col("doc_id"), {"train": 80, "val": 10, "test": 10}
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split")
     )

@@ -120,3 +120,32 @@ def test_duplicate_clusters_long_chain_converges(spark):
     got = duplicate_clusters(pairs).collect()
     assert len(got) == n
     assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_deterministic_split_stability(spark):
+    """The split is a pure function of (id, salt): identical across
+    repartitionings; fractions land near the weights."""
+    from fastpyvectordb_spark.operators.textanalysis import (
+        deterministic_split_expr,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    split = deterministic_split_expr(
+        F.col("doc_id"), {"train": 80, "val": 10, "test": 10}
+    )
+    a = dict(
+        (r["doc_id"], r["s"])
+        for r in df.select("doc_id", split.alias("s")).collect()
+    )
+    b = dict(
+        (r["doc_id"], r["s"])
+        for r in df.repartition(7).select("doc_id", split.alias("s")).collect()
+    )
+    assert a == b
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert abs(frac["train"] / 10_000 - 0.80) < 0.02
+    assert abs(frac["val"] / 10_000 - 0.10) < 0.02
+    assert abs(frac["test"] / 10_000 - 0.10) < 0.02
