@@ -7,6 +7,9 @@ the oracle reproduces the stubbed checksums in SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.operators import multimodal as M
 
 from fastpyvectordb_spark.operators.multimodal import (
     extract_features,
@@ -93,3 +96,47 @@ def media_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata manifest aggregation (payload column pruned)."""
     media = synthetic_media(spark, load_table(spark, sf_dir, "documents"))
     return media_manifest(media)
+
+
+# audio chunking: window/hop arithmetic + real byte slicing, all
+# SQL-expressible → fully oracle-gated (chunk bytes compared by length)
+_CHUNK_ORACLE = """
+WITH media AS (
+  SELECT 'm:' || doc_id AS media_id,
+         ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3 + 1)] AS mime,
+         encode(text) AS payload,
+         CAST(length(text) AS BIGINT) * 10 AS duration_ms
+  FROM documents
+),
+audio AS (
+  SELECT media_id, payload, duration_ms,
+         octet_length(payload) / CAST(greatest(duration_ms, 1) AS DOUBLE) AS bpm,
+         greatest(1, CAST(ceil((duration_ms - 5000) / 2500.0) AS INT) + 1) AS n_chunks
+  FROM media WHERE mime LIKE 'audio/%'
+)
+SELECT media_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * 2500 AS BIGINT) AS start_ms,
+       CAST(least(i * 2500 + 5000, duration_ms) AS BIGINT) AS end_ms,
+       CAST(CAST(floor(least(i * 2500 + 5000, duration_ms) * bpm) AS INT)
+            - CAST(floor(i * 2500 * bpm) AS INT) AS INT) AS chunk_bytes
+FROM audio, unnest(range(n_chunks)) AS t(i)
+ORDER BY media_id, chunk_idx
+"""
+
+
+@register("media_audio_chunks", _CHUNK_ORACLE)
+def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 5s/2.5s audio windows with real payload byte
+    slicing (M.chunk_audio) — compared to the oracle on the window
+    arithmetic + slice lengths."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthetic_media(spark, docs)
+    chunks = M.chunk_audio(media, window_ms=5000, hop_ms=2500)
+    return chunks.select(
+        "media_id",
+        "chunk_idx",
+        "start_ms",
+        "end_ms",
+        F.length("chunk_payload").cast("int").alias("chunk_bytes"),
+    ).orderBy("media_id", "chunk_idx")
