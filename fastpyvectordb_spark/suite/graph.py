@@ -310,3 +310,41 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hops").cast("int").alias("hops"),
         "path",
     )
+
+
+# hyperedge co-occurrence mining (market-basket over CO_ORDERED): top
+# part pairs by number of shared orders — the association shape built
+# on the same explode→self-join the hyperedge membership index uses.
+# The self-join is keyed on the order (bounded fan-out per basket),
+# never all-pairs over parts.
+_COPURCHASE_ORACLE = """
+WITH members AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+)
+SELECT a.part AS part_a, b.part AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM members a JOIN members b ON a.okey = b.okey AND a.part < b.part
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register("graph_part_copurchase_topk", _COPURCHASE_ORACLE)
+def graph_part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-ordered part pairs (hyperedge co-membership counts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    members = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = members.alias("a")
+    b = members.alias("b")
+    return (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )

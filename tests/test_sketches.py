@@ -1,0 +1,40 @@
+"""Approximate-analytics (sketch) error gates — native Spark
+capabilities the reference has no equivalent for (declared in SURVEY
+§2.10 as gained-for-free; these tests pin their accuracy contracts
+against exact twins, the same recall-gate pattern as the ANN ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fastpyvectordb_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_hll_distinct_within_tolerance(spark):
+    """approx_count_distinct (HyperLogLog++) within its documented rsd
+    on every events column we'd dashboard."""
+    ev = load_table(spark, SF_DIR, "events")
+    for col in ("user_id", "event_type"):
+        exact = ev.select(F.countDistinct(col)).head()[0]
+        approx = ev.select(F.approx_count_distinct(col, rsd=0.02)).head()[0]
+        assert abs(approx - exact) <= max(3, 0.06 * exact), (col, approx, exact)
+
+
+def test_approx_percentile_within_tolerance(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.select(F.percentile("value", F.lit(0.5))).head()[0]
+    approx = ev.select(F.percentile_approx("value", F.lit(0.5), 10_000)).head()[0]
+    spread = (
+        ev.select(F.max("value") - F.min("value")).head()[0] or 1.0
+    )
+    assert abs(approx - exact) <= 0.05 * spread, (approx, exact)
+
+
+def test_freq_items_contains_true_top(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    true_top = (
+        docs.groupBy("lang").count().orderBy(F.desc("count")).head()["lang"]
+    )
+    freq = docs.freqItems(["lang"], support=0.1).head()["lang_freqItems"]
+    assert true_top in freq
