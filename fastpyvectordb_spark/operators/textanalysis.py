@@ -181,3 +181,30 @@ def deterministic_split_sql(
         cases.append(f"WHEN {bucket} >= {lo} AND {bucket} < {lo + pct} THEN '{name}'")
         lo += pct
     return "CASE " + " ".join(cases) + " END"
+
+
+# PII/content scrubbing patterns (order matters: URLs before emails
+# would eat mailto:, so emails go first; all are RE2-safe)
+_SCRUB_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii_expr(text: Column) -> Column:
+    """Mask emails, URLs, and phone-shaped digit runs — the standard
+    pre-training content filter, as chained ``regexp_replace`` (pure
+    codegen; at 100 TB this is a projection, no shuffle)."""
+    out = text
+    for _, pat, repl in _SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def scrub_stats_exprs(text: Column) -> dict[str, Column]:
+    """Per-doc counts of each PII class (for corpus audit reports)."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for name, pat, _ in _SCRUB_PATTERNS
+    }

@@ -298,3 +298,48 @@ def pipeline_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# PII scrub audit: per-source counts of masked entities + total chars
+# removed. duckdb regexp_replace(g) ≡ Spark regexp_replace (global).
+_SCRUB_ORACLE = r"""
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+       CAST(SUM(len(regexp_extract_all(text, 'https?://[^\s]+'))) AS BIGINT) AS n_url,
+       CAST(SUM(len(regexp_extract_all(text, '\+?\d[\d\s().-]{7,}\d'))) AS BIGINT) AS n_phone,
+       CAST(SUM(length(text) - length(
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g'),
+           '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g')
+       )) AS BIGINT) AS chars_removed
+FROM documents
+GROUP BY source ORDER BY source
+"""
+
+
+@register("text_scrub_audit", _SCRUB_ORACLE)
+def text_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit per source: masked-entity counts and net chars
+    removed by the scrubbing projection (T.scrub_pii_expr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = T.scrub_stats_exprs(F.col("text"))
+    return (
+        docs.select(
+            "source",
+            stats["n_email"].alias("e"),
+            stats["n_url"].alias("u"),
+            stats["n_phone"].alias("p"),
+            (
+                F.length("text") - F.length(T.scrub_pii_expr(F.col("text")))
+            ).alias("removed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("e").alias("n_email"),
+            F.sum("u").alias("n_url"),
+            F.sum("p").alias("n_phone"),
+            F.sum("removed").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )

@@ -84,3 +84,22 @@ def test_sq_constant_dimension(spark):
         Q.sq_encode_expr(F.col("embedding"), mins, scales).alias("codes")
     ).head()
     assert row["codes"][0] == 0
+
+
+def test_scrub_pii_masks_entities(spark):
+    from fastpyvectordb_spark.operators.textanalysis import scrub_pii_expr
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at jo.doe+x@corp.example.com today",),
+            ("docs: https://example.com/a?b=1 end",),
+            ("call +1 (415) 555-0199 now",),
+            ("clean text stays clean",),
+        ],
+        "text string",
+    )
+    got = [r["s"] for r in df.select(scrub_pii_expr(F.col("text")).alias("s")).collect()]
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "docs: <URL> end"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "clean text stays clean"
