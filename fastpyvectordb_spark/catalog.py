@@ -33,16 +33,39 @@ _POINTER = "_current"
 
 @dataclass
 class CollectionConfig:
+    """Schema contract + index knobs. ``m``/``ef_construction``/
+    ``ef_search`` mirror the reference's HNSW config
+    (``vectordb_optimized.py:191-200``) — persisted for API parity and
+    consumed by the opt-in ANN accelerators (IVF n_lists ≈ f(m),
+    nprobe ≈ f(ef_search)); the exact engine ignores them."""
+
     dimensions: int
     metric: str = "cosine"
+    m: int = 16
+    ef_construction: int = 200
+    ef_search: int = 50
 
     def to_json(self) -> str:
-        return json.dumps({"dimensions": self.dimensions, "metric": self.metric})
+        return json.dumps(
+            {
+                "dimensions": self.dimensions,
+                "metric": self.metric,
+                "m": self.m,
+                "ef_construction": self.ef_construction,
+                "ef_search": self.ef_search,
+            }
+        )
 
     @staticmethod
     def from_json(s: str) -> "CollectionConfig":
         d = json.loads(s)
-        return CollectionConfig(d["dimensions"], d.get("metric", "cosine"))
+        return CollectionConfig(
+            d["dimensions"],
+            d.get("metric", "cosine"),
+            d.get("m", 16),
+            d.get("ef_construction", 200),
+            d.get("ef_search", 50),
+        )
 
 
 class Collection:
@@ -532,12 +555,22 @@ class VectorDB:
         return os.path.join(self.path, name)
 
     def create_collection(
-        self, name: str, dimensions: int, metric: str = "cosine"
+        self,
+        name: str,
+        dimensions: int,
+        metric: str = "cosine",
+        m: int = 16,
+        ef_construction: int = 200,
+        ef_search: int = 50,
     ) -> Collection:
         p = self._cpath(name)
         if os.path.exists(os.path.join(p, "config.json")):
             raise ValueError(f"collection {name!r} already exists")
-        return Collection(self.spark, p, CollectionConfig(dimensions, metric))
+        return Collection(
+            self.spark,
+            p,
+            CollectionConfig(dimensions, metric, m, ef_construction, ef_search),
+        )
 
     def get_collection(self, name: str) -> Collection:
         p = self._cpath(name)

@@ -247,3 +247,17 @@ def test_search_batch_matches_single(spark, db):
         got = [(r["id"], r["dist"]) for r in batch if r["query_id"] == qi]
         want = [(r["id"], r["dist"]) for r in single]
         assert got == want, qi
+
+
+def test_collection_config_knobs_roundtrip(spark, tmp_path):
+    """HNSW-config parity (vectordb_optimized.py:191-200): knobs
+    persist to config.json and survive re-open."""
+    from fastpyvectordb_spark.catalog import VectorDB
+
+    db = VectorDB(spark, str(tmp_path / "kdb"))
+    db.create_collection("k", dimensions=8, metric="l2", m=32,
+                         ef_construction=400, ef_search=128)
+    db2 = VectorDB(spark, str(tmp_path / "kdb"))
+    cfg = db2.get_collection("k").config
+    assert (cfg.m, cfg.ef_construction, cfg.ef_search) == (32, 400, 128)
+    assert (cfg.dimensions, cfg.metric) == (8, "l2")
