@@ -173,6 +173,46 @@ def main() -> None:
 
     extras["ingest_vec_per_sec"] = round(N_BIG / timings["q_ingest_100k"], 1)
 
+    # DML shapes over a catalog collection at 100K (reference
+    # benchmark.py upsert/delete workloads): batch upsert = anti-join +
+    # append rewrite (the MERGE plan), batch delete = anti-join rewrite.
+    # Spark's regime is batch DML — per-row OLTP inserts are out of
+    # model (the reference's 3,239 seq-insert/s row; see README note).
+    import tempfile
+
+    from fastpyvectordb_spark.catalog import VectorDB
+
+    _db = VectorDB(spark, tempfile.mkdtemp() + "/benchdb")
+    _col = _db.create_collection("vecs", dimensions=64, metric="cosine")
+
+    @bench("q_dml_ingest_collection_100k")
+    def _():
+        _col.insert_batch(
+            big.select(F.col("vec_id").cast("string").alias("id"), "embedding")
+        )
+
+    extras["collection_ingest_vec_per_sec"] = round(
+        N_BIG / timings["q_dml_ingest_collection_100k"], 1
+    )
+
+    _upd = big.filter(F.col("vec_id") < 1000).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+
+    @bench("q_dml_upsert_1k")
+    def _():
+        _col.upsert(_upd)
+
+    extras["upsert_rows_per_sec"] = round(1000 / timings["q_dml_upsert_1k"], 1)
+
+    @bench("q_dml_delete_1k")
+    def _():
+        _col.delete(ids=[str(i) for i in range(1000)])
+
+    extras["delete_rows_per_sec"] = round(1000 / timings["q_dml_delete_1k"], 1)
+    assert _col.count() == N_BIG - 1000
+
     # IVF accelerator at 100K: build once, then probe
     from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_search
 

@@ -80,3 +80,16 @@ def test_lsh_probe_pushes_bucket_filter(spark):
     # derived column: filter evaluates post-scan but must not shuffle
     rep = plan_report(probed)
     assert rep.exchanges == 0, rep.summary()
+
+
+def test_suite_registration_contract():
+    """Every suite query has an oracle unless it is one of the three
+    declared approximate ops; names are unique; counts match docs."""
+    from fastpyvectordb_spark import suite
+
+    q = suite.queries()
+    o = suite.oracle_sql()
+    assert set(o) <= set(q)
+    rows_only = set(q) - set(o)
+    assert rows_only == {"ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn"}, rows_only
+    assert len(q) >= 83
