@@ -174,10 +174,12 @@ def main() -> None:
     extras["ingest_vec_per_sec"] = round(N_BIG / timings["q_ingest_100k"], 1)
 
     # DML shapes over a catalog collection at 100K (reference
-    # benchmark.py upsert/delete workloads): batch upsert = anti-join +
-    # append rewrite (the MERGE plan), batch delete = anti-join rewrite.
-    # Spark's regime is batch DML — per-row OLTP inserts are out of
-    # model (the reference's 3,239 seq-insert/s row; see README note).
+    # benchmark.py upsert/delete workloads). Commits are id-hash-bucket
+    # partitioned with hard-linked untouched buckets (Delta MERGE file
+    # pruning): appends and point updates rewrite only touched buckets,
+    # never the table. Spark's regime is batch DML — per-row OLTP
+    # commit rates are out of model (the reference's 3,239 seq-insert/s
+    # row; see README note).
     import tempfile
 
     from fastpyvectordb_spark.catalog import VectorDB
@@ -194,6 +196,15 @@ def main() -> None:
     extras["collection_ingest_vec_per_sec"] = round(
         N_BIG / timings["q_dml_ingest_collection_100k"], 1
     )
+
+    _one = big.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+
+    @bench("q_dml_upsert_point")
+    def _():
+        _col.upsert(_one)
 
     _upd = big.filter(F.col("vec_id") < 1000).select(
         F.col("vec_id").cast("string").alias("id"),

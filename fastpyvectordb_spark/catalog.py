@@ -44,6 +44,7 @@ class CollectionConfig:
     m: int = 16
     ef_construction: int = 200
     ef_search: int = 50
+    n_buckets: int = 16  # id-hash buckets for file-pruned DML rewrites
 
     def to_json(self) -> str:
         return json.dumps(
@@ -53,6 +54,7 @@ class CollectionConfig:
                 "m": self.m,
                 "ef_construction": self.ef_construction,
                 "ef_search": self.ef_search,
+                "n_buckets": self.n_buckets,
             }
         )
 
@@ -65,6 +67,7 @@ class CollectionConfig:
             d.get("m", 16),
             d.get("ef_construction", 200),
             d.get("ef_search", 50),
+            d.get("n_buckets", 16),
         )
 
 
@@ -108,18 +111,101 @@ class Collection:
             return self.spark.createDataFrame(
                 [], f"id string, embedding array<float>"
             )
-        return self.spark.read.parquet(p)
+        # mergeSchema: delta commits can leave per-bucket schema drift
+        # (a new metadata column exists only in rewritten buckets);
+        # missing columns read as NULL — exactly the F7 contract
+        return (
+            self.spark.read.option("mergeSchema", "true").parquet(p)
+            .drop("_bucket")
+        )
 
-    def _commit(self, df: DataFrame, op: str = "commit") -> None:
+    def _bucket(self, id_col: F.Column = None) -> F.Column:
+        col = F.col("id") if id_col is None else id_col
+        return F.pmod(F.xxhash64(col), F.lit(self.config.n_buckets))
+
+    def _finish_commit(self, version: str, op: str) -> None:
         import time
 
-        version = f"v_{uuid.uuid4().hex[:12]}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, version))
         with open(os.path.join(self.path, _POINTER), "w") as f:
             f.write(version)
         with open(os.path.join(self.path, "_versions"), "a") as f:
             f.write(json.dumps({"version": version, "op": op,
                                 "ts": time.time()}) + "\n")
+
+    def _commit(self, df: DataFrame, op: str = "commit") -> None:
+        """Full-snapshot commit, partitioned by id-hash bucket so later
+        DML can rewrite only touched buckets (Delta's file pruning)."""
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        (
+            df.withColumn("_bucket", self._bucket())
+            # co-locate each bucket in one task: without this every
+            # task writes to every bucket dir (tasks × buckets files)
+            .repartition(self.config.n_buckets, "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(os.path.join(self.path, version))
+        )
+        self._finish_commit(version, op)
+
+    def _commit_delta(
+        self, changed: DataFrame, touched: list[int], op: str
+    ) -> None:
+        """File-pruned commit (Delta MERGE mechanics): ``changed`` is
+        the FULL new content of the ``touched`` buckets; every other
+        bucket's files are hard-linked from the current snapshot into
+        the new version dir — O(changed data) write, O(1) per
+        untouched file. This is what keeps a 1k-row MERGE from
+        rewriting a 100 TB table."""
+        cur = self._data_path()
+        if cur is None or not touched:
+            if cur is None:
+                self._commit(changed, op)
+            return
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        vdir = os.path.join(self.path, version)
+        os.makedirs(vdir, exist_ok=True)
+        touched_set = {int(t) for t in touched}
+        for entry in os.listdir(cur):
+            if not entry.startswith("_bucket="):
+                continue
+            if int(entry.split("=", 1)[1]) in touched_set:
+                continue
+            src_dir = os.path.join(cur, entry)
+            dst_dir = os.path.join(vdir, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in os.listdir(src_dir):
+                if fn.endswith(".parquet"):
+                    os.link(
+                        os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
+                    )
+        (
+            changed.withColumn("_bucket", self._bucket())
+            .repartition(max(1, len(touched_set)), "_bucket")
+            .write.mode("append")
+            .partitionBy("_bucket")
+            .parquet(vdir)
+        )
+        self._finish_commit(version, op)
+
+    def _bucket_rows(self, touched: list[int]) -> DataFrame:
+        """Current rows of the touched buckets only — the read is
+        pruned to those partition dirs."""
+        p = self._data_path()
+        if p is None:
+            return self.df()
+        return (
+            self.spark.read.option("mergeSchema", "true").parquet(p)
+            .filter(F.col("_bucket").isin([int(t) for t in touched]))
+            .drop("_bucket")
+        )
+
+    def _touched_buckets(self, ids_df: DataFrame) -> list[int]:
+        return [
+            r["b"]
+            for r in ids_df.select(
+                self._bucket(F.col("id")).alias("b")
+            ).distinct().collect()
+        ]
 
     def history(self) -> list[dict]:
         """Commit log, oldest first (Delta ``DESCRIBE HISTORY``)."""
@@ -240,7 +326,11 @@ class Collection:
                 f"dimension mismatch: expected {dims}, got "
                 f"{len(bad[0]['embedding'])} for id {bad[0]['id']!r}"
             )
-        return batch
+        # coerce to float32 like the reference (vectordb_optimized.py:346)
+        # — also keeps every snapshot's parquet schema merge-compatible
+        return batch.withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
 
     def insert(
         self,
@@ -274,17 +364,26 @@ class Collection:
         if in_batch_dup:
             raise ValueError(f"duplicate id in batch: {in_batch_dup[0]['id']!r}")
         n = batch.count()
-        self._commit(cur.unionByName(batch, allowMissingColumns=True))
+        touched = self._touched_buckets(batch.select("id"))
+        changed = self._bucket_rows(touched).unionByName(
+            batch, allowMissingColumns=True
+        )
+        self._commit_delta(changed, touched, op="insert")
         self._emit("batch_insert" if n > 1 else "insert", batch.select("id"))
         return n
 
     def upsert(self, batch: DataFrame) -> int:
         """D3: delete-then-insert == MERGE WHEN MATCHED UPDATE."""
         batch = self._validate(batch)
-        cur = self.df()
-        kept = cur.join(batch.select("id"), "id", "left_anti")
+        touched = self._touched_buckets(batch.select("id"))
+        kept = self._bucket_rows(touched).join(
+            batch.select("id"), "id", "left_anti"
+        )
         n = batch.count()
-        self._commit(kept.unionByName(batch, allowMissingColumns=True))
+        self._commit_delta(
+            kept.unionByName(batch, allowMissingColumns=True), touched,
+            op="upsert",
+        )
         self._emit("update", batch.select("id"))
         return n
 
@@ -300,7 +399,13 @@ class Collection:
         if cond is None:
             return
         doomed = cur.filter(F.coalesce(cond, F.lit(False))).select("id").localCheckpoint()
-        self._commit(cur.filter(~F.coalesce(cond, F.lit(False))))
+        touched = self._touched_buckets(doomed)
+        if not touched:
+            return
+        kept = self._bucket_rows(touched).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        self._commit_delta(kept, touched, op="delete")
         self._emit("delete", doomed)
 
     def update(
@@ -313,9 +418,13 @@ class Collection:
         """D7 (fastpyvectordb/client.py:357-394 shape): merge metadata
         columns and/or replace text + re-embed for the given ids — a
         read-modify-write MERGE."""
-        cur = self.df()
-        hit = cur.filter(F.col("id").isin(list(ids)))
-        rest = cur.filter(~F.col("id").isin(list(ids)))
+        ids_df = self.spark.createDataFrame(
+            [(i,) for i in ids], "id string"
+        )
+        touched = self._touched_buckets(ids_df)
+        bucket_rows = self._bucket_rows(touched)
+        hit = bucket_rows.filter(F.col("id").isin(list(ids)))
+        rest = bucket_rows.filter(~F.col("id").isin(list(ids)))
         for k, v in (metadata or {}).items():
             hit = hit.withColumn(k, F.lit(v))
         if texts:
@@ -330,7 +439,10 @@ class Collection:
                 dimensions=embed_dimensions or self.config.dimensions,
             )
         n = hit.count()
-        self._commit(rest.unionByName(hit, allowMissingColumns=True))
+        self._commit_delta(
+            rest.unionByName(hit, allowMissingColumns=True), touched,
+            op="update",
+        )
         self._emit("update", hit.select("id"))
         return n
 

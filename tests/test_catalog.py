@@ -177,16 +177,26 @@ def test_optimize_compacts_small_files(spark, tmp_path):
             )
         )
     before_v = c.history()[-1]["version"]
+    n_before = len(
+        glob.glob(str(tmp_path / "opt" / before_v / "**" / "*.parquet"),
+                  recursive=True)
+    )
     c.optimize()
     after_v = c.history()[-1]["version"]
     assert after_v != before_v and c.history()[-1]["op"] == "optimize"
-    n_files = len(glob.glob(str(tmp_path / "opt" / after_v / "*.parquet")))
-    assert n_files == 1  # tiny table, far under one 128 MB target file
+    # bucketed layout: compaction is per bucket dir — one file per
+    # non-empty bucket, never more files than the fragmented snapshot
+    n_after = len(
+        glob.glob(str(tmp_path / "opt" / after_v / "**" / "*.parquet"),
+                  recursive=True)
+    )
+    n_buckets_used = len(
+        glob.glob(str(tmp_path / "opt" / after_v / "_bucket=*"))
+    )
+    assert n_after == n_buckets_used <= n_before
     assert sorted(r["id"] for r in c.df().collect()) == [f"id{i}" for i in range(4)]
-    # explicit target wins
     c.optimize(target_partitions=2)
-    v2 = c.history()[-1]["version"]
-    assert len(glob.glob(str(tmp_path / "opt" / v2 / "*.parquet"))) <= 2
+    assert sorted(r["id"] for r in c.df().collect()) == [f"id{i}" for i in range(4)]
 
 
 def test_chroma_add_query_roundtrip(spark, tmp_path):
@@ -261,3 +271,52 @@ def test_collection_config_knobs_roundtrip(spark, tmp_path):
     cfg = db2.get_collection("k").config
     assert (cfg.m, cfg.ef_construction, cfg.ef_search) == (32, 400, 128)
     assert (cfg.dimensions, cfg.metric) == (8, "l2")
+
+
+def test_delta_commit_links_untouched_buckets(spark, tmp_path):
+    """DML rewrites only the touched id-hash buckets; every other
+    bucket's files are hard-linked (same inode) from the previous
+    snapshot — the Delta-MERGE file-pruning behavior that keeps a
+    small upsert O(changed buckets), not O(table)."""
+    import glob
+    import os
+
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(
+        spark, str(tmp_path / "dl"), CollectionConfig(dimensions=2, n_buckets=8)
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"id{i}", [float(i), 0.0]) for i in range(200)],
+            "id string, embedding array<float>",
+        )
+    )
+    v1 = c.history()[-1]["version"]
+    c.upsert(
+        spark.createDataFrame(
+            [("id0", [9.0, 9.0])], "id string, embedding array<float>"
+        )
+    )
+    v2 = c.history()[-1]["version"]
+
+    def inodes(version):
+        out = {}
+        for p in glob.glob(
+            str(tmp_path / "dl" / version / "_bucket=*" / "*.parquet")
+        ):
+            rel = os.path.relpath(p, str(tmp_path / "dl" / version))
+            out[os.path.dirname(rel)] = os.stat(p).st_ino
+        return out
+
+    i1, i2 = inodes(v1), inodes(v2)
+    shared = [b for b in i2 if b in i1 and i2[b] == i1[b]]
+    rewritten = [b for b in i2 if i1.get(b) != i2[b]]
+    assert len(rewritten) == 1, (shared, rewritten)  # exactly one bucket touched
+    assert len(shared) == len(i1) - 1
+    # content correct, including the untouched buckets
+    rows = {r["id"]: list(r["embedding"]) for r in c.df().collect()}
+    assert len(rows) == 200 and rows["id0"] == [9.0, 9.0]
+    # time travel still sees the pre-upsert snapshot
+    old = {r["id"]: list(r["embedding"]) for r in c.df(version=v1).collect()}
+    assert old["id0"] == [0.0, 0.0]
