@@ -447,8 +447,11 @@ class Collection:
         return n
 
     def get(self, ids: Sequence[str], include_vector: bool = True) -> DataFrame:
-        """D4: point lookup."""
-        df = self.df().filter(F.col("id").isin(list(ids)))
+        """D4: point lookup — partition-pruned to the ids' hash buckets
+        (reads 1/n_buckets of the files per distinct bucket hit)."""
+        ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
+        touched = self._touched_buckets(ids_df)
+        df = self._bucket_rows(touched).filter(F.col("id").isin(list(ids)))
         return df if include_vector else df.drop("embedding")
 
     def count(self) -> int:
