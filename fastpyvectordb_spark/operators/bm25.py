@@ -157,6 +157,77 @@ class BM25Index:
         return cls(postings, doc_lengths, int(stats["n"]),
                    float(stats["avgdl"] or 0.0))
 
+    def add_documents(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> "BM25Index":
+        """T2 incremental add (``hybrid_search.py:77-98``): tokenize
+        only the NEW docs, union their postings/lengths into the
+        derived tables, re-derive (N, avgdl, df) with delta
+        aggregations — O(new docs), never a corpus rebuild. Returns a
+        NEW index (snapshot semantics, same as collection commits);
+        duplicate doc ids are rejected like the reference's re-add."""
+        dup = (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(self.doc_lengths.select("doc_id"), "doc_id", "inner")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(f"doc {dup[0]['doc_id']!r} already indexed")
+        new_postings, new_lengths = build_postings(docs, id_col, text_col)
+        postings = self.postings.unionByName(new_postings).localCheckpoint()
+        doc_lengths = self.doc_lengths.unionByName(new_lengths).localCheckpoint()
+        delta = new_lengths.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("s")
+        ).head()
+        n = self.n_docs + int(delta["n"])
+        total = self.avgdl * self.n_docs + float(delta["s"] or 0.0)
+        term_stats = (
+            self.term_stats.unionByName(
+                new_postings.groupBy("term").agg(F.count("*").alias("df"))
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .localCheckpoint()
+        )
+        return BM25Index(
+            postings, doc_lengths, n, total / n if n else 0.0, term_stats
+        )
+
+    def remove_documents(self, doc_ids) -> "BM25Index":
+        """T2 incremental remove (``hybrid_search.py:100-117``):
+        anti-join the doomed ids out of postings/lengths, decrement
+        (N, avgdl, df) from the removed rows — O(index), zero
+        retokenization."""
+        ids = [str(i) if isinstance(i, str) else i for i in doc_ids]
+        doomed_post = self.postings.filter(F.col("doc_id").isin(ids))
+        doomed_len = self.doc_lengths.filter(F.col("doc_id").isin(ids))
+        gone = doomed_len.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("s")
+        ).head()
+        n = self.n_docs - int(gone["n"])
+        total = self.avgdl * self.n_docs - float(gone["s"] or 0.0)
+        postings = self.postings.filter(~F.col("doc_id").isin(ids)).localCheckpoint()
+        doc_lengths = self.doc_lengths.filter(
+            ~F.col("doc_id").isin(ids)
+        ).localCheckpoint()
+        term_stats = (
+            self.term_stats.join(
+                doomed_post.groupBy("term").agg(F.count("*").alias("gone_df")),
+                "term",
+                "left",
+            )
+            .select(
+                "term",
+                (F.col("df") - F.coalesce("gone_df", F.lit(0))).alias("df"),
+            )
+            .filter(F.col("df") > 0)
+            .localCheckpoint()
+        )
+        return BM25Index(
+            postings, doc_lengths, n, total / n if n else 0.0, term_stats
+        )
+
     def save(self, path: str) -> None:
         self.postings.write.mode("overwrite").parquet(f"{path}/postings")
         self.doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")

@@ -58,3 +58,44 @@ def test_search_batch_equals_per_query(spark, documents):
         assert [tuple(r) for r in sub[["doc_id", "score"]].to_numpy()] == _rows(
             idx.search(q, k=5)
         )
+
+
+def test_bm25_incremental_equals_rebuild(spark):
+    """T2 add/remove_document parity: an index built on docs A then
+    incrementally extended with docs B (and one built on A∪B minus the
+    removed set) must score every query exactly like a fresh build on
+    the same corpus — same (N, avgdl, df), same postings."""
+    from pyspark.sql import functions as F
+
+    from fastpyvectordb_spark.operators.bm25 import BM25Index
+    from fastpyvectordb_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") < 80)
+    b = docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 120))
+
+    inc = BM25Index.build(a).add_documents(b)
+    full = BM25Index.build(docs.filter(F.col("doc_id") < 120))
+    assert inc.n_docs == full.n_docs
+    assert abs(inc.avgdl - full.avgdl) < 1e-9
+
+    for q in ("data pipeline quality", "vector index search"):
+        got = [tuple(r) for r in inc.search(q, k=10).collect()]
+        want = [tuple(r) for r in full.search(q, k=10).collect()]
+        assert got == want, q
+
+    removed = inc.remove_documents(list(range(80, 120)))
+    back = BM25Index.build(a)
+    assert removed.n_docs == back.n_docs
+    assert abs(removed.avgdl - back.avgdl) < 1e-9
+    for q in ("data pipeline quality", "graph traversal nodes"):
+        got = [tuple(r) for r in removed.search(q, k=10).collect()]
+        want = [tuple(r) for r in back.search(q, k=10).collect()]
+        assert got == want, q
+
+    # duplicate add rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="already indexed"):
+        inc.add_documents(b)
