@@ -435,3 +435,41 @@ def exact_search_packed_batch(
             "dist": d_sorted.ravel().astype("float64"),
         }
     )
+
+
+def ivf_add(
+    index: IVFIndex,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFIndex:
+    """Incremental index maintenance: assign NEW vectors to their
+    nearest existing list (broadcast-centroid argmin expression — one
+    narrow pass over the new rows, no retrain, no touch of existing
+    assignments) and union them in. Returns a new IVFIndex sharing the
+    centroids — the standard IVF ingest path; periodic re-train is a
+    separate maintenance job (rebuild with ivf_build)."""
+    spark = new_df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)],
+        "list_id int, cvec array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("cvec"),
+            lambda v, c: (v.cast("double") - c) * (v.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    scored = new_df.crossJoin(F.broadcast(cent_df)).withColumn("_d2", d2)
+    w = Window.partitionBy(id_col).orderBy("_d2", "list_id")
+    assigned_new = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_d2", "_rn", "cvec")
+    )
+    merged = index.assigned.unionByName(assigned_new)
+    return IVFIndex(centroids=index.centroids, assigned=merged)

@@ -260,3 +260,34 @@ def test_ivfpq_local_matches_distributed(embeddings, spark):
     )
     assert got["vec_id"].tolist() == want["vec_id"].tolist()
     assert np.allclose(got["dist"], want["dist"], atol=1e-9)
+
+
+def test_ivf_add_assigns_like_build(embeddings):
+    """Incrementally added vectors get the same list assignment the
+    builder's KMeans transform gives them (same centroids, argmin by
+    (d², list_id)); existing assignments are untouched."""
+    from fastpyvectordb_spark.ann.ivf import ivf_add
+
+    index = ivf_build(embeddings, n_lists=8, max_iter=5)
+    old = embeddings.filter(F.col("vec_id") < 400)
+    new = embeddings.filter(F.col("vec_id") >= 400)
+    partial = ivf_build(old, n_lists=8, max_iter=5)
+    # rebuild partial's centroids to the FULL index's centroids so the
+    # comparison isolates the assignment rule
+    from fastpyvectordb_spark.ann.ivf import IVFIndex
+
+    partial_on_full = IVFIndex(
+        centroids=index.centroids,
+        assigned=index.assigned.filter(F.col("vec_id") < 400),
+    )
+    grown = ivf_add(partial_on_full, new)
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in grown.assigned.filter(F.col("vec_id") >= 400).collect()
+    }
+    want = {
+        r["vec_id"]: r["list_id"]
+        for r in index.assigned.filter(F.col("vec_id") >= 400).collect()
+    }
+    assert got == want
+    assert grown.assigned.count() == embeddings.count()
