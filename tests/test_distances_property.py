@@ -37,7 +37,9 @@ def _np_distance(a, b, metric):
     na = math.sqrt(sum(x * x for x in a))
     nb = math.sqrt(sum(y * y for y in b))
     if metric == "cosine":
-        return 1.0 - dot / ((na * nb) + 1e-10)
+        # per-norm epsilons, matching the reference
+        # (parallel_search.py:121-123) and the SQL twin
+        return 1.0 - dot / ((na + 1e-10) * (nb + 1e-10))
     if metric == "l2":
         return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
     return -dot
