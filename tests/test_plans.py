@@ -92,4 +92,4 @@ def test_suite_registration_contract():
     assert set(o) <= set(q)
     rows_only = set(q) - set(o)
     assert rows_only == {"ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn"}, rows_only
-    assert len(q) >= 83
+    assert len(q) >= 85
