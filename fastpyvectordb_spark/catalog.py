@@ -107,7 +107,11 @@ class Collection:
             if version is not None
             else self._data_path()
         )
-        if p is None:
+        # no committed data — or a snapshot whose every row was deleted
+        # (partitionBy of an empty DF writes no files and the read can't
+        # infer a schema). A MISSING dir (vacuumed version) still
+        # raises via the parquet read below.
+        if p is None or (os.path.isdir(p) and not self._has_parquet(p)):
             return self.spark.createDataFrame(
                 [], f"id string, embedding array<float>"
             )
@@ -118,6 +122,17 @@ class Collection:
             self.spark.read.option("mergeSchema", "true").parquet(p)
             .drop("_bucket")
         )
+
+    @staticmethod
+    def _has_parquet(p: str) -> bool:
+        """Any .parquet file under ``p`` (early-exit walk — O(1) for
+        any non-empty snapshot: the first bucket dir has files)."""
+        if not os.path.isdir(p):
+            return False
+        for root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def _bucket(self, id_col: F.Column = None) -> F.Column:
         col = F.col("id") if id_col is None else id_col
@@ -147,6 +162,16 @@ class Collection:
         )
         self._finish_commit(version, op)
 
+    def _snapshot_bucketed(self) -> bool:
+        """True when the current snapshot has ``_bucket=`` partition
+        dirs. A collection written before bucketed commits (or restored
+        to such a version) has none — DML then falls back to a full
+        rewrite, which lazily migrates it to the bucketed layout."""
+        cur = self._data_path()
+        if cur is None or not os.path.isdir(cur):
+            return True  # empty collection: first commit will bucket it
+        return any(e.startswith("_bucket=") for e in os.listdir(cur))
+
     def _commit_delta(
         self, changed: DataFrame, touched: list[int], op: str
     ) -> None:
@@ -157,6 +182,11 @@ class Collection:
         untouched file. This is what keeps a 1k-row MERGE from
         rewriting a 100 TB table."""
         cur = self._data_path()
+        if not self._snapshot_bucketed():
+            # legacy non-bucketed snapshot: `changed` is the full new
+            # table (see _bucket_rows) — full commit migrates it
+            self._commit(changed, op)
+            return
         if cur is None or not touched:
             if cur is None:
                 self._commit(changed, op)
@@ -189,10 +219,15 @@ class Collection:
 
     def _bucket_rows(self, touched: list[int]) -> DataFrame:
         """Current rows of the touched buckets only — the read is
-        pruned to those partition dirs."""
+        pruned to those partition dirs. On a legacy non-bucketed
+        snapshot this returns the FULL table (no ``_bucket`` column to
+        prune on); the paired _commit_delta then does a full migrating
+        rewrite, so DML on old collections works instead of raising."""
         p = self._data_path()
-        if p is None:
+        if p is None or not self._has_parquet(p):
             return self.df()
+        if not self._snapshot_bucketed():
+            return self.spark.read.option("mergeSchema", "true").parquet(p)
         return (
             self.spark.read.option("mergeSchema", "true").parquet(p)
             .filter(F.col("_bucket").isin([int(t) for t in touched]))

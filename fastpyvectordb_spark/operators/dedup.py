@@ -494,6 +494,7 @@ def duplicate_clusters(
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
     )
+    converged = False
     for it in range(max_iter):
         # candidate labels: own + each neighbor's current label
         neighbor_labels = (
@@ -505,7 +506,12 @@ def duplicate_clusters(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+        # fixpoint test on checkpoint iterations AND on the last pass —
+        # min-label propagation needs up to component-diameter rounds,
+        # so exhausting max_iter on a deep chain must not return wrong
+        # cluster_ids silently
+        last = it == max_iter - 1
+        if last or (checkpoint_every and (it + 1) % checkpoint_every == 0):
             new_labels = new_labels.localCheckpoint()
             changed = (
                 new_labels.alias("n")
@@ -516,9 +522,16 @@ def duplicate_clusters(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
         else:
             labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in max_iter={max_iter} "
+            "label-propagation rounds (a near-dup component deeper than "
+            "max_iter hops exists); raise max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

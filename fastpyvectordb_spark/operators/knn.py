@@ -299,11 +299,14 @@ def knn_batch_auto(
     """
     import numpy as np
 
-    first = vectors.select(F.size(vec_col).alias("d")).head()
-    if first is None:
+    # one sizing job, not count()+head() (two scans): every row has the
+    # same dim (enforced at ingest), so first(size) == the table dim
+    sizing = vectors.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
+    ).head()
+    n, dims = sizing["n"], sizing["d"]
+    if not n:
         return pd.DataFrame(columns=["query_id", "rank", id_col, "dist"])
-    dims = first["d"]
-    n = vectors.count()
     if n * dims > local_threshold:
         return knn_batch_gemm(
             vectors, queries_pdf, k=k, metric=metric,

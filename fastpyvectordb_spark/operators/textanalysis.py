@@ -156,10 +156,20 @@ def deterministic_split_expr(
     """
     if sum(weights.values()) != 100:
         raise ValueError(f"weights must sum to 100: {weights}")
-    bucket = F.pmod(
-        (id_col.cast("bigint") + F.lit(salt)) * F.lit(2654435761),
+    # (a * 2654435761) mod 2^32 WITHOUT int64 overflow: a naive product
+    # overflows bigint for ids ≳ 3.47e9 (Spark non-ANSI wraps silently,
+    # DuckDB raises — breaking the identical-assignment contract). Split
+    # a into 16-bit halves: a*c ≡ (hi*c mod 2^16)·2^16 + lo*c (mod 2^32);
+    # every intermediate stays < 2^49.
+    a = F.pmod(id_col.cast("bigint") + F.lit(salt), F.lit(2**32))
+    hi = F.floor(a / F.lit(65536))
+    lo = a % F.lit(65536)
+    prod_mod = F.pmod(
+        lo * F.lit(2654435761)
+        + F.pmod(hi * F.lit(2654435761), F.lit(65536)) * F.lit(65536),
         F.lit(2**32),
-    ) % 100
+    )
+    bucket = prod_mod % 100
     expr = None
     lo = 0
     for name, pct in weights.items():
@@ -173,8 +183,15 @@ def deterministic_split_sql(
     id_sql: str, weights: dict[str, int], salt: int = 42
 ) -> str:
     """DuckDB twin of :func:`deterministic_split_expr` (same arithmetic,
-    same bucket boundaries)."""
-    bucket = f"((({id_sql} + {salt}) * 2654435761) % 4294967296 % 100)"
+    same bucket boundaries, same overflow-free 16-bit-split product)."""
+    a = f"((({id_sql} + {salt}) % 4294967296 + 4294967296) % 4294967296)"
+    hi = f"CAST(FLOOR({a} / 65536) AS BIGINT)"
+    lo = f"({a} % 65536)"
+    prod = (
+        f"(({lo} * 2654435761 + (({hi} * 2654435761) % 65536) * 65536)"
+        f" % 4294967296)"
+    )
+    bucket = f"({prod} % 100)"
     cases = []
     lo = 0
     for name, pct in weights.items():

@@ -21,6 +21,7 @@ import json
 import re
 import threading
 import time
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from fastpyvectordb_spark.catalog import VectorDB
@@ -97,16 +98,23 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _dispatch(self, method: str) -> None:
         path, _, query = self.path.partition("?")
-        self.query = dict(
-            p.split("=", 1) for p in query.split("&") if "=" in p
-        )
+        # percent-decode query values ('+' == space per form encoding)
+        # and path segments, so ids with spaces/unicode round-trip
+        self.query = {
+            urllib.parse.unquote(k): urllib.parse.unquote_plus(v)
+            for k, v in (
+                p.split("=", 1) for p in query.split("&") if "=" in p
+            )
+        }
         for m, pat, name in self.ROUTES:
             if m != method:
                 continue
             match = re.match(pat, path)
             if match:
                 try:
-                    getattr(self, name)(*match.groups())
+                    getattr(self, name)(
+                        *(urllib.parse.unquote(g) for g in match.groups())
+                    )
                 except KeyError as e:
                     self._send(404, {"detail": str(e)})
                 except ValueError as e:

@@ -293,12 +293,15 @@ def interval_join(
     """
     l = left.filter(F.col("event_type") == left_type)
     r = right.filter(F.col("event_type") == right_type)
+    l_ntz = _is_ntz(l, ts_col)
+    r_ntz = _is_ntz(r, ts_col)
     if watermark is not None:
         # NTZ → LTZ relabel for watermark support (UTC session tz);
-        # see windowed_counts
-        if _is_ntz(l, ts_col):
+        # see windowed_counts — cast BACK in the final select so the
+        # output schema is NTZ whenever the input was, watermark or not
+        if l_ntz:
             l = l.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        if _is_ntz(r, ts_col):
+        if r_ntz:
             r = r.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         l = l.withWatermark(ts_col, watermark)
         r = r.withWatermark(ts_col, watermark)
@@ -317,10 +320,17 @@ def interval_join(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval}"))
     )
-    return l.join(r, cond).select(
+    out = l.join(r, cond).select(
         F.col("l_user").alias("user_id"),
         "l_event_id", "l_ts", "r_event_id", "r_ts",
     )
+    if watermark is not None and (l_ntz or r_ntz):
+        if l_ntz:
+            out = out.withColumn("l_ts", F.col("l_ts").cast("timestamp_ntz"))
+        if r_ntz:
+            out = out.withColumn("r_ts", F.col("r_ts").cast("timestamp_ntz"))
+        out = out.select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")
+    return out
 
 
 def push_to_subscribers(
@@ -329,6 +339,7 @@ def push_to_subscribers(
     post_json,
     checkpoint: str | None = None,
     trigger_once: bool = True,
+    max_collect_rows: int = 10_000,
 ):
     """S10 broadcast sink (``realtime.py:184-215``): for each
     micro-batch, evaluate every subscriber's predicate and POST the
@@ -342,16 +353,55 @@ def push_to_subscribers(
     DRIVER-SIDE on the already-collected micro-batch — batches are
     small by construction (micro-batch cadence), and per-subscriber
     re-filtering of a collected batch avoids one Spark job per
-    subscriber per batch.
+    subscriber per batch. Driver memory is BOUNDED: at most
+    ``max_collect_rows`` are collected at once — an oversized batch
+    (replay/catch-up) falls back to per-subscriber FILTERED plans
+    (predicates pushed to the scan) streamed to the driver in
+    ``max_collect_rows``-sized chunks, each chunk POSTed separately.
 
     Returns the started ``StreamingQuery`` (streaming input) or runs a
     single pass (batch input, for tests/replay).
     """
 
+    def _post_filtered(batch_df: DataFrame, batch_id: int) -> None:
+        # oversized-batch path: one filtered Spark plan per subscriber,
+        # chunked driver iteration — never more than max_collect_rows
+        # rows held at once
+        for sub in subscribers:
+            ets = sub.get("event_types")
+            uids = sub.get("user_ids")
+            matched_df = batch_df
+            if ets is not None:
+                matched_df = matched_df.filter(F.col("event_type").isin(list(ets)))
+            if uids is not None:
+                matched_df = matched_df.filter(F.col("user_id").isin(list(uids)))
+            chunk: list[dict] = []
+            part = 0
+            for row in matched_df.toLocalIterator():
+                chunk.append(row.asDict())
+                if len(chunk) >= max_collect_rows:
+                    post_json(
+                        sub["url"],
+                        {"batch_id": batch_id, "part": part, "events": chunk},
+                    )
+                    part += 1
+                    chunk = []
+            if chunk:
+                post_json(
+                    sub["url"],
+                    {"batch_id": batch_id, "part": part, "events": chunk},
+                )
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        rows = [r.asDict() for r in batch_df.collect()]
-        if not rows:
+        # limit+1 probe: one job tells us both "the rows" and "was it
+        # oversized" without a separate count()
+        probe = batch_df.limit(max_collect_rows + 1).collect()
+        if not probe:
             return
+        if len(probe) > max_collect_rows:
+            _post_filtered(batch_df, batch_id)
+            return
+        rows = [r.asDict() for r in probe]
         for sub in subscribers:
             ets = sub.get("event_types")
             uids = sub.get("user_ids")

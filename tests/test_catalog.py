@@ -320,3 +320,26 @@ def test_delta_commit_links_untouched_buckets(spark, tmp_path):
     # time travel still sees the pre-upsert snapshot
     old = {r["id"]: list(r["embedding"]) for r in c.df(version=v1).collect()}
     assert old["id0"] == [0.0, 0.0]
+
+
+def test_legacy_nonbucketed_snapshot_dml(spark, db, tmp_path):
+    """DML against a snapshot written WITHOUT _bucket partition dirs
+    (pre-bucketing layout / restored old version) must not raise: it
+    falls back to a full rewrite that migrates to the bucketed layout."""
+    import os
+
+    c = db.create_collection("legacy", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(10)))
+    # simulate a legacy snapshot: rewrite current content unbucketed
+    legacy = os.path.join(c.path, "v_legacy000000")
+    c.df().write.parquet(legacy)
+    with open(os.path.join(c.path, "_current"), "w") as f:
+        f.write("v_legacy000000")
+    assert not c._snapshot_bucketed()
+    # every DML verb works against the legacy layout
+    c.upsert(_batch(spark, _vecs(2, offset=50)))
+    assert c._snapshot_bucketed()  # migrated on first DML
+    got = {r["id"]: r["embedding"][0] for r in c.get(["v0", "v5"]).collect()}
+    assert got == {"v0": 50.0, "v5": 5.0}
+    c.delete(ids=["v9"])
+    assert c.count() == 9

@@ -149,3 +149,55 @@ def test_deterministic_split_stability(spark):
     assert abs(frac["train"] / 10_000 - 0.80) < 0.02
     assert abs(frac["val"] / 10_000 - 0.10) < 0.02
     assert abs(frac["test"] / 10_000 - 0.10) < 0.02
+
+
+def test_duplicate_clusters_unconverged_raises(spark):
+    """A chain deeper than max_iter propagation rounds must RAISE, not
+    silently return wrong cluster ids (ADVICE r1)."""
+    import pandas as pd
+    import pytest
+
+    from fastpyvectordb_spark.operators.dedup import duplicate_clusters
+
+    n = 16
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))}),
+        "id_a long, id_b long",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=3).collect()
+
+
+def test_deterministic_split_huge_ids_cross_engine(spark):
+    """Ids above ~3.47e9 used to overflow int64 in the naive product
+    (Spark wrapped silently, DuckDB raised). The 16-bit-split product
+    must give the identical assignment on both engines for any id."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from fastpyvectordb_spark.operators.textanalysis import (
+        deterministic_split_expr,
+        deterministic_split_sql,
+    )
+
+    ids = [0, 1, 999, 2**31 - 1, 3_470_000_000, 2**33 + 5, 2**62 - 11]
+    w = {"train": 80, "val": 10, "test": 10}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got_spark = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", deterministic_split_expr(F.col("doc_id"), w).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    for i in ids:
+        con.execute("INSERT INTO t VALUES (?)", [i])
+    sql = deterministic_split_sql("doc_id", w)
+    got_duck = dict(con.execute(f"SELECT doc_id, {sql} FROM t").fetchall())
+    assert got_spark == got_duck
+    # ground truth: ((id+42)*2654435761) mod 2^32 mod 100
+    for i in ids:
+        b = ((i + 42) * 2654435761) % (2**32) % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got_spark[i] == want, i

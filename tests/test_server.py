@@ -268,3 +268,28 @@ def test_rest_concurrent_search(api):
     assert all(s == 200 for s, _ in out)
     assert [rid for _, rid in out] == [f"v{i}" for i in range(8)]
     _req(api, "DELETE", "/collections/conc")
+
+
+def test_rest_percent_encoded_ids(api):
+    """Path segments and query values must be URL-decoded (ADVICE r1):
+    ids with spaces/unicode round-trip through GET/DELETE."""
+    import urllib.parse
+
+    status, _ = _req(
+        api, "POST", "/collections",
+        {"name": "enc", "dimensions": 4, "metric": "l2"},
+    )
+    assert status == 200
+    weird = "doc id/α+1"
+    status, r = _req(
+        api, "POST", "/collections/enc/vectors",
+        {"id": weird, "vector": [1, 0, 0, 0], "metadata": {"tag": "t"}},
+    )
+    assert status == 200 and r["success"]
+    quoted = urllib.parse.quote(weird, safe="")
+    status, got = _req(api, "GET", f"/collections/enc/vectors/{quoted}")
+    assert status == 200 and got["id"] == weird
+    status, _ = _req(api, "DELETE", f"/collections/enc/vectors/{quoted}")
+    assert status == 200
+    status, _ = _req(api, "GET", f"/collections/enc/vectors/{quoted}")
+    assert status == 404

@@ -208,3 +208,48 @@ def test_push_to_subscribers_streaming(spark, tmp_path):
     )
     got_all2 = [e for u, p in received if u == "http://sub-all" for e in p["events"]]
     assert {e["event_id"] for e in got_all2} == set(want)
+
+
+def test_push_to_subscribers_oversized_batch_bounded(spark):
+    """A batch bigger than max_collect_rows must take the filtered-plan
+    path: chunked payloads, each ≤ max_collect_rows, union == exact
+    predicate matches (driver memory stays bounded on replay batches)."""
+    from fastpyvectordb_spark.streaming.events import push_to_subscribers
+    from fastpyvectordb_spark.tables import load_table
+
+    src = load_table(spark, SF_DIR, "events").limit(500)
+    received: list[tuple[str, dict]] = []
+    subs = [
+        {"url": "http://sub-err", "event_types": ["error"], "user_ids": None},
+        {"url": "http://sub-all", "event_types": None, "user_ids": None},
+    ]
+    push_to_subscribers(
+        src, subs, lambda url, p: received.append((url, p)),
+        max_collect_rows=64,
+    )
+    want = {r["event_id"]: r.asDict() for r in src.collect()}
+    for url, p in received:
+        assert len(p["events"]) <= 64
+        assert "part" in p  # chunked fallback, not the collect path
+    got_all = [e for u, p in received if u == "http://sub-all" for e in p["events"]]
+    got_err = [e for u, p in received if u == "http://sub-err" for e in p["events"]]
+    assert {e["event_id"] for e in got_all} == set(want)
+    assert {e["event_id"] for e in got_err} == {
+        k for k, v in want.items() if v["event_type"] == "error"
+    }
+
+
+def test_interval_join_watermark_keeps_ntz_schema(spark):
+    """interval_join with a watermark must cast l_ts/r_ts back to
+    timestamp_ntz when the inputs were NTZ (ADVICE r1) — batch and
+    no-watermark output schemas must agree."""
+    from fastpyvectordb_spark.streaming.events import interval_join
+    from fastpyvectordb_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    plain = interval_join(ev, ev, interval="5 minutes")
+    marked = interval_join(ev, ev, interval="5 minutes", watermark="2 hours")
+    assert dict(plain.dtypes) == dict(marked.dtypes)
+    assert dict(marked.dtypes)["l_ts"] == "timestamp_ntz"
+    assert dict(marked.dtypes)["r_ts"] == "timestamp_ntz"
