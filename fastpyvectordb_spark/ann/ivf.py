@@ -64,12 +64,26 @@ def ivf_build(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    train_rows: int | None = None,
 ) -> IVFIndex:
+    """Coarse-quantizer training quality is the whole recall game:
+    round 1 trained with maxIter=5 and paid for it (ivf recall 0.87,
+    ivfpq refined 0.72 at sf-bench knobs); at maxIter=20 the same index
+    shapes reach ≥0.95. ``train_rows`` bounds the KMeans fit to a
+    sample (standard at 100 TB — fit on ~1M rows, assign everything);
+    assignment always covers the full table."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feats)
+    fit_df = feats
+    if train_rows is not None:
+        n = feats.count()
+        if n > train_rows:
+            fit_df = feats.sample(
+                fraction=min(1.0, train_rows * 1.1 / n), seed=seed
+            ).limit(train_rows)
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_features").fit(fit_df)
     assigned = (
         model.transform(feats)
         .withColumnRenamed("prediction", "list_id")

@@ -78,6 +78,12 @@ class Collection:
         self.spark = spark
         self.path = path
         self.config = config
+        # version-dir → merged read schema. mergeSchema=true opens every
+        # file footer on the driver at plan time; a snapshot's merged
+        # schema never changes after commit, so pay that once per
+        # version (and prime it at commit time, where the writer already
+        # knows the schema) — sequential DML then never lists footers.
+        self._schema_cache: dict[str, object] = {}
         os.makedirs(path, exist_ok=True)
         cfg = os.path.join(path, "config.json")
         if not os.path.exists(cfg):
@@ -118,10 +124,43 @@ class Collection:
         # mergeSchema: delta commits can leave per-bucket schema drift
         # (a new metadata column exists only in rewritten buckets);
         # missing columns read as NULL — exactly the F7 contract
-        return (
-            self.spark.read.option("mergeSchema", "true").parquet(p)
-            .drop("_bucket")
-        )
+        return self._read_snapshot(p).drop("_bucket")
+
+    def _read_snapshot(self, p: str) -> DataFrame:
+        """Read a snapshot dir with its merged schema, resolving that
+        schema from the per-version cache when possible (an explicit
+        ``.schema(...)`` read skips the driver-side footer sweep that
+        ``mergeSchema=true`` does on every call; files missing a cached
+        column read it as NULL, same as mergeSchema)."""
+        cached = self._schema_cache.get(p)
+        if cached is not None:
+            return self.spark.read.schema(cached).parquet(p)
+        df = self.spark.read.option("mergeSchema", "true").parquet(p)
+        self._schema_cache[p] = df.schema
+        return df
+
+    def _prime_schema(self, vdir: str, written: DataFrame, base: str | None) -> None:
+        """Record a just-committed version's merged schema: columns of
+        the written delta plus any columns that exist only in carried-
+        over (hard-linked) buckets of the base snapshot. On any type
+        conflict, leave uncached — the first read falls back to
+        mergeSchema."""
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        fields = {f.name: f for f in written.schema.fields}
+        if "_bucket" not in fields:
+            fields["_bucket"] = StructField("_bucket", IntegerType())
+        base_schema = self._schema_cache.get(base) if base else None
+        if base:
+            if base_schema is None:
+                return  # base merged schema unknown: don't guess
+            for f in base_schema.fields:
+                prev = fields.get(f.name)
+                if prev is None:
+                    fields[f.name] = f
+                elif prev.dataType != f.dataType:
+                    return
+        self._schema_cache[vdir] = StructType(list(fields.values()))
 
     @staticmethod
     def _has_parquet(p: str) -> bool:
@@ -151,6 +190,7 @@ class Collection:
         """Full-snapshot commit, partitioned by id-hash bucket so later
         DML can rewrite only touched buckets (Delta's file pruning)."""
         version = f"v_{uuid.uuid4().hex[:12]}"
+        vdir = os.path.join(self.path, version)
         (
             df.withColumn("_bucket", self._bucket())
             # co-locate each bucket in one task: without this every
@@ -158,8 +198,9 @@ class Collection:
             .repartition(self.config.n_buckets, "_bucket")
             .write.mode("overwrite")
             .partitionBy("_bucket")
-            .parquet(os.path.join(self.path, version))
+            .parquet(vdir)
         )
+        self._prime_schema(vdir, df, base=None)
         self._finish_commit(version, op)
 
     def _snapshot_bucketed(self) -> bool:
@@ -215,6 +256,45 @@ class Collection:
             .partitionBy("_bucket")
             .parquet(vdir)
         )
+        self._prime_schema(vdir, changed, base=cur)
+        self._finish_commit(version, op)
+
+    def _commit_append(self, batch: DataFrame, op: str) -> None:
+        """Append-only commit (Delta blind APPEND): hard-link EVERY
+        existing file into the new version and write only ``batch``
+        rows as additional files in their bucket dirs — the current
+        snapshot is never read, so a 1k-row insert into a 100 TB table
+        costs O(1k rows) + O(#files) link syscalls. Only valid when the
+        new ids are known absent (insert_batch dup-checks first).
+        Repeated appends accumulate small files per bucket; that is
+        what :meth:`optimize` compacts."""
+        cur = self._data_path()
+        if cur is None or not self._has_parquet(cur) or not self._snapshot_bucketed():
+            # empty or legacy layout: a full commit bootstraps/migrates
+            self._commit(batch, op)
+            return
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        vdir = os.path.join(self.path, version)
+        os.makedirs(vdir, exist_ok=True)
+        for entry in os.listdir(cur):
+            if not entry.startswith("_bucket="):
+                continue
+            src_dir = os.path.join(cur, entry)
+            dst_dir = os.path.join(vdir, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in os.listdir(src_dir):
+                if fn.endswith(".parquet"):
+                    os.link(
+                        os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
+                    )
+        (
+            batch.withColumn("_bucket", self._bucket())
+            .repartition(self.config.n_buckets, "_bucket")
+            .write.mode("append")
+            .partitionBy("_bucket")
+            .parquet(vdir)
+        )
+        self._prime_schema(vdir, batch, base=cur)
         self._finish_commit(version, op)
 
     def _bucket_rows(self, touched: list[int]) -> DataFrame:
@@ -227,9 +307,9 @@ class Collection:
         if p is None or not self._has_parquet(p):
             return self.df()
         if not self._snapshot_bucketed():
-            return self.spark.read.option("mergeSchema", "true").parquet(p)
+            return self._read_snapshot(p)
         return (
-            self.spark.read.option("mergeSchema", "true").parquet(p)
+            self._read_snapshot(p)
             .filter(F.col("_bucket").isin([int(t) for t in touched]))
             .drop("_bucket")
         )
@@ -354,18 +434,49 @@ class Collection:
     # -- DML (D1-D9) --------------------------------------------------
 
     def _validate(self, batch: DataFrame) -> DataFrame:
-        dims = self.config.dimensions
-        bad = batch.filter(F.size("embedding") != dims).limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"dimension mismatch: expected {dims}, got "
-                f"{len(bad[0]['embedding'])} for id {bad[0]['id']!r}"
-            )
         # coerce to float32 like the reference (vectordb_optimized.py:346)
-        # — also keeps every snapshot's parquet schema merge-compatible
+        # — also keeps every snapshot's parquet schema merge-compatible.
+        # Dimension checking happens inside _batch_stats (one fused job).
         return batch.withColumn(
             "embedding", F.col("embedding").cast("array<float>")
         )
+
+    def _batch_stats(self, batch: DataFrame):
+        """ONE job over the incoming batch returning
+        ``(n_rows, touched_buckets, in_batch_dup_id, bad_dim_row)``.
+        Round-1 DML ran validate / count / touched-buckets as three
+        separate collects — three full scans of the batch, each with a
+        whole Spark-job floor. Fusing them into a single groupBy+agg
+        pass is the difference between 450 and >1k rows/s on point DML
+        (and it is the same one-pass shape a Delta MERGE's source-scan
+        does)."""
+        dims = self.config.dimensions
+        per_id = (
+            batch.select(
+                "id",
+                F.size("embedding").alias("_sz"),
+                self._bucket(F.col("id")).alias("_b"),
+            )
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.first("_sz").alias("_sz"),
+                F.first("_b").alias("_b"),
+            )
+        )
+        row = per_id.agg(
+            F.sum("_c").alias("n"),
+            F.min(F.when(F.col("_c") > 1, F.col("id"))).alias("dup_id"),
+            F.min(
+                F.when(
+                    F.col("_sz") != dims,
+                    F.struct(F.col("_sz").alias("sz"), F.col("id").alias("id")),
+                )
+            ).alias("bad"),
+            F.collect_set("_b").alias("buckets"),
+        ).collect()[0]
+        n = int(row["n"] or 0)
+        return n, [int(b) for b in row["buckets"]], row["dup_id"], row["bad"]
 
     def insert(
         self,
@@ -387,34 +498,53 @@ class Collection:
         return id
 
     def insert_batch(self, batch: DataFrame) -> int:
-        """D2: append; duplicate ids rejected (ref :345-348, 388-396)."""
+        """D2: append; duplicate ids rejected (ref :345-348, 388-396).
+
+        Plan shape: one fused stats job over the batch (dims + in-batch
+        dups + count + touched buckets), one bucket-PRUNED semi-join dup
+        check against the current snapshot, then an append-only commit
+        that never reads existing data — 3 scans of O(batch) instead of
+        round 1's 5 scans (two of them O(table))."""
         batch = self._validate(batch)
-        cur = self.df()
-        dup = batch.join(cur.select("id"), "id", "inner").limit(1).collect()
+        n, touched, dup_id, bad = self._batch_stats(batch)
+        if bad is not None:
+            raise ValueError(
+                f"dimension mismatch: expected {self.config.dimensions}, "
+                f"got {bad['sz']} for id {bad['id']!r}"
+            )
+        if dup_id is not None:
+            raise ValueError(f"duplicate id in batch: {dup_id!r}")
+        if n == 0:
+            return 0
+        dup = (
+            self._bucket_rows(touched)
+            .select("id")
+            .join(batch.select("id"), "id", "inner")
+            .limit(1)
+            .collect()
+        )
         if dup:
             raise ValueError(f"duplicate id {dup[0]['id']!r}")
-        in_batch_dup = (
-            batch.groupBy("id").count().filter(F.col("count") > 1).limit(1).collect()
-        )
-        if in_batch_dup:
-            raise ValueError(f"duplicate id in batch: {in_batch_dup[0]['id']!r}")
-        n = batch.count()
-        touched = self._touched_buckets(batch.select("id"))
-        changed = self._bucket_rows(touched).unionByName(
-            batch, allowMissingColumns=True
-        )
-        self._commit_delta(changed, touched, op="insert")
+        self._commit_append(batch, op="insert")
         self._emit("batch_insert" if n > 1 else "insert", batch.select("id"))
         return n
 
     def upsert(self, batch: DataFrame) -> int:
-        """D3: delete-then-insert == MERGE WHEN MATCHED UPDATE."""
+        """D3: delete-then-insert == MERGE WHEN MATCHED UPDATE. One
+        fused stats job sizes/validates the batch and finds the touched
+        buckets; the commit rewrites only those buckets."""
         batch = self._validate(batch)
-        touched = self._touched_buckets(batch.select("id"))
+        n, touched, _dup, bad = self._batch_stats(batch)
+        if bad is not None:
+            raise ValueError(
+                f"dimension mismatch: expected {self.config.dimensions}, "
+                f"got {bad['sz']} for id {bad['id']!r}"
+            )
+        if n == 0:
+            return 0
         kept = self._bucket_rows(touched).join(
             batch.select("id"), "id", "left_anti"
         )
-        n = batch.count()
         self._commit_delta(
             kept.unionByName(batch, allowMissingColumns=True), touched,
             op="upsert",
@@ -424,7 +554,6 @@ class Collection:
 
     def delete(self, ids: Sequence[str] | None = None, where: Filter | dict | None = None) -> None:
         """D5/D6: tombstone by id set and/or filter (anti-join rewrite)."""
-        cur = self.df()
         cond = None
         if ids is not None:
             cond = F.col("id").isin(list(ids))
@@ -433,6 +562,28 @@ class Collection:
             cond = f.col() if cond is None else (cond | f.col())
         if cond is None:
             return
+        if where is None and ids:
+            # id-list delete: the touched buckets are a pure function of
+            # the ids — hash them in a tiny local job (no table scan)
+            # and confine both the doomed scan and the rewrite to those
+            # buckets' files.
+            ids_df = self.spark.createDataFrame(
+                [(str(i),) for i in ids], "id string"
+            )
+            touched = self._touched_buckets(ids_df)
+            scope = self._bucket_rows(touched)
+            doomed = (
+                scope.filter(F.coalesce(cond, F.lit(False)))
+                .select("id")
+                .localCheckpoint()
+            )
+            if not doomed.head(1):
+                return
+            kept = scope.filter(~F.coalesce(cond, F.lit(False)))
+            self._commit_delta(kept, touched, op="delete")
+            self._emit("delete", doomed)
+            return
+        cur = self.df()
         doomed = cur.filter(F.coalesce(cond, F.lit(False))).select("id").localCheckpoint()
         touched = self._touched_buckets(doomed)
         if not touched:

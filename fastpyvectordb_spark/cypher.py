@@ -95,13 +95,17 @@ class CypherCompiler:
                     .drop(f"{av}__id_j", f"{bv}__id_j")
                 )
             else:
-                from fastpyvectordb_spark.operators.graph import traverse
+                # DataFrame-seeded traversal: the left pattern's ids
+                # stay distributed (a loose pattern at 100× would OOM a
+                # driver-side collect — the round-1 implementation did
+                # exactly that).
+                from fastpyvectordb_spark.operators.graph import traverse_df
 
-                start_ids = [
-                    r[f"{av}__id"] for r in a.select(f"{av}__id").distinct().collect()
-                ]
-                paths = traverse(
-                    self.edges, start_ids, max_depth=int(hi), edge_type=etype
+                paths = traverse_df(
+                    self.edges,
+                    a.select(F.col(f"{av}__id").alias("start_id")),
+                    max_depth=int(hi),
+                    edge_type=etype,
                 ).filter(F.col("depth") >= int(lo))
                 df = (
                     a.join(paths, F.col(f"{av}__id") == paths.start_id)

@@ -136,12 +136,33 @@ def traverse(
     '->'-joined node-id string (portable across engines). Cycle
     avoidance within a path via array_contains, like the reference DFS.
     """
+    spark = edges.sparkSession
+    start_df = spark.createDataFrame(
+        [(s,) for s in start_ids], "start_id string"
+    )
+    return traverse_df(
+        edges, start_df, max_depth=max_depth, edge_type=edge_type,
+        checkpoint_every=checkpoint_every,
+    )
+
+
+def traverse_df(
+    edges: DataFrame,
+    start_df: DataFrame,
+    max_depth: int = 3,
+    edge_type: str | None = None,
+    checkpoint_every: int | None = None,
+    start_col: str = "start_id",
+) -> DataFrame:
+    """:func:`traverse` seeded by a DataFrame instead of a driver-side
+    id list — the frontier begins as a join, so a non-selective seed
+    pattern (e.g. a loose Cypher left node) never collects to the
+    driver. Same output contract as :func:`traverse`."""
     e = edges if edge_type is None else edges_by_type(edges, edge_type)
     e = e.select("src", "dst").distinct()
-    spark = edges.sparkSession
-    frontier = spark.createDataFrame(
-        [(s,) for s in start_ids], "start_id string"
-    ).select(
+    frontier = start_df.select(
+        F.col(start_col).cast("string").alias("start_id")
+    ).distinct().select(
         "start_id",
         F.col("start_id").alias("node"),
         F.array(F.col("start_id")).alias("path_arr"),

@@ -173,7 +173,7 @@ def test_ivfpq_recall_and_refine(embeddings, spark):
     import pandas as pd
 
     index = ivfpq_build(
-        embeddings, n_lists=4, m_subspaces=8, n_centroids=32, max_iter=5
+        embeddings, n_lists=4, m_subspaces=8, n_centroids=32, max_iter=20
     )
     index.codes = index.codes.localCheckpoint()
 
@@ -198,7 +198,9 @@ def test_ivfpq_recall_and_refine(embeddings, spark):
             _recall(ref.loc[ref.query_id == r["vec_id"], "vec_id"], exact)
         )
     m_adc, m_ref = float(np.mean(r_adc)), float(np.mean(r_ref))
-    assert m_ref >= 0.85, f"refined recall@10 {m_ref} ({r_ref})"
+    # ≥0.90: the reference's own PQ quality bar (README:508). Round 1
+    # missed it purely through undertrained KMeans (max_iter=5).
+    assert m_ref >= 0.90, f"refined recall@10 {m_ref} ({r_ref})"
     assert m_ref >= m_adc, (m_ref, m_adc)
 
 

@@ -85,3 +85,30 @@ def test_unparseable_raises(graph):
     n, e = graph
     with pytest.raises(ValueError, match="cannot parse"):
         cypher_query(n, e, "FETCH ALL THE THINGS")
+
+
+def test_var_length_unselective_left_pattern(graph):
+    """A loose left pattern (every Person seeds the traversal) must
+    work without collecting seed ids to the driver — the var-length
+    frontier starts as a DataFrame join (traverse_df)."""
+    n, e = graph
+    rows = cypher_query(
+        n, e, "MATCH (a:Person)-[:KNOWS*1..2]->(b:Person) RETURN a.name, b.name"
+    ).collect()
+    pairs = {(r["a.name"], r["b.name"]) for r in rows}
+    assert pairs == {
+        ("Alice", "Bob"), ("Alice", "Carol"), ("Bob", "Carol"),
+    }
+
+
+def test_traverse_df_matches_traverse(graph):
+    from fastpyvectordb_spark.operators.graph import traverse, traverse_df
+
+    n, e = graph
+    by_list = traverse(e, ["p1", "p2"], max_depth=2, edge_type="KNOWS")
+    seeds = n.filter(F.col("id").isin(["p1", "p2"])).select(
+        F.col("id").alias("start_id")
+    )
+    by_df = traverse_df(e, seeds, max_depth=2, edge_type="KNOWS")
+    key = lambda r: (r["start_id"], r["end_id"], r["depth"], r["path"])
+    assert sorted(map(key, by_list.collect())) == sorted(map(key, by_df.collect()))
