@@ -108,13 +108,25 @@ def main() -> None:
     N_BIG = 100_000
 
     def _synth_vectors():
+        # Quasi-random corpus (like the reference benchmark's np.random
+        # vectors). Round 1 used sin(id*0.7 + d*1.3) — a 1-D curve where
+        # thousands of pairwise distances differ by <1e-6, so recall@10
+        # measured float tie-breaking, not index quality. The id·d
+        # cross-term decorrelates ids; the second sine breaks the ±Δ
+        # phase symmetry so no two candidate distances tie.
         return (
             spark.range(N_BIG)
             .select(
                 F.col("id").alias("vec_id"),
                 F.transform(
                     F.sequence(F.lit(0), F.lit(63)),
-                    lambda d: F.sin(F.col("id") * 0.7 + d * 1.3).cast("float"),
+                    lambda d: (
+                        F.sin(
+                            F.col("id") * 0.7 + d * 1.3
+                            + F.col("id") * d * 0.0137
+                        )
+                        + F.sin(F.col("id") * 91.7 + d * 47.111) * 0.1
+                    ).cast("float"),
                 ).alias("embedding"),
             )
             .repartition(32)
@@ -389,9 +401,12 @@ def main() -> None:
     t0 = time.perf_counter()
     # max_iter=20 (not round 1's 5): an undertrained coarse quantizer
     # was the entire ivfpq recall gap (0.72 refined → 1.00 candidate
-    # recall at the same nprobe/refine once KMeans converges)
+    # recall at the same nprobe/refine once KMeans converges).
+    # n_lists=128 (not 64): nprobe=8 then scans 6.25% of the codes —
+    # ADC cost scales with scanned points, and finer lists are the
+    # billion-scale shape anyway (FAISS uses ~sqrt(N) lists).
     ivfpq = ivfpq_build(
-        big, n_lists=64, m_subspaces=16, n_centroids=64, max_iter=20
+        big, n_lists=128, m_subspaces=16, n_centroids=64, max_iter=20
     )
     ivfpq.codes = ivfpq.codes.localCheckpoint()
     extras["ivfpq_build_sec"] = round(time.perf_counter() - t0, 3)
@@ -465,6 +480,53 @@ def main() -> None:
         e = set(exact.loc[exact.query_id == qid, "vec_id"])
         hits += len(a & e)
     extras["ivf_batch_recall_at_k"] = round(hits / (len(sample) * K), 4)
+
+    # Partition-local IVF-Flat artifacts (§7-M8c): the HNSW-parity
+    # single-query path — ONE map-side job + TakeOrdered merge, exact
+    # distances on probed lists
+    from fastpyvectordb_spark.ann.partitioned import (
+        open_index,
+        partitioned_build,
+        partitioned_search_batch,
+        partitioned_search_indexed,
+        save_index,
+    )
+
+    t0 = time.perf_counter()
+    part_idx = partitioned_build(big, n_parts=32, n_lists=32).localCheckpoint()
+    _part_path = tempfile.mkdtemp() + "/partidx"
+    save_index(part_idx, _part_path)
+    part_stubs = open_index(spark, _part_path)
+    extras["partitioned_build_sec"] = round(time.perf_counter() - t0, 3)
+    # warm: first query loads each task's artifact into the worker cache
+    partitioned_search_indexed(part_stubs, qvec_big, k=K, nprobe=8).collect()
+
+    @bench("q_knn_partitioned_100k", repeats=3)
+    def _():
+        rows = partitioned_search_indexed(
+            part_stubs, qvec_big, k=K, nprobe=8
+        ).collect()
+        assert len(rows) == K
+
+    extras["partitioned_single_query_sec"] = timings["q_knn_partitioned_100k"]
+
+    @bench("q_knn_partitioned_batch_100k")
+    def _():
+        n = partitioned_search_batch(part_idx, qpdf_big, k=K, nprobe=8).count()
+        assert n == n_queries * K
+
+    extras["partitioned_batch_qps"] = round(
+        n_queries / timings["q_knn_partitioned_batch_100k"], 1
+    )
+    p_approx = partitioned_search_batch(
+        part_idx, sample, k=K, nprobe=8, metric="cosine"
+    ).toPandas()
+    hits = 0
+    for qid in sample["query_id"]:
+        a = set(p_approx.loc[p_approx.query_id == qid, "vec_id"])
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        hits += len(a & e)
+    extras["partitioned_recall_at_k"] = round(hits / (len(sample) * K), 4)
 
     # -- text / fusion ------------------------------------------------
     from fastpyvectordb_spark.operators.bm25 import BM25Index

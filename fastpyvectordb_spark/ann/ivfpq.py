@@ -50,6 +50,12 @@ from pyspark.sql.types import (
 )
 
 
+def _code_offsets(m_subspaces: int, n_centroids: int) -> np.ndarray:
+    """(1, M) int offsets turning per-subspace codes into indices of a
+    flattened (M·K) LUT row — lets the ADC sum be ONE fancy gather."""
+    return (np.arange(m_subspaces, dtype=np.intp) * n_centroids)[None, :]
+
+
 @dataclass
 class IVFPQIndex:
     centroids: np.ndarray   # (L, D) float64 — coarse list centroids
@@ -231,12 +237,20 @@ def ivfpq_search_batch(
         qr = (qmat[qidx] - coarse[lid]).reshape(len(qidx), m_subspaces, sub)
         diff = qr[:, :, None, :] - cents[None, :, :, :]
         lut = np.einsum("qmkd,qmkd->qmk", diff, diff)  # (q, M, K)
-        d2 = lut[:, 0, :][:, codes[:, 0]].copy()
+        # gathers run against the CONTIGUOUS flattened float32 LUT (a
+        # gather from the strided lut[:, m, :] view is ~2× slower, and
+        # f32 halves the bandwidth of the hot loop), accumulated
+        # in-place in the same order as ivfpq_search_local → the two
+        # paths stay bit-identical. ADC is an approximate pre-rank
+        # (exact refine follows), so f32 costs nothing in quality.
+        # sqrt deferred to the selected rows.
+        cflat = codes.astype(np.intp) + _code_offsets(m_subspaces, n_centroids)
+        lutf = lut.reshape(len(qidx), -1).astype(np.float32)
+        d2 = lutf[:, cflat[:, 0]].copy()
         for m in range(1, m_subspaces):
-            d2 += lut[:, m, :][:, codes[:, m]]
-        d = np.sqrt(np.maximum(d2, 0.0))
+            d2 += lutf[:, cflat[:, m]]
         kk = min(n_fetch, len(ids))
-        p = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < len(ids) else (
+        p = np.argpartition(d2, kk - 1, axis=1)[:, :kk] if kk < len(ids) else (
             np.broadcast_to(np.arange(len(ids)), (len(qidx), len(ids)))
         )
         rows = np.arange(len(qidx))[:, None]
@@ -244,7 +258,7 @@ def ivfpq_search_batch(
             {
                 "query_id": np.repeat(qids[qidx], p.shape[1]),
                 id_col: ids[p].ravel(),
-                "dist": d[rows, p].ravel(),
+                "dist": np.sqrt(np.maximum(d2[rows, p], 0.0)).ravel(),
             }
         )
 
@@ -329,6 +343,17 @@ class IVFPQPacked:
     ids: np.ndarray         # (N,) int64
     offsets: np.ndarray     # (L+1,)
 
+    @property
+    def codes_flat(self) -> np.ndarray:
+        """(N, M) intp — codes pre-offset into flattened-LUT indices
+        (computed once, reused by every search call)."""
+        cf = getattr(self, "_codes_flat", None)
+        if cf is None:
+            m, k, _ = self.codebooks.shape
+            cf = self.codes.astype(np.intp) + _code_offsets(m, k)
+            object.__setattr__(self, "_codes_flat", cf)
+        return cf
+
 
 def ivfpq_pack(index: IVFPQIndex) -> IVFPQPacked:
     """Collect the codes table once (Arrow) into list-grouped arrays."""
@@ -359,12 +384,39 @@ def ivfpq_search_local(
     k: int = 10,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    n_threads: int | None = None,
 ) -> pd.DataFrame:
     """Driver-local twin of :func:`ivfpq_search_batch` (ADC, no
-    refine): per probed list one LUT per querying query, M
-    fancy-gathers over that list's code slice, vectorized global
-    merge. Identical probe selection and float64 accumulation order →
-    identical values/ordering to the distributed plan."""
+    refine): per probed list one flat LUT gather over that list's code
+    slice, vectorized global merge. Identical probe selection and
+    float64 accumulation order → identical values/ordering to the
+    distributed plan. ``n_threads > 1`` fans independent query blocks
+    across a pool (NumPy gathers release the GIL) — driver-side serving
+    only; executor-side callers keep 1 (Spark runs one task per core)."""
+    if n_threads is None:
+        # NumPy fancy-index gathers hold the GIL (unlike BLAS GEMM), so
+        # threading buys nothing for ADC — measured slower. Kept as an
+        # explicit opt-in for codebases with a GIL-releasing gather.
+        n_threads = 1
+    if n_threads > 1 and len(queries_pdf) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_threads = min(n_threads, len(queries_pdf))
+        span = -(-len(queries_pdf) // n_threads)
+        blocks = [
+            queries_pdf.iloc[lo:lo + span]
+            for lo in range(0, len(queries_pdf), span)
+        ]
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            parts = list(
+                pool.map(
+                    lambda b: ivfpq_search_local(
+                        packed, b, k=k, nprobe=nprobe, id_col=id_col
+                    ),
+                    blocks,
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
     qids = queries_pdf["query_id"].to_numpy()
     qmat = np.stack(
         [np.asarray(v, dtype=np.float64) for v in queries_pdf["query_vec"]]
@@ -383,31 +435,38 @@ def ivfpq_search_local(
         if e <= s:
             continue
         qidx = all_rows[(probe == lid).any(axis=1)]
-        cslice = packed.codes[s:e].astype(np.intp)
         qr = (qmat[qidx] - packed.centroids[lid]).reshape(
             len(qidx), m_subspaces, sub
         )
         diff = qr[:, :, None, :] - packed.codebooks[None, :, :, :]
         lut = np.einsum("qmkd,qmkd->qmk", diff, diff)
-        d2 = lut[:, 0, :][:, cslice[:, 0]].copy()
+        # gathers from the CONTIGUOUS flattened float32 LUT with an
+        # in-place accumulation loop — identical op order to the
+        # distributed per_list kernel; sqrt deferred to the final top-k
+        cf = packed.codes_flat[s:e]
+        lutf = lut.reshape(len(qidx), -1).astype(np.float32)
+        d2 = lutf[:, cf[:, 0]].copy()
         for m in range(1, m_subspaces):
-            d2 += lut[:, m, :][:, cslice[:, m]]
-        d = np.sqrt(np.maximum(d2, 0.0))
+            d2 += lutf[:, cf[:, m]]
         kk = min(k, e - s)
         if kk < e - s:
-            p = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            p = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
         else:
             p = np.broadcast_to(np.arange(e - s), (len(qidx), e - s))
         rows = np.arange(len(qidx))[:, None]
         cols = (fill[qidx] * k)[:, None] + np.arange(p.shape[1])[None, :]
-        out_d[qidx[:, None], cols] = d[rows, p]
+        out_d[qidx[:, None], cols] = d2[rows, p]
         out_i[qidx[:, None], cols] = packed.ids[s:e][p]
         fill[qidx] += 1
 
     kk = min(k, out_d.shape[1])
     sel = np.argpartition(out_d, kk - 1, axis=1)[:, :kk]
     rows = np.arange(nq)[:, None]
-    d_sel = out_d[rows, sel]
+    # deferred sqrt, taken in float32 like the distributed kernel so
+    # the two paths emit bit-identical distances
+    d_sel = np.sqrt(
+        np.maximum(out_d[rows, sel], 0.0).astype(np.float32)
+    ).astype(np.float64)
     i_sel = out_i[rows, sel]
     order = np.lexsort((i_sel, d_sel), axis=1)
     d_sorted = np.take_along_axis(d_sel, order, axis=1)

@@ -137,11 +137,99 @@ def partitioned_build(
 
 
 def save_index(index_df: DataFrame, path: str) -> None:
-    index_df.write.mode("overwrite").parquet(path)
+    """Persist one artifact file per partition (``part_id=N/`` dirs) —
+    the layout :func:`open_index` serves from."""
+    index_df.write.mode("overwrite").partitionBy("part_id").parquet(path)
 
 
 def load_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Disk-backed serving path: tasks read their own artifact file and keep
+# the deserialized arrays in a worker-global cache. The in-DataFrame
+# search above ships every artifact row through Arrow on EVERY query
+# (~index-size bytes per query); this path ships only a part_id stub per
+# task, so a warm query is pure compute + the single-job floor — the
+# closest Spark gets to the reference's resident-HNSW latency regime.
+# Cache key is (path, part_id): point new index builds at new (versioned)
+# paths, as the catalog does for snapshots.
+# ---------------------------------------------------------------------------
+
+_WORKER_CACHE: dict = {}
+
+
+def _load_artifact(path: str, pid: int):
+    key = (path, pid)
+    art = _WORKER_CACHE.get(key)
+    if art is None:
+        import pyarrow.parquet as papq
+
+        t = papq.read_table(f"{path}/part_id={pid}")
+        row = {
+            "dims": t["dims"][0].as_py(),
+            "n_lists": t["n_lists"][0].as_py(),
+            "centroids": t["centroids"][0].as_py(),
+            "offsets": t["offsets"][0].as_py(),
+            "ids": t["ids"][0].as_py(),
+            "vmat": t["vmat"][0].as_py(),
+        }
+        art = _unpack(row)
+        _WORKER_CACHE[key] = art
+    return art
+
+
+def open_index(spark, path: str, slots: int | None = None) -> DataFrame:
+    """Stub table (one row per saved artifact) driving the cached
+    serving path. Create once, reuse across queries. ``slots`` bounds
+    the task count — a task serves several artifacts sequentially; the
+    default (half the default parallelism) halves per-task scheduling
+    overhead on the single-query path while leaving every core a
+    second stub to steal. On a large cluster pass ``slots=len(pids)``
+    for full fan-out."""
+    import os
+
+    pids = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("part_id=")
+    )
+    if slots is None:
+        slots = max(1, min(len(pids), spark.sparkContext.defaultParallelism // 2))
+    stubs = spark.createDataFrame(
+        [(p, path) for p in pids], "part_id int, path string"
+    )
+    return stubs.repartition(slots, "part_id").localCheckpoint()
+
+
+def partitioned_search_indexed(
+    stubs: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 6,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Single-query search over :func:`open_index` stubs: each task
+    loads (once) and probes its partition's cached artifact."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for pid, path in zip(pdf["part_id"], pdf["path"]):
+                cents, offsets, ids, vmat = _load_artifact(path, int(pid))
+                rid, rd = _scan_lists(
+                    cents, offsets, ids, vmat, q, k, nprobe, metric
+                )
+                if len(rid):
+                    yield pd.DataFrame({id_col: rid, "dist": rd})
+
+    out = stubs.mapInPandas(scan, schema=f"{id_col} long, dist double")
+    if round_digits is not None:
+        out = out.withColumn("dist", F.round("dist", round_digits))
+    return out.orderBy("dist", id_col).limit(k)
 
 
 def _unpack(row):
@@ -222,11 +310,13 @@ def partitioned_search_batch(
     nprobe: int = 6,
     metric: str = "cosine",
     id_col: str = "vec_id",
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Batch variant: the (small) query block ships in the closure, each
     artifact task answers every query against its partition, and one
     window merge ranks ``partitions × k`` rows per query. Output
-    (query_id, rank, id_col, dist) — the knn_join contract."""
+    (query_id, rank, id_col, dist) — the knn_join contract (incl. its
+    ROUND-6 + id tie-break)."""
     from pyspark.sql import Window
 
     qids = queries_pdf["query_id"].to_numpy()
@@ -258,6 +348,8 @@ def partitioned_search_batch(
     out = index_df.mapInPandas(
         scan, schema=f"query_id long, {id_col} long, dist double"
     )
+    if round_digits is not None:
+        out = out.withColumn("dist", F.round("dist", round_digits))
     w = Window.partitionBy("query_id").orderBy("dist", id_col)
     return (
         out.withColumn("rank", F.row_number().over(w))

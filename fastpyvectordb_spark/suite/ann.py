@@ -46,5 +46,21 @@ def ann_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
     index = ivfpq_build(emb, n_lists=8, m_subspaces=8, n_centroids=16,
-                        max_iter=5)
+                        max_iter=20)
     return ivfpq_search(index, qvec, k=10, nprobe=8, refine_df=emb, refine=50)
+
+
+@register("ann_partitioned_knn")
+def ann_partitioned_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local IVF-Flat artifacts (§7-M8c, the HNSW-parity
+    single-query path): one map-side job probes each partition's own
+    index, TakeOrdered merges partitions×k rows. Recall gate:
+    tests/test_ann.py::test_partitioned_index_recall (≥0.95)."""
+    from fastpyvectordb_spark.ann.partitioned import (
+        partitioned_build, partitioned_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    index = partitioned_build(emb, n_parts=8, n_lists=16)
+    return partitioned_search(index, qvec, k=10, nprobe=10)
