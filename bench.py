@@ -186,12 +186,13 @@ def main() -> None:
     extras["ingest_vec_per_sec"] = round(N_BIG / timings["q_ingest_100k"], 1)
 
     # DML shapes over a catalog collection at 100K (reference
-    # benchmark.py upsert/delete workloads). Commits are id-hash-bucket
-    # partitioned with hard-linked untouched buckets (Delta MERGE file
-    # pruning): appends and point updates rewrite only touched buckets,
-    # never the table. Spark's regime is batch DML — per-row OLTP
-    # commit rates are out of model (the reference's 3,239 seq-insert/s
-    # row; see README note).
+    # benchmark.py upsert/delete workloads). Commits are deletion-
+    # vector style (Delta DV / Hudi MOR): insert hard-links every
+    # existing file and appends only new rows; upsert appends + writes
+    # a kill file; delete writes a kill file only — no DML verb reads
+    # or rewrites existing data, optimize() compacts. Spark's regime
+    # is batch DML — per-row OLTP commit rates are out of model (the
+    # reference's 3,239 seq-insert/s row; see README note).
     import tempfile
 
     from fastpyvectordb_spark.catalog import VectorDB

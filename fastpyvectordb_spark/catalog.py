@@ -124,7 +124,7 @@ class Collection:
         # mergeSchema: delta commits can leave per-bucket schema drift
         # (a new metadata column exists only in rewritten buckets);
         # missing columns read as NULL — exactly the F7 contract
-        return self._read_snapshot(p).drop("_bucket")
+        return self._apply_dv(self._read_snapshot(p), p).drop("_bucket")
 
     def _read_snapshot(self, p: str) -> DataFrame:
         """Read a snapshot dir with its merged schema, resolving that
@@ -164,14 +164,103 @@ class Collection:
 
     @staticmethod
     def _has_parquet(p: str) -> bool:
-        """Any .parquet file under ``p`` (early-exit walk — O(1) for
-        any non-empty snapshot: the first bucket dir has files)."""
+        """Any DATA .parquet file under ``p`` (early-exit walk — O(1)
+        for any non-empty snapshot). Deletion-vector files under
+        ``_dv/`` are metadata, not data — a snapshot whose every row
+        was deleted holds only DV files and must read as empty."""
         if not os.path.isdir(p):
             return False
-        for root, _dirs, files in os.walk(p):
+        for root, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if d != "_dv"]
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
+
+    # -- deletion vectors (Delta DV / Hudi MOR mechanics) -------------
+    #
+    # Point DML throughput is bounded by copy-on-write: a 1k-row upsert
+    # into hash-spread ids touches every bucket and rewrites the whole
+    # table. Deletion vectors break that bound: a kill record
+    # (id, kill_seq) suppresses every row of that id written by a
+    # commit OLDER than kill_seq; upsert = kill + append, delete =
+    # kill only. Rows carry a ``_seq`` commit stamp; the read side
+    # keeps a row iff no kill exists or row._seq >= kill_seq. DV files
+    # live in ``<version>/_dv/`` (underscore-prefixed → invisible to
+    # the snapshot's own parquet read), are hard-linked forward from
+    # version to version, and vanish on any full rewrite (optimize /
+    # legacy migrate), which is the compaction that folds them in.
+
+    def _seq_next(self) -> int:
+        return len(self.history()) + 1
+
+    def _dv_files(self, p: str) -> list[str]:
+        dvp = os.path.join(p, "_dv")
+        if not os.path.isdir(dvp):
+            return []
+        return [f for f in os.listdir(dvp) if f.endswith(".parquet")]
+
+    def _link_dv(self, cur: str | None, vdir: str) -> None:
+        """Carry the base snapshot's deletion vectors into a new
+        version (hard links — O(1) per file)."""
+        if cur is None:
+            return
+        files = self._dv_files(cur)
+        if not files:
+            return
+        dst = os.path.join(vdir, "_dv")
+        os.makedirs(dst, exist_ok=True)
+        for fn in files:
+            os.link(os.path.join(cur, "_dv", fn), os.path.join(dst, fn))
+
+    def _write_kills(self, vdir: str, ids, seq: int) -> None:
+        """Append one kill file. ``ids`` is a Python list (written
+        driver-side via pyarrow — no Spark job) or a one-column
+        DataFrame (small Spark write)."""
+        dst = os.path.join(vdir, "_dv")
+        os.makedirs(dst, exist_ok=True)
+        if isinstance(ids, DataFrame):
+            (
+                ids.select(
+                    F.col("id").cast("string").alias("id"),
+                    F.lit(seq).cast("long").alias("kill_seq"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(dst)
+            )
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        t = pa.table(
+            {
+                "id": pa.array([str(i) for i in ids], pa.string()),
+                "kill_seq": pa.array([seq] * len(ids), pa.int64()),
+            }
+        )
+        papq.write_table(t, os.path.join(dst, f"kills_{seq}_{uuid.uuid4().hex[:8]}.parquet"))
+
+    def _apply_dv(self, df: DataFrame, p: str) -> DataFrame:
+        """Suppress killed rows: keep a row iff it has no kill entry or
+        was (re)written at/after the kill. The DV side is tiny relative
+        to the table — broadcast join, never a shuffle of the data."""
+        if not self._dv_files(p):
+            return df.drop("_seq")
+        dv = (
+            self.spark.read.parquet(os.path.join(p, "_dv"))
+            .groupBy("id")
+            .agg(F.max("kill_seq").alias("_kill"))
+        )
+        seq_col = (
+            F.coalesce(F.col("_seq"), F.lit(0))
+            if "_seq" in df.columns
+            else F.lit(0)
+        )
+        return (
+            df.join(F.broadcast(dv), "id", "left")
+            .filter(F.col("_kill").isNull() | (seq_col >= F.col("_kill")))
+            .drop("_kill", "_seq")
+        )
 
     def _bucket(self, id_col: F.Column = None) -> F.Column:
         col = F.col("id") if id_col is None else id_col
@@ -188,9 +277,12 @@ class Collection:
 
     def _commit(self, df: DataFrame, op: str = "commit") -> None:
         """Full-snapshot commit, partitioned by id-hash bucket so later
-        DML can rewrite only touched buckets (Delta's file pruning)."""
+        DML can rewrite only touched buckets (Delta's file pruning).
+        A full rewrite contains only live rows, so no deletion vectors
+        carry over — this is also the DV compaction point."""
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, version)
+        df = df.withColumn("_seq", F.lit(self._seq_next()).cast("long"))
         (
             df.withColumn("_bucket", self._bucket())
             # co-locate each bucket in one task: without this every
@@ -249,6 +341,11 @@ class Collection:
                     os.link(
                         os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
                     )
+        # carried-over buckets may still hold killed rows
+        self._link_dv(cur, vdir)
+        changed = changed.withColumn(
+            "_seq", F.lit(self._seq_next()).cast("long")
+        )
         (
             changed.withColumn("_bucket", self._bucket())
             .repartition(max(1, len(touched_set)), "_bucket")
@@ -259,19 +356,30 @@ class Collection:
         self._prime_schema(vdir, changed, base=cur)
         self._finish_commit(version, op)
 
-    def _commit_append(self, batch: DataFrame, op: str) -> None:
-        """Append-only commit (Delta blind APPEND): hard-link EVERY
-        existing file into the new version and write only ``batch``
-        rows as additional files in their bucket dirs — the current
-        snapshot is never read, so a 1k-row insert into a 100 TB table
-        costs O(1k rows) + O(#files) link syscalls. Only valid when the
-        new ids are known absent (insert_batch dup-checks first).
-        Repeated appends accumulate small files per bucket; that is
-        what :meth:`optimize` compacts."""
+    def _commit_append(
+        self,
+        batch: DataFrame | None,
+        op: str,
+        kill_ids=None,
+        n_rows: int | None = None,
+        kill_event: str | None = None,
+    ) -> None:
+        """Append-only commit (Delta blind APPEND + deletion vectors):
+        hard-link EVERY existing file into the new version, record
+        ``kill_ids`` (list or DataFrame) as a deletion-vector file, and
+        write only ``batch`` rows as additional files in their bucket
+        dirs — the current snapshot is never read, so a 1k-row
+        insert/upsert/delete into a 100 TB table costs O(1k rows) +
+        O(#files) link syscalls. Inserts pass batch only (ids
+        dup-checked absent); upserts pass batch + kills; deletes pass
+        kills only. Repeated commits accumulate small files and DV
+        entries; :meth:`optimize` compacts both."""
         cur = self._data_path()
         if cur is None or not self._has_parquet(cur) or not self._snapshot_bucketed():
-            # empty or legacy layout: a full commit bootstraps/migrates
-            self._commit(batch, op)
+            # empty or legacy layout: a full commit bootstraps/migrates.
+            # Kills are already folded in by the caller's fallback path.
+            if batch is not None:
+                self._commit(batch, op)
             return
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, version)
@@ -287,15 +395,98 @@ class Collection:
                     os.link(
                         os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
                     )
-        (
-            batch.withColumn("_bucket", self._bucket())
-            .repartition(self.config.n_buckets, "_bucket")
-            .write.mode("append")
-            .partitionBy("_bucket")
-            .parquet(vdir)
-        )
-        self._prime_schema(vdir, batch, base=cur)
+        self._link_dv(cur, vdir)
+        seq = self._seq_next()
+        if kill_ids is not None:
+            if isinstance(kill_ids, DataFrame) and kill_event is not None:
+                # ONE executor-side job writes both the kill file(s)
+                # and the matching CDC event file(s) via pyarrow —
+                # round 1 paid two extra Spark jobs for these
+                self._write_kills_and_events(
+                    vdir, kill_ids, seq, kill_event, n_rows=n_rows
+                )
+            else:
+                self._write_kills(vdir, kill_ids, seq)
+        if batch is not None:
+            batch = batch.withColumn("_seq", F.lit(seq).cast("long"))
+            # small appends don't need a cluster-wide shuffle: one task
+            # writes all its bucket files (partitionBy splits them)
+            tasks = self.config.n_buckets
+            if n_rows is not None:
+                tasks = max(1, min(tasks, n_rows // 50_000 or 1))
+            (
+                batch.withColumn("_bucket", self._bucket())
+                .repartition(tasks, "_bucket")
+                .write.mode("append")
+                .partitionBy("_bucket")
+                .parquet(vdir)
+            )
+            self._prime_schema(vdir, batch, base=cur)
+        elif cur in self._schema_cache:
+            self._schema_cache[vdir] = self._schema_cache[cur]
         self._finish_commit(version, op)
+
+    def _write_kills_and_events(
+        self, vdir: str, ids_df: DataFrame, seq: int, event_type: str,
+        n_rows: int | None = None,
+    ) -> None:
+        """Fused kill+CDC write: each partition of ``ids_df`` writes one
+        DV file and one event file directly with pyarrow (storage is
+        shared, as the hard-link commit model already assumes)."""
+        dst_dv = os.path.join(vdir, "_dv")
+        evdir = os.path.join(self.path, "_events")
+        os.makedirs(dst_dv, exist_ok=True)
+        os.makedirs(evdir, exist_ok=True)
+        coll = os.path.basename(self.path)
+        parts = 1
+        if n_rows is not None and n_rows > 100_000:
+            parts = min(16, -(-n_rows // 100_000))
+
+        def per_part(rows) -> None:
+            import uuid as _uuid
+            from datetime import datetime, timezone
+
+            import pyarrow as pa
+            import pyarrow.parquet as papq
+
+            ids = [r["id"] for r in rows]
+            if not ids:
+                return
+            tok = _uuid.uuid4().hex[:8]
+            papq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(ids, pa.string()),
+                        "kill_seq": pa.array([seq] * len(ids), pa.int64()),
+                    }
+                ),
+                os.path.join(dst_dv, f"kills_{seq}_{tok}.parquet"),
+            )
+            now = datetime.now(timezone.utc)
+            papq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array(
+                            [f"{tok}-{i}" for i in ids], pa.string()
+                        ),
+                        "event_type": pa.array(
+                            [event_type] * len(ids), pa.string()
+                        ),
+                        "collection": pa.array([coll] * len(ids), pa.string()),
+                        "doc_id": pa.array(
+                            [str(i) for i in ids], pa.string()
+                        ),
+                        "ts": pa.array(
+                            [now] * len(ids), pa.timestamp("us", tz="UTC")
+                        ),
+                    }
+                ),
+                os.path.join(evdir, f"ev_{tok}.parquet"),
+            )
+
+        ids_df.select(F.col("id").cast("string").alias("id")).coalesce(
+            parts
+        ).foreachPartition(per_part)
 
     def _bucket_rows(self, touched: list[int]) -> DataFrame:
         """Current rows of the touched buckets only — the read is
@@ -307,12 +498,13 @@ class Collection:
         if p is None or not self._has_parquet(p):
             return self.df()
         if not self._snapshot_bucketed():
-            return self._read_snapshot(p)
-        return (
-            self._read_snapshot(p)
-            .filter(F.col("_bucket").isin([int(t) for t in touched]))
-            .drop("_bucket")
-        )
+            return self._apply_dv(self._read_snapshot(p), p)
+        return self._apply_dv(
+            self._read_snapshot(p).filter(
+                F.col("_bucket").isin([int(t) for t in touched])
+            ),
+            p,
+        ).drop("_bucket")
 
     def _touched_buckets(self, ids_df: DataFrame) -> list[int]:
         return [
@@ -410,6 +602,34 @@ class Collection:
         )
         ev.write.mode("append").parquet(os.path.join(self.path, "_events"))
 
+    def _emit_ids(self, event_type: str, ids: list) -> None:
+        """Driver-side CDC append for id lists already in Python —
+        a pyarrow file write (~ms) instead of a Spark job. Same schema
+        as :meth:`_emit` (UTC-adjusted micros timestamps)."""
+        if not ids:
+            return
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        now = datetime.now(timezone.utc)
+        prefix = uuid.uuid4().hex[:8]
+        t = pa.table(
+            {
+                "event_id": pa.array([f"{prefix}-{i}" for i in ids], pa.string()),
+                "event_type": pa.array([event_type] * len(ids), pa.string()),
+                "collection": pa.array(
+                    [os.path.basename(self.path)] * len(ids), pa.string()
+                ),
+                "doc_id": pa.array([str(i) for i in ids], pa.string()),
+                "ts": pa.array([now] * len(ids), pa.timestamp("us", tz="UTC")),
+            }
+        )
+        evdir = os.path.join(self.path, "_events")
+        os.makedirs(evdir, exist_ok=True)
+        papq.write_table(t, os.path.join(evdir, f"ev_{prefix}.parquet"))
+
     def events_df(self) -> DataFrame:
         """The change log as a batch DataFrame (replay; R3)."""
         p = os.path.join(self.path, "_events")
@@ -441,7 +661,7 @@ class Collection:
             "embedding", F.col("embedding").cast("array<float>")
         )
 
-    def _batch_stats(self, batch: DataFrame):
+    def _batch_stats(self, batch: DataFrame, find_dups: bool = True):
         """ONE job over the incoming batch returning
         ``(n_rows, touched_buckets, in_batch_dup_id, bad_dim_row)``.
         Round-1 DML ran validate / count / touched-buckets as three
@@ -449,22 +669,24 @@ class Collection:
         whole Spark-job floor. Fusing them into a single groupBy+agg
         pass is the difference between 450 and >1k rows/s on point DML
         (and it is the same one-pass shape a Delta MERGE's source-scan
-        does)."""
+        does). ``find_dups=False`` (upsert: duplicates are legal)
+        drops the per-id groupBy — the whole pass becomes a narrow
+        partial+final aggregate with no shuffle."""
         dims = self.config.dimensions
-        per_id = (
-            batch.select(
-                "id",
-                F.size("embedding").alias("_sz"),
-                self._bucket(F.col("id")).alias("_b"),
-            )
-            .groupBy("id")
-            .agg(
+        src = batch.select(
+            "id",
+            F.size("embedding").alias("_sz"),
+            self._bucket(F.col("id")).alias("_b"),
+        )
+        if find_dups:
+            src = src.groupBy("id").agg(
                 F.count(F.lit(1)).alias("_c"),
                 F.first("_sz").alias("_sz"),
                 F.first("_b").alias("_b"),
             )
-        )
-        row = per_id.agg(
+        else:
+            src = src.withColumn("_c", F.lit(1))
+        row = src.agg(
             F.sum("_c").alias("n"),
             F.min(F.when(F.col("_c") > 1, F.col("id"))).alias("dup_id"),
             F.min(
@@ -525,16 +747,19 @@ class Collection:
         )
         if dup:
             raise ValueError(f"duplicate id {dup[0]['id']!r}")
-        self._commit_append(batch, op="insert")
+        self._commit_append(batch, op="insert", n_rows=n)
         self._emit("batch_insert" if n > 1 else "insert", batch.select("id"))
         return n
 
     def upsert(self, batch: DataFrame) -> int:
-        """D3: delete-then-insert == MERGE WHEN MATCHED UPDATE. One
-        fused stats job sizes/validates the batch and finds the touched
-        buckets; the commit rewrites only those buckets."""
+        """D3: MERGE WHEN MATCHED UPDATE, deletion-vector style: one
+        fused stats job sizes/validates the batch, then ONE commit
+        records the batch ids as kills and appends the new rows — the
+        existing table is never read or rewritten (Delta's DV MERGE
+        fast path). Legacy non-bucketed snapshots take the old
+        copy-on-write rewrite, which migrates them."""
         batch = self._validate(batch)
-        n, touched, _dup, bad = self._batch_stats(batch)
+        n, touched, _dup, bad = self._batch_stats(batch, find_dups=False)
         if bad is not None:
             raise ValueError(
                 f"dimension mismatch: expected {self.config.dimensions}, "
@@ -542,14 +767,25 @@ class Collection:
             )
         if n == 0:
             return 0
-        kept = self._bucket_rows(touched).join(
-            batch.select("id"), "id", "left_anti"
-        )
-        self._commit_delta(
-            kept.unionByName(batch, allowMissingColumns=True), touched,
-            op="upsert",
-        )
-        self._emit("update", batch.select("id"))
+        cur = self._data_path()
+        if cur is None or not self._has_parquet(cur):
+            self._commit(batch, op="upsert")
+            self._emit("update", batch.select("id"))
+        elif not self._snapshot_bucketed():
+            kept = self._bucket_rows(touched).join(
+                batch.select("id"), "id", "left_anti"
+            )
+            self._commit_delta(
+                kept.unionByName(batch, allowMissingColumns=True), touched,
+                op="upsert",
+            )
+            self._emit("update", batch.select("id"))
+        else:
+            # kill+event files write in one fused job inside the commit
+            self._commit_append(
+                batch, op="upsert", kill_ids=batch.select("id"),
+                n_rows=n, kill_event="update",
+            )
         return n
 
     def delete(self, ids: Sequence[str] | None = None, where: Filter | dict | None = None) -> None:
@@ -562,36 +798,59 @@ class Collection:
             cond = f.col() if cond is None else (cond | f.col())
         if cond is None:
             return
-        if where is None and ids:
-            # id-list delete: the touched buckets are a pure function of
-            # the ids — hash them in a tiny local job (no table scan)
-            # and confine both the doomed scan and the rewrite to those
-            # buckets' files.
-            ids_df = self.spark.createDataFrame(
-                [(str(i),) for i in ids], "id string"
-            )
-            touched = self._touched_buckets(ids_df)
-            scope = self._bucket_rows(touched)
+        if not self._snapshot_bucketed():
+            # legacy layout: copy-on-write rewrite (migrates to buckets)
+            cur = self.df()
             doomed = (
-                scope.filter(F.coalesce(cond, F.lit(False)))
+                cur.filter(F.coalesce(cond, F.lit(False)))
                 .select("id")
                 .localCheckpoint()
             )
-            if not doomed.head(1):
+            touched = self._touched_buckets(doomed)
+            if not touched:
                 return
-            kept = scope.filter(~F.coalesce(cond, F.lit(False)))
+            kept = self._bucket_rows(touched).filter(
+                ~F.coalesce(cond, F.lit(False))
+            )
             self._commit_delta(kept, touched, op="delete")
             self._emit("delete", doomed)
             return
-        cur = self.df()
-        doomed = cur.filter(F.coalesce(cond, F.lit(False))).select("id").localCheckpoint()
-        touched = self._touched_buckets(doomed)
-        if not touched:
+        if where is None and ids:
+            # id-list delete, deletion-vector style: ONE bucket-pruned
+            # existence scan (needed for CDC fidelity — only ids that
+            # exist emit events), then a kill-only commit: hard links +
+            # one driver-written DV file. No data is read or rewritten.
+            if len(ids) >= self.config.n_buckets * 4:
+                # hash-spread id list almost surely touches every
+                # bucket — the pruning job would buy nothing
+                scope = self.df()
+            else:
+                ids_df = self.spark.createDataFrame(
+                    [(str(i),) for i in ids], "id string"
+                )
+                scope = self._bucket_rows(self._touched_buckets(ids_df))
+            doomed_ids = [
+                r["id"]
+                for r in scope.filter(F.coalesce(cond, F.lit(False)))
+                .select("id")
+                .collect()
+            ]
+            if not doomed_ids:
+                return
+            self._commit_append(None, op="delete", kill_ids=doomed_ids)
+            self._emit_ids("delete", doomed_ids)
             return
-        kept = self._bucket_rows(touched).filter(
-            ~F.coalesce(cond, F.lit(False))
+        # predicate delete: doomed set is unbounded — keep it
+        # distributed; the kill file is a small Spark write
+        doomed = (
+            self.df()
+            .filter(F.coalesce(cond, F.lit(False)))
+            .select("id")
+            .localCheckpoint()
         )
-        self._commit_delta(kept, touched, op="delete")
+        if not doomed.head(1):
+            return
+        self._commit_append(None, op="delete", kill_ids=doomed)
         self._emit("delete", doomed)
 
     def update(

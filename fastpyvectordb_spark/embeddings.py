@@ -56,20 +56,36 @@ def mock_embedder_udf(dimensions: int = 384):
 
 
 def openai_embedder_udf(model: str = "text-embedding-3-small", dimensions: int = 1536):
-    """Provider-backed embedder shape (ref embeddings.py:95-193).
-
-    STUB: no network in this environment. The pandas-UDF batching,
-    schema, and retry slot are the real plumbing; the API call raises.
-    """
+    """Provider-backed embedder (ref embeddings.py:95-193): the client
+    lazy-loads once per Python worker and each Arrow batch becomes one
+    embeddings API call. Feature-gated: without the ``openai`` package
+    and ``OPENAI_API_KEY`` in the worker env it raises
+    NotImplementedError at call time (this sandbox has neither); the
+    batching plumbing is exercised either way."""
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for texts in batches:
+        import os
+
+        try:
+            from openai import OpenAI
+        except ImportError as ex:
             raise NotImplementedError(
-                "openai embedder requires network access; use "
-                "mock_embedder_udf for deterministic local runs"
+                "openai package not installed; use mock_embedder_udf "
+                "for deterministic local runs"
+            ) from ex
+        if not os.environ.get("OPENAI_API_KEY"):
+            raise NotImplementedError(
+                "OPENAI_API_KEY not set in the executor environment"
             )
-            yield  # pragma: no cover
+        client = OpenAI()  # one client per worker
+        for texts in batches:
+            resp = client.embeddings.create(
+                model=model, input=list(texts), dimensions=dimensions
+            )
+            yield pd.Series(
+                [[float(x) for x in d.embedding] for d in resp.data]
+            )
 
     return _embed
 
@@ -108,17 +124,35 @@ def sentence_transformers_embedder_udf(
 
 
 def cohere_embedder_udf(model: str = "embed-english-v3.0", dimensions: int = 1024):
-    """Provider-backed embedder shape (ref embeddings.py:263-336).
-    STUB: no network in this environment."""
+    """Provider-backed embedder (ref embeddings.py:263-336).
+    Feature-gated like :func:`openai_embedder_udf`: runs for real where
+    the ``cohere`` package and ``COHERE_API_KEY`` exist, raises
+    NotImplementedError here."""
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for texts in batches:
+        import os
+
+        try:
+            import cohere
+        except ImportError as ex:
             raise NotImplementedError(
-                "cohere embedder requires network access; use "
-                "mock_embedder_udf for deterministic local runs"
+                "cohere package not installed; use mock_embedder_udf "
+                "for deterministic local runs"
+            ) from ex
+        key = os.environ.get("COHERE_API_KEY")
+        if not key:
+            raise NotImplementedError(
+                "COHERE_API_KEY not set in the executor environment"
             )
-            yield  # pragma: no cover
+        client = cohere.Client(key)
+        for texts in batches:
+            resp = client.embed(
+                texts=list(texts), model=model, input_type="search_document"
+            )
+            yield pd.Series(
+                [[float(x) for x in v] for v in resp.embeddings]
+            )
 
     return _embed
 

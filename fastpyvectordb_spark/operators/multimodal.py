@@ -60,6 +60,37 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _real_image_feature(raw: bytes, mime: str, dims: int) -> list[float]:
+    """Feature-gated REAL decode: mean-centred grayscale pixel grid via
+    PIL, unit-normalized. Runs wherever Pillow is installed; raises
+    NotImplementedError in environments without it (this sandbox) or
+    for non-image payloads (video/audio decode needs ffmpeg, which the
+    reference does not ship either)."""
+    try:
+        from PIL import Image
+    except ImportError as ex:
+        raise NotImplementedError(
+            f"real decoder for {mime!r} requires Pillow; pass "
+            "decode_stub=True"
+        ) from ex
+    if not (mime or "").startswith("image/"):
+        raise NotImplementedError(
+            f"real decode for {mime!r} requires ffmpeg; pass decode_stub=True"
+        )
+    import io as _io
+
+    import numpy as np
+
+    img = Image.open(_io.BytesIO(raw)).convert("L")
+    side = int(np.ceil(np.sqrt(dims)))
+    px = np.asarray(img.resize((side, side)), dtype=np.float32).ravel()[:dims]
+    if len(px) < dims:
+        px = np.pad(px, (0, dims - len(px)))
+    v = px - px.mean()
+    v = v / (np.linalg.norm(v) + 1e-10)
+    return [float(x) for x in v]
+
+
 def _stub_feature(payload: bytes, dims: int) -> list[float]:
     """Deterministic fake feature: md5-seeded pseudo-random unit vector
     (same trick as the mock text embedder — reproducible anywhere)."""
@@ -94,11 +125,7 @@ def extract_features(
                 if decode_stub:
                     feats.append(_stub_feature(raw, dims))
                 else:
-                    raise NotImplementedError(
-                        f"real decoder for {mime!r} not available in this "
-                        "environment (PIL/ffmpeg not installed); pass "
-                        "decode_stub=True"
-                    )
+                    feats.append(_real_image_feature(raw, mime, dims))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -134,9 +161,31 @@ def resize_images(
             if pdf.empty:
                 continue
             if not decode_stub:
-                raise NotImplementedError(
-                    "real image resize requires PIL; pass decode_stub=True"
+                # feature-gated REAL path: decode → resample → re-encode
+                try:
+                    from PIL import Image
+                except ImportError as ex:
+                    raise NotImplementedError(
+                        "real image resize requires Pillow; pass "
+                        "decode_stub=True"
+                    ) from ex
+                import io as _io
+
+                out = []
+                for payload in pdf["payload"]:
+                    img = Image.open(_io.BytesIO(bytes(payload)))
+                    buf = _io.BytesIO()
+                    img.resize((target_w, target_h)).save(buf, format="PNG")
+                    out.append(buf.getvalue())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": out,
+                        "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                        "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    }
                 )
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -273,11 +273,13 @@ def test_collection_config_knobs_roundtrip(spark, tmp_path):
     assert (cfg.dimensions, cfg.metric) == (8, "l2")
 
 
-def test_delta_commit_links_untouched_buckets(spark, tmp_path):
-    """DML rewrites only the touched id-hash buckets; every other
-    bucket's files are hard-linked (same inode) from the previous
-    snapshot — the Delta-MERGE file-pruning behavior that keeps a
-    small upsert O(changed buckets), not O(table)."""
+def test_upsert_commit_links_all_files_and_records_kills(spark, tmp_path):
+    """Deletion-vector upsert (Delta DV MERGE fast path): EVERY data
+    file of the previous snapshot is hard-linked (same inode) into the
+    new version, the batch lands as one appended file, and the old row
+    is suppressed by a kill record under _dv/ — no data is read or
+    rewritten, which is what keeps a 1k-row MERGE O(batch) on a
+    100 TB table."""
     import glob
     import os
 
@@ -301,25 +303,63 @@ def test_delta_commit_links_untouched_buckets(spark, tmp_path):
     v2 = c.history()[-1]["version"]
 
     def inodes(version):
-        out = {}
-        for p in glob.glob(
-            str(tmp_path / "dl" / version / "_bucket=*" / "*.parquet")
-        ):
-            rel = os.path.relpath(p, str(tmp_path / "dl" / version))
-            out[os.path.dirname(rel)] = os.stat(p).st_ino
-        return out
+        return {
+            os.stat(p).st_ino
+            for p in glob.glob(
+                str(tmp_path / "dl" / version / "_bucket=*" / "*.parquet")
+            )
+        }
 
     i1, i2 = inodes(v1), inodes(v2)
-    shared = [b for b in i2 if b in i1 and i2[b] == i1[b]]
-    rewritten = [b for b in i2 if i1.get(b) != i2[b]]
-    assert len(rewritten) == 1, (shared, rewritten)  # exactly one bucket touched
-    assert len(shared) == len(i1) - 1
-    # content correct, including the untouched buckets
+    assert i1 <= i2, "every previous data file must be hard-linked forward"
+    assert len(i2) == len(i1) + 1, "exactly one appended batch file"
+    dv = glob.glob(str(tmp_path / "dl" / v2 / "_dv" / "*.parquet"))
+    assert len(dv) == 1, "one kill file records the replaced id"
+    assert not glob.glob(str(tmp_path / "dl" / v1 / "_dv" / "*.parquet"))
+    # content correct: old row suppressed, new row visible
     rows = {r["id"]: list(r["embedding"]) for r in c.df().collect()}
     assert len(rows) == 200 and rows["id0"] == [9.0, 9.0]
     # time travel still sees the pre-upsert snapshot
     old = {r["id"]: list(r["embedding"]) for r in c.df(version=v1).collect()}
     assert old["id0"] == [0.0, 0.0]
+
+
+def test_delete_then_reinsert_and_optimize_compacts_dv(spark, tmp_path):
+    """Kill-only delete; re-insert of a killed id becomes visible again
+    (its _seq postdates the kill); optimize() folds deletion vectors
+    away into a clean full snapshot."""
+    import glob
+    import os
+
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(
+        spark, str(tmp_path / "dv2"), CollectionConfig(dimensions=2, n_buckets=4)
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), 1.0]) for i in range(20)],
+            "id string, embedding array<float>",
+        )
+    )
+    c.delete(ids=["k3", "k7", "nope"])
+    assert c.count() == 18
+    v_del = c.history()[-1]["version"]
+    # delete commit wrote a DV but no new data files
+    assert glob.glob(str(tmp_path / "dv2" / v_del / "_dv" / "*.parquet"))
+    c.insert_batch(
+        spark.createDataFrame(
+            [("k3", [9.0, 9.0])], "id string, embedding array<float>"
+        )
+    )
+    rows = {r["id"]: list(r["embedding"]) for r in c.df().collect()}
+    assert len(rows) == 19
+    assert rows["k3"] == [9.0, 9.0] and "k7" not in rows
+    c.optimize()
+    v_opt = c.history()[-1]["version"]
+    assert not glob.glob(str(tmp_path / "dv2" / v_opt / "_dv" / "*.parquet"))
+    rows2 = {r["id"]: list(r["embedding"]) for r in c.df().collect()}
+    assert rows2 == rows
 
 
 def test_legacy_nonbucketed_snapshot_dml(spark, db, tmp_path):

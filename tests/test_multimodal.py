@@ -62,3 +62,31 @@ def test_manifest_prunes_payload(media):
     rows = media_manifest(media).collect()
     assert {r["mime"] for r in rows} == {"audio/wav", "image/png", "video/mp4"}
     assert all(r["total_bytes"] > 0 for r in rows)
+
+
+def test_real_decode_paths_gated(spark):
+    """decode_stub=False paths are feature-gated: they run for real
+    wherever Pillow is installed and raise NotImplementedError when it
+    is absent (this sandbox). Skipped, not failed, without the lib."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from fastpyvectordb_spark.operators.multimodal import (
+        extract_features, resize_images,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 10), (200, 30, 60)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [("m1", "image/png", bytearray(buf.getvalue()), 10, 10, None)],
+        "media_id string, mime string, payload binary, width int, "
+        "height int, duration_ms long",
+    )
+    feats = extract_features(df, dims=16, decode_stub=False).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 16
+    out = resize_images(df, 4, 4, decode_stub=False).collect()
+    assert out[0]["width"] == 4
+    resized = Image.open(io.BytesIO(bytes(out[0]["payload"])))
+    assert resized.size == (4, 4)

@@ -117,3 +117,21 @@ def test_embedder_factory_and_cache(spark, tmp_path):
     assert got2 == want
     n_cache = spark.read.parquet(cache).count()
     assert n_cache == 2, f"cache should hold 2 distinct texts, has {n_cache}"
+
+
+def test_provider_embedders_feature_gated(spark):
+    """Provider embedder UDFs execute for real only where their client
+    lib + API key exist; in this sandbox the call raises
+    NotImplementedError (plumbing still builds the UDF and plan). With
+    the lib installed but no key, the error names the missing key."""
+    import pytest
+
+    from fastpyvectordb_spark.embeddings import (
+        cohere_embedder_udf, openai_embedder_udf,
+    )
+
+    df = spark.createDataFrame([("hello",)], "text string")
+    for udf in (openai_embedder_udf(), cohere_embedder_udf()):
+        plan = df.withColumn("emb", udf(df.text))
+        with pytest.raises(Exception, match="NotImplementedError|not installed|not set"):
+            plan.collect()

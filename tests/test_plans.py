@@ -83,7 +83,7 @@ def test_lsh_probe_pushes_bucket_filter(spark):
 
 
 def test_suite_registration_contract():
-    """Every suite query has an oracle unless it is one of the three
+    """Every suite query has an oracle unless it is one of the four
     declared approximate ops; names are unique; counts match docs."""
     from fastpyvectordb_spark import suite
 
@@ -91,5 +91,7 @@ def test_suite_registration_contract():
     o = suite.oracle_sql()
     assert set(o) <= set(q)
     rows_only = set(q) - set(o)
-    assert rows_only == {"ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn"}, rows_only
-    assert len(q) >= 85
+    assert rows_only == {
+        "ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn", "ann_partitioned_knn",
+    }, rows_only
+    assert len(q) >= 86
