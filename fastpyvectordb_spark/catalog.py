@@ -209,8 +209,23 @@ class Collection:
             return
         dst = os.path.join(vdir, "_dv")
         os.makedirs(dst, exist_ok=True)
-        for fn in files:
-            os.link(os.path.join(cur, "_dv", fn), os.path.join(dst, fn))
+        if len(files) <= 64:
+            for fn in files:
+                os.link(os.path.join(cur, "_dv", fn), os.path.join(dst, fn))
+            return
+        # DV fragmentation bound: fold the accumulated kill files into
+        # one (they are tiny id lists — a driver-side pyarrow merge),
+        # so sustained point-DML can't degrade the read path's listing
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        merged = pa.concat_tables(
+            [papq.read_table(os.path.join(cur, "_dv", f)) for f in files]
+        )
+        papq.write_table(
+            merged,
+            os.path.join(dst, f"kills_compacted_{uuid.uuid4().hex[:8]}.parquet"),
+        )
 
     def _write_kills(self, vdir: str, ids, seq: int) -> None:
         """Append one kill file. ``ids`` is a Python list (written
@@ -397,16 +412,11 @@ class Collection:
                     )
         self._link_dv(cur, vdir)
         seq = self._seq_next()
-        if kill_ids is not None:
-            if isinstance(kill_ids, DataFrame) and kill_event is not None:
-                # ONE executor-side job writes both the kill file(s)
-                # and the matching CDC event file(s) via pyarrow —
-                # round 1 paid two extra Spark jobs for these
-                self._write_kills_and_events(
-                    vdir, kill_ids, seq, kill_event, n_rows=n_rows
-                )
-            else:
-                self._write_kills(vdir, kill_ids, seq)
+        if kill_ids is not None and not (
+            isinstance(kill_ids, DataFrame) and kill_event is not None
+        ):
+            self._write_kills(vdir, kill_ids, seq)
+        n_out = None
         if batch is not None:
             batch = batch.withColumn("_seq", F.lit(seq).cast("long"))
             # small appends don't need a cluster-wide shuffle: one task
@@ -414,42 +424,78 @@ class Collection:
             tasks = self.config.n_buckets
             if n_rows is not None:
                 tasks = max(1, min(tasks, n_rows // 50_000 or 1))
-            (
-                batch.withColumn("_bucket", self._bucket())
-                .repartition(tasks, "_bucket")
-                .write.mode("append")
-                .partitionBy("_bucket")
-                .parquet(vdir)
+            out = batch.withColumn("_bucket", self._bucket()).repartition(
+                tasks, "_bucket"
             )
+            obs = None
+            if kill_event is not None:
+                # fuse kills + CDC events + dim validation into the
+                # write tasks themselves: the whole upsert is ONE job
+                out = self._wrap_side_effects(out, vdir, seq, kill_event)
+                try:
+                    from pyspark.sql import Observation
+
+                    obs = Observation()
+                    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+                except ImportError:
+                    obs = None
+            try:
+                out.write.mode("append").partitionBy("_bucket").parquet(vdir)
+            except Exception as ex:
+                import re as _re
+
+                m = _re.search(r"dimension mismatch[^\"\n]*", str(ex))
+                if m:
+                    raise ValueError(m.group(0)) from ex
+                raise
+            if obs is not None:
+                n_out = int(obs.get["n"])
             self._prime_schema(vdir, batch, base=cur)
         elif cur in self._schema_cache:
             self._schema_cache[vdir] = self._schema_cache[cur]
         self._finish_commit(version, op)
+        return n_out
 
-    def _write_kills_and_events(
-        self, vdir: str, ids_df: DataFrame, seq: int, event_type: str,
-        n_rows: int | None = None,
-    ) -> None:
-        """Fused kill+CDC write: each partition of ``ids_df`` writes one
-        DV file and one event file directly with pyarrow (storage is
-        shared, as the hard-link commit model already assumes)."""
-        dst_dv = os.path.join(vdir, "_dv")
-        evdir = os.path.join(self.path, "_events")
-        os.makedirs(dst_dv, exist_ok=True)
-        os.makedirs(evdir, exist_ok=True)
+    def _wrap_side_effects(
+        self, df: DataFrame, vdir: str, seq: int, event_type: str
+    ) -> DataFrame:
+        """Pass-through ``mapInPandas`` stage for the commit write: each
+        write task validates dimensions, streams its rows to the parquet
+        writer unchanged, then side-writes ONE kill file (deletion
+        vector) and ONE CDC event file via pyarrow. The epilogue runs
+        before the task commits its data file, so a failure aborts the
+        whole commit; side effects from tasks that finished before a
+        failing task make CDC at-least-once (kill files in a
+        never-pointed version dir are inert)."""
+        dv_dir = os.path.join(vdir, "_dv")
+        ev_dir = os.path.join(self.path, "_events")
+        os.makedirs(dv_dir, exist_ok=True)
+        os.makedirs(ev_dir, exist_ok=True)
         coll = os.path.basename(self.path)
-        parts = 1
-        if n_rows is not None and n_rows > 100_000:
-            parts = min(16, -(-n_rows // 100_000))
+        dims = self.config.dimensions
 
-        def per_part(rows) -> None:
+        def run(batches):
             import uuid as _uuid
             from datetime import datetime, timezone
 
             import pyarrow as pa
             import pyarrow.parquet as papq
 
-            ids = [r["id"] for r in rows]
+            ids: list[str] = []
+            for pdf in batches:
+                if not pdf.empty and "embedding" in pdf.columns:
+                    sizes = pdf["embedding"].map(
+                        lambda v: -1 if v is None else len(v)
+                    )
+                    bad = sizes[sizes != dims]
+                    if len(bad):
+                        i = bad.index[0]
+                        raise ValueError(
+                            f"dimension mismatch: expected {dims}, got "
+                            f"{sizes[i]} for id {pdf['id'][i]!r}"
+                        )
+                ids.extend(str(i) for i in pdf["id"])
+                yield pdf
             if not ids:
                 return
             tok = _uuid.uuid4().hex[:8]
@@ -460,7 +506,7 @@ class Collection:
                         "kill_seq": pa.array([seq] * len(ids), pa.int64()),
                     }
                 ),
-                os.path.join(dst_dv, f"kills_{seq}_{tok}.parquet"),
+                os.path.join(dv_dir, f"kills_{seq}_{tok}.parquet"),
             )
             now = datetime.now(timezone.utc)
             papq.write_table(
@@ -473,20 +519,16 @@ class Collection:
                             [event_type] * len(ids), pa.string()
                         ),
                         "collection": pa.array([coll] * len(ids), pa.string()),
-                        "doc_id": pa.array(
-                            [str(i) for i in ids], pa.string()
-                        ),
+                        "doc_id": pa.array(ids, pa.string()),
                         "ts": pa.array(
                             [now] * len(ids), pa.timestamp("us", tz="UTC")
                         ),
                     }
                 ),
-                os.path.join(evdir, f"ev_{tok}.parquet"),
+                os.path.join(ev_dir, f"ev_{tok}.parquet"),
             )
 
-        ids_df.select(F.col("id").cast("string").alias("id")).coalesce(
-            parts
-        ).foreachPartition(per_part)
+        return df.mapInPandas(run, schema=df.schema)
 
     def _bucket_rows(self, touched: list[int]) -> DataFrame:
         """Current rows of the touched buckets only — the read is
@@ -759,6 +801,19 @@ class Collection:
         fast path). Legacy non-bucketed snapshots take the old
         copy-on-write rewrite, which migrates them."""
         batch = self._validate(batch)
+        cur = self._data_path()
+        if (
+            cur is not None
+            and self._has_parquet(cur)
+            and self._snapshot_bucketed()
+        ):
+            # fast path: kill + append + CDC + dim-check + row count all
+            # inside the ONE commit-write job (see _wrap_side_effects)
+            n = self._commit_append(
+                batch, op="upsert", kill_ids=batch.select("id"),
+                kill_event="update",
+            )
+            return n if n is not None else 0
         n, touched, _dup, bad = self._batch_stats(batch, find_dups=False)
         if bad is not None:
             raise ValueError(
@@ -767,11 +822,9 @@ class Collection:
             )
         if n == 0:
             return 0
-        cur = self._data_path()
         if cur is None or not self._has_parquet(cur):
             self._commit(batch, op="upsert")
-            self._emit("update", batch.select("id"))
-        elif not self._snapshot_bucketed():
+        else:  # legacy non-bucketed: copy-on-write rewrite migrates it
             kept = self._bucket_rows(touched).join(
                 batch.select("id"), "id", "left_anti"
             )
@@ -779,13 +832,7 @@ class Collection:
                 kept.unionByName(batch, allowMissingColumns=True), touched,
                 op="upsert",
             )
-            self._emit("update", batch.select("id"))
-        else:
-            # kill+event files write in one fused job inside the commit
-            self._commit_append(
-                batch, op="upsert", kill_ids=batch.select("id"),
-                n_rows=n, kill_event="update",
-            )
+        self._emit("update", batch.select("id"))
         return n
 
     def delete(self, ids: Sequence[str] | None = None, where: Filter | dict | None = None) -> None:
