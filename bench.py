@@ -519,6 +519,29 @@ def main() -> None:
     extras["partitioned_batch_qps"] = round(
         n_queries / timings["q_knn_partitioned_batch_100k"], 1
     )
+
+    # EXACT batch over the cached artifacts (nprobe = n_lists): the
+    # per-partition matrices stay resident in the python workers, so
+    # unlike knn_batch_gemm no call re-ships 26 MB of vectors through
+    # Arrow — the cached twin of the reference's in-memory batch scan
+    from fastpyvectordb_spark.ann.partitioned import (
+        partitioned_search_indexed_batch,
+    )
+
+    partitioned_search_indexed_batch(
+        part_stubs, qpdf_big, k=K, nprobe=32
+    ).count()  # warm
+
+    @bench("q_knn_batch_cached_100k")
+    def _():
+        n = partitioned_search_indexed_batch(
+            part_stubs, qpdf_big, k=K, nprobe=32
+        ).count()
+        assert n == n_queries * K
+
+    extras["cached_exact_batch_qps"] = round(
+        n_queries / timings["q_knn_batch_cached_100k"], 1
+    )
     p_approx = partitioned_search_batch(
         part_idx, sample, k=K, nprobe=8, metric="cosine"
     ).toPandas()

@@ -303,6 +303,107 @@ def partitioned_search(
     return out.orderBy("dist", id_col).limit(k)
 
 
+def _scan_artifact_batch(
+    cents, offsets, ids, vmat, qids, qmat, k, nprobe, metric, id_col
+) -> pd.DataFrame | None:
+    """All queries against one partition artifact. Full probing
+    (nprobe >= n_lists) takes a vectorized GEMM fast path — one
+    (Q, n) distance block per artifact instead of per-query gathers —
+    which makes the cached-artifact serving path an exact batch
+    scanner."""
+    if nprobe >= len(cents) and len(ids):
+        v = vmat.astype(np.float64)
+        if metric == "l2":
+            d = (
+                (v ** 2).sum(1)[None, :]
+                - 2.0 * (qmat @ v.T)
+                + (qmat ** 2).sum(1)[:, None]
+            )
+            d = np.sqrt(np.maximum(d, 0.0))
+        elif metric == "ip":
+            d = -(qmat @ v.T)
+        else:
+            vn = np.sqrt((v ** 2).sum(1)) + 1e-10
+            qn = np.sqrt((qmat ** 2).sum(1)) + 1e-10
+            d = 1.0 - (qmat @ v.T) / (qn[:, None] * vn[None, :])
+        kk = min(k, d.shape[1])
+        p = (
+            np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            if kk < d.shape[1]
+            else np.broadcast_to(np.arange(d.shape[1]), (len(qmat), d.shape[1]))
+        )
+        rows = np.arange(len(qmat))[:, None]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, p.shape[1]),
+                id_col: ids[p].ravel(),
+                "dist": d[rows, p].ravel(),
+            }
+        )
+    out_q, out_i, out_d = [], [], []
+    for qi in range(len(qids)):
+        rid, rd = _scan_lists(
+            cents, offsets, ids, vmat, qmat[qi], k, nprobe, metric
+        )
+        out_q.append(np.full(len(rid), qids[qi], dtype=np.int64))
+        out_i.append(rid)
+        out_d.append(rd)
+    if not out_q:
+        return None
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            id_col: np.concatenate(out_i),
+            "dist": np.concatenate(out_d),
+        }
+    )
+
+
+def partitioned_search_indexed_batch(
+    stubs: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 10,
+    nprobe: int = 6,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Batch search over the cached serving artifacts. With
+    ``nprobe >= n_lists`` this is an EXACT batch scanner whose
+    per-partition matrices live in the worker cache — no Arrow
+    shipping of vectors per call, unlike ``knn_batch_gemm`` which
+    re-streams the table through Arrow on every invocation."""
+    from pyspark.sql import Window
+
+    qids = queries_pdf["query_id"].to_numpy()
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in queries_pdf["query_vec"]]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for pid, path in zip(pdf["part_id"], pdf["path"]):
+                cents, offsets, ids, vmat = _load_artifact(path, int(pid))
+                out = _scan_artifact_batch(
+                    cents, offsets, ids, vmat, qids, qmat, k, nprobe,
+                    metric, id_col,
+                )
+                if out is not None:
+                    yield out
+
+    out = stubs.mapInPandas(
+        scan, schema=f"query_id long, {id_col} long, dist double"
+    )
+    if round_digits is not None:
+        out = out.withColumn("dist", F.round("dist", round_digits))
+    w = Window.partitionBy("query_id").orderBy("dist", id_col)
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "dist")
+    )
+
+
 def partitioned_search_batch(
     index_df: DataFrame,
     queries_pdf: pd.DataFrame,
@@ -328,22 +429,12 @@ def partitioned_search_batch(
         for pdf in batches:
             for _, row in pdf.iterrows():
                 cents, offsets, ids, vmat = _unpack(row)
-                out_q, out_i, out_d = [], [], []
-                for qi in range(len(qids)):
-                    rid, rd = _scan_lists(
-                        cents, offsets, ids, vmat, qmat[qi], k, nprobe, metric
-                    )
-                    out_q.append(np.full(len(rid), qids[qi], dtype=np.int64))
-                    out_i.append(rid)
-                    out_d.append(rd)
-                if out_q:
-                    yield pd.DataFrame(
-                        {
-                            "query_id": np.concatenate(out_q),
-                            id_col: np.concatenate(out_i),
-                            "dist": np.concatenate(out_d),
-                        }
-                    )
+                out = _scan_artifact_batch(
+                    cents, offsets, ids, vmat, qids, qmat, k, nprobe,
+                    metric, id_col,
+                )
+                if out is not None:
+                    yield out
 
     out = index_df.mapInPandas(
         scan, schema=f"query_id long, {id_col} long, dist double"

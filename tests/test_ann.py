@@ -367,3 +367,30 @@ def test_partitioned_indexed_serving_matches_in_df(embeddings, spark, tmp_path):
         b = partitioned_search_indexed(stubs, qvec, k=10, nprobe=6).toPandas()
         assert list(a["vec_id"]) == list(b["vec_id"])
         assert np.allclose(a["dist"], b["dist"])
+
+
+def test_partitioned_indexed_batch_full_probe_is_exact(embeddings, spark, tmp_path):
+    """nprobe >= n_lists turns the cached-artifact batch scanner into
+    an EXACT batch kNN — results must match the exact operator."""
+    import pandas as pd
+
+    from fastpyvectordb_spark.ann.partitioned import (
+        open_index, partitioned_build, partitioned_search_indexed_batch,
+        save_index,
+    )
+
+    idx = partitioned_build(embeddings, n_parts=4, n_lists=8).localCheckpoint()
+    path = str(tmp_path / "exactidx")
+    save_index(idx, path)
+    stubs = open_index(spark, path)
+    qrows = embeddings.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [r["vec_id"] for r in qrows],
+            "query_vec": [list(r["embedding"]) for r in qrows],
+        }
+    )
+    got = partitioned_search_indexed_batch(stubs, qpdf, k=10, nprobe=8).toPandas()
+    for r in qrows:
+        mine = got.loc[got.query_id == r["vec_id"]].sort_values("rank")
+        assert list(mine["vec_id"]) == _exact(embeddings, r["embedding"])
