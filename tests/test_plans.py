@@ -95,3 +95,42 @@ def test_suite_registration_contract():
         "ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn", "ann_partitioned_knn",
     }, rows_only
     assert len(q) >= 86
+
+
+def test_partitioned_search_is_map_side_plus_takeordered(spark):
+    """The partition-local ANN single-query plan must be one map-side
+    stage + TakeOrderedAndProject — NO exchange of artifact rows."""
+    from fastpyvectordb_spark.ann.partitioned import (
+        partitioned_build, partitioned_search,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    idx = partitioned_build(emb, n_parts=4, n_lists=8).localCheckpoint()
+    plan = partitioned_search(idx, qvec, k=5, nprobe=4)
+    rep = plan_report(plan)
+    assert rep.exchanges == 0, rep.summary()
+    from fastpyvectordb_spark.plans.advisor import physical_plan
+
+    assert "TakeOrderedAndProject" in physical_plan(plan)
+
+
+def test_dv_read_uses_broadcast_join(spark, tmp_path):
+    """The deletion-vector filter must broadcast the (tiny) DV side —
+    a shuffled join against kill files would be a scale bug."""
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+    from fastpyvectordb_spark.plans.advisor import physical_plan
+
+    c = Collection(
+        spark, str(tmp_path / "dvplan"), CollectionConfig(dimensions=2, n_buckets=4)
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"x{i}", [float(i), 0.0]) for i in range(50)],
+            "id string, embedding array<float>",
+        )
+    )
+    c.delete(ids=["x1", "x2"])
+    plan = physical_plan(c.df())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan, plan
