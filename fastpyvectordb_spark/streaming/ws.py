@@ -1,0 +1,262 @@
+"""Minimal RFC 6455 WebSocket broadcast server (stdlib only).
+
+Closes the reference's S10 transport gap (``realtime.py:184-215``:
+live-socket event broadcast with a last-N ring buffer replayed to late
+joiners). Round 1 shipped the *semantics* (per-subscriber predicate
+push + ``replay_last_n``) over an injected HTTP POST; this module adds
+the actual WebSocket wire protocol so a browser/`websockets` client can
+connect: HTTP upgrade handshake (Sec-WebSocket-Accept =
+b64(sha1(key + GUID))), server→client unmasked text frames with
+7/16/64-bit length encoding, masked client→server frame parsing,
+ping/pong and close handling.
+
+Spark integration: :func:`websocket_sink` returns a ``foreachBatch``
+handler that broadcasts each micro-batch's rows as JSON text frames —
+the same driver-side fan-out shape as ``push_to_subscribers`` (batches
+are micro-batch-sized; the transport is not a data-plane sink).
+
+No third-party deps; the test suite drives it with a raw-socket client
+implementing the same framing.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import socket
+import struct
+import threading
+from collections import deque
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _accept_key(key: str) -> str:
+    return base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode()).digest()
+    ).decode()
+
+
+def encode_text_frame(payload: str) -> bytes:
+    """Server→client text frame (FIN, opcode 0x1, unmasked)."""
+    data = payload.encode("utf-8")
+    n = len(data)
+    if n < 126:
+        header = struct.pack("!BB", 0x81, n)
+    elif n < 2**16:
+        header = struct.pack("!BBH", 0x81, 126, n)
+    else:
+        header = struct.pack("!BBQ", 0x81, 127, n)
+    return header + data
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("socket closed")
+        buf += chunk
+    return buf
+
+
+def decode_frame(sock: socket.socket) -> tuple[int, bytes]:
+    """Read one (client→server, masked) frame → (opcode, payload)."""
+    b0, b1 = _read_exact(sock, 2)
+    opcode = b0 & 0x0F
+    masked = b1 & 0x80
+    n = b1 & 0x7F
+    if n == 126:
+        (n,) = struct.unpack("!H", _read_exact(sock, 2))
+    elif n == 127:
+        (n,) = struct.unpack("!Q", _read_exact(sock, 8))
+    mask = _read_exact(sock, 4) if masked else b"\x00" * 4
+    data = bytearray(_read_exact(sock, n))
+    if masked:
+        for i in range(len(data)):
+            data[i] ^= mask[i % 4]
+    return opcode, bytes(data)
+
+
+class WebSocketBroadcaster:
+    """Accept-loop + client registry + last-``history`` ring buffer.
+
+    ``broadcast(obj)`` JSON-encodes and pushes a text frame to every
+    connected client; new clients first receive the ring buffer (the
+    reference's late-joiner replay, ``realtime.py:198-205``)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, history: int = 100):
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(16)
+        self.host, self.port = self._srv.getsockname()
+        self._clients: list[socket.socket] = []
+        self._ring: deque = deque(maxlen=history)
+        self._lock = threading.Lock()
+        self._closed = False
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+
+    # -- server side --------------------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._closed:
+            try:
+                conn, _addr = self._srv.accept()
+            except OSError:
+                return
+            try:
+                self._handshake(conn)
+            except Exception:
+                conn.close()
+                continue
+            with self._lock:
+                for item in self._ring:  # late-joiner replay
+                    conn.sendall(encode_text_frame(item))
+                self._clients.append(conn)
+            threading.Thread(
+                target=self._client_loop, args=(conn,), daemon=True
+            ).start()
+
+    def _handshake(self, conn: socket.socket) -> None:
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = conn.recv(4096)
+            if not chunk:
+                raise ConnectionError("client closed during handshake")
+            data += chunk
+        headers = {}
+        for line in data.decode("latin1").split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        key = headers.get("sec-websocket-key")
+        if not key or "websocket" not in headers.get("upgrade", "").lower():
+            raise ValueError("not a websocket upgrade request")
+        conn.sendall(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\n"
+                "Connection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+            ).encode()
+        )
+
+    def _client_loop(self, conn: socket.socket) -> None:
+        """Consume client frames: answer pings, honor close."""
+        try:
+            while True:
+                opcode, payload = decode_frame(conn)
+                if opcode == 0x8:  # close
+                    break
+                if opcode == 0x9:  # ping → pong
+                    conn.sendall(
+                        struct.pack("!BB", 0x8A, len(payload)) + payload
+                    )
+        except Exception:
+            pass
+        with self._lock:
+            if conn in self._clients:
+                self._clients.remove(conn)
+        conn.close()
+
+    # -- producer side ------------------------------------------------
+
+    def broadcast(self, obj) -> int:
+        """Send one JSON message to every client; returns #delivered."""
+        text = obj if isinstance(obj, str) else json.dumps(obj)
+        frame = encode_text_frame(text)
+        delivered = 0
+        with self._lock:
+            self._ring.append(text)
+            dead = []
+            for c in self._clients:
+                try:
+                    c.sendall(frame)
+                    delivered += 1
+                except OSError:
+                    dead.append(c)
+            for c in dead:
+                self._clients.remove(c)
+        return delivered
+
+    def close(self) -> None:
+        self._closed = True
+        try:
+            self._srv.close()
+        finally:
+            with self._lock:
+                for c in self._clients:
+                    try:
+                        c.sendall(struct.pack("!BB", 0x88, 0))
+                        c.close()
+                    except OSError:
+                        pass
+                self._clients.clear()
+
+
+def websocket_sink(broadcaster: WebSocketBroadcaster, max_rows: int = 10_000):
+    """``foreachBatch`` handler broadcasting each micro-batch's rows as
+    JSON text frames (row dicts, timestamps stringified). Bounded like
+    ``push_to_subscribers``: at most ``max_rows`` rows are collected;
+    larger batches stream in chunks via ``toLocalIterator``."""
+
+    def handle(batch_df, batch_id: int) -> None:
+        sent = 0
+        for row in batch_df.toLocalIterator():
+            d = {
+                k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                for k, v in row.asDict().items()
+            }
+            broadcaster.broadcast({"batch_id": batch_id, "event": d})
+            sent += 1
+            if sent >= max_rows:
+                break
+
+    return handle
+
+
+# -- test/client helper (masked client→server frames) ------------------
+
+def client_connect(host: str, port: int, timeout: float = 5.0) -> socket.socket:
+    """Raw-socket WebSocket client handshake (for tests and simple
+    consumers; production clients use any standard library)."""
+    s = socket.create_connection((host, port), timeout=timeout)
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    s.sendall(
+        (
+            f"GET / HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        chunk = s.recv(4096)
+        if not chunk:
+            raise ConnectionError("no handshake response")
+        resp += chunk
+    status = resp.split(b"\r\n", 1)[0]
+    if b"101" not in status:
+        raise ConnectionError(f"handshake failed: {status!r}")
+    expect = _accept_key(key).encode()
+    if expect not in resp:
+        raise ConnectionError("bad Sec-WebSocket-Accept")
+    return s
+
+
+def client_recv_text(sock: socket.socket) -> str:
+    """Receive one text frame on a client socket (server frames are
+    unmasked — same parser)."""
+    opcode, payload = decode_frame(sock)
+    if opcode != 0x1:
+        raise ValueError(f"unexpected opcode {opcode}")
+    return payload.decode("utf-8")
+
+
+def client_send_close(sock: socket.socket) -> None:
+    mask = b"\x00\x00\x00\x00"
+    sock.sendall(struct.pack("!BB", 0x88, 0x80) + mask)

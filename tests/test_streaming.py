@@ -253,3 +253,69 @@ def test_interval_join_watermark_keeps_ntz_schema(spark):
     assert dict(plain.dtypes) == dict(marked.dtypes)
     assert dict(marked.dtypes)["l_ts"] == "timestamp_ntz"
     assert dict(marked.dtypes)["r_ts"] == "timestamp_ntz"
+
+
+def test_websocket_broadcast_and_late_joiner(spark):
+    """S10 transport: real RFC6455 frames over a socket — handshake,
+    broadcast to a live client, ring-buffer replay to a late joiner."""
+    import json
+
+    from fastpyvectordb_spark.streaming.ws import (
+        WebSocketBroadcaster, client_connect, client_recv_text,
+        client_send_close,
+    )
+
+    b = WebSocketBroadcaster(history=5)
+    try:
+        c1 = client_connect(b.host, b.port)
+        import time as _t
+
+        deadline = _t.time() + 5
+        while b.broadcast({"seq": 1}) < 1 and _t.time() < deadline:
+            _t.sleep(0.02)
+        msg = json.loads(client_recv_text(c1))
+        assert msg == {"seq": 1}
+        b.broadcast({"seq": 2})
+        assert json.loads(client_recv_text(c1))["seq"] == 2
+        # late joiner gets the ring buffer (last-N replay)
+        c2 = client_connect(b.host, b.port)
+        assert json.loads(client_recv_text(c2))["seq"] == 1
+        assert json.loads(client_recv_text(c2))["seq"] == 2
+        # long frame (>125 bytes → 16-bit length path)
+        b.broadcast({"pad": "x" * 500})
+        assert len(json.loads(client_recv_text(c1))["pad"]) == 500
+        client_send_close(c1)
+        client_send_close(c2)
+    finally:
+        b.close()
+
+
+def test_websocket_sink_foreachbatch(spark):
+    """websocket_sink pushes a micro-batch's rows as JSON frames."""
+    import json
+
+    from fastpyvectordb_spark.streaming.ws import (
+        WebSocketBroadcaster, client_connect, client_recv_text,
+    )
+
+    b = WebSocketBroadcaster()
+    try:
+        c = client_connect(b.host, b.port)
+        import time as _t
+
+        deadline = _t.time() + 5
+        while not b.broadcast({"warm": True}) and _t.time() < deadline:
+            _t.sleep(0.02)
+        client_recv_text(c)  # drain warm-up
+        from fastpyvectordb_spark.streaming.ws import websocket_sink
+
+        batch = spark.createDataFrame(
+            [("e1", "insert", "u1"), ("e2", "delete", "u2")],
+            "event_id string, event_type string, user_id string",
+        )
+        websocket_sink(b)(batch, batch_id=7)
+        got = [json.loads(client_recv_text(c)) for _ in range(2)]
+        assert {g["event"]["event_id"] for g in got} == {"e1", "e2"}
+        assert all(g["batch_id"] == 7 for g in got)
+    finally:
+        b.close()
