@@ -64,3 +64,16 @@ def ann_partitioned_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
     index = partitioned_build(emb, n_parts=8, n_lists=16)
     return partitioned_search(index, qvec, k=10, nprobe=10)
+
+
+@register("ann_nsw_knn")
+def ann_nsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSW graph search (the reference's hnswlib family, built natively
+    per partition — greedy beam over bidirectional m-degree links).
+    Recall gate: tests/test_ann.py::test_nsw_graph_recall (≥0.95)."""
+    from fastpyvectordb_spark.ann.nsw import nsw_build, nsw_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    index = nsw_build(emb, n_parts=8, m=8, m_max=16, ef_construction=32)
+    return nsw_search(index, qvec, k=10, ef=48)

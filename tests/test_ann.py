@@ -394,3 +394,34 @@ def test_partitioned_indexed_batch_full_probe_is_exact(embeddings, spark, tmp_pa
     for r in qrows:
         mine = got.loc[got.query_id == r["vec_id"]].sort_values("rank")
         assert list(mine["vec_id"]) == _exact(embeddings, r["embedding"])
+
+
+def test_nsw_graph_recall(embeddings):
+    """NSW graph artifacts (the reference's hnswlib family, built
+    natively per partition): beam search must reach ≥0.95 recall on
+    the weakly-clustered fixture."""
+    from fastpyvectordb_spark.ann.nsw import nsw_build, nsw_search
+
+    idx = nsw_build(
+        embeddings, n_parts=4, m=8, m_max=16, ef_construction=32
+    ).localCheckpoint()
+    recalls = []
+    for qid in range(8):
+        qvec = embeddings.filter(F.col("vec_id") == qid).head()["embedding"]
+        approx = [
+            r["vec_id"] for r in nsw_search(idx, qvec, k=10, ef=48).collect()
+        ]
+        recalls.append(_recall(approx, _exact(embeddings, qvec)))
+    mean = float(np.mean(recalls))
+    assert mean >= 0.95, f"NSW mean recall@10 {mean} ({recalls})"
+
+
+def test_nsw_build_is_deterministic(embeddings):
+    from fastpyvectordb_spark.ann.nsw import nsw_build, nsw_search
+
+    a = nsw_build(embeddings, n_parts=2, m=6, m_max=12).localCheckpoint()
+    b = nsw_build(embeddings, n_parts=2, m=6, m_max=12).localCheckpoint()
+    qvec = embeddings.filter(F.col("vec_id") == 3).head()["embedding"]
+    ra = [(r["vec_id"], r["dist"]) for r in nsw_search(a, qvec, k=5).collect()]
+    rb = [(r["vec_id"], r["dist"]) for r in nsw_search(b, qvec, k=5).collect()]
+    assert ra == rb

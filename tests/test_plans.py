@@ -93,8 +93,9 @@ def test_suite_registration_contract():
     rows_only = set(q) - set(o)
     assert rows_only == {
         "ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn", "ann_partitioned_knn",
+        "ann_nsw_knn",
     }, rows_only
-    assert len(q) >= 86
+    assert len(q) >= 87
 
 
 def test_partitioned_search_is_map_side_plus_takeordered(spark):
