@@ -44,6 +44,29 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # Environment calibration: this host's effective memory bandwidth
+    # swings >100x with noisy neighbors (observed 0.1-37 GB/s across a
+    # single day), and every *_local_qps kernel is bandwidth-bound.
+    # Recording the machine state each run makes rounds comparable —
+    # a QPS drop with a matching mem_bw drop is the host, not the code.
+    import numpy as _np
+
+    _cal = _np.ones(50_000_000, dtype=_np.float32)  # 200 MB
+    _best = 0.0
+    for _ in range(3):
+        _t0 = time.perf_counter()
+        _cal.copy()
+        _best = max(_best, 0.4 / (time.perf_counter() - _t0))
+    extras["cal_mem_bw_gbps"] = round(_best, 2)
+    _g = _np.ones((1024, 1024), dtype=_np.float32)
+    _t0 = time.perf_counter()
+    for _ in range(5):
+        _g @ _g
+    extras["cal_gemm_gflops"] = round(
+        5 * 2 * 1024**3 / (time.perf_counter() - _t0) / 1e9, 1
+    )
+    del _cal, _g
+
     def bench(name, repeats=1):
         """Time fn; with repeats>1 record the best pass (standard
         micro-bench practice for the in-memory serving kernels, whose
