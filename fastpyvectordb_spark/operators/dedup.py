@@ -535,3 +535,40 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination (GPT-3 App. C / Dodge et al. 2021 C4 audit):
+# flag training docs that share word n-grams with a benchmark/eval set.
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs sharing ≥ ``min_overlap`` distinct word ``n``-grams with ANY
+    benchmark document → (doc_id, overlap_ngrams).
+
+    Scale shape: the benchmark's distinct n-gram hash set is tiny
+    relative to the corpus (eval sets are thousands of docs, corpora
+    billions) — broadcast it and equi-join on the 8-byte shingle hash.
+    Cost is one pass over corpus shingles; never
+    O(docs × benchmark)."""
+    doc_sh = shingles(docs, n, id_col, text_col)
+    bench_sh = (
+        shingles(benchmark, n, id_col, text_col)
+        .select(F.col("sh").alias("bsh"))
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), doc_sh.sh == F.col("bsh"))
+        # doc_sh is distinct per (doc, shingle) and bench_sh per shingle
+        # → one row per overlapping distinct n-gram
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+        .filter(F.col("overlap_ngrams") >= min_overlap)
+    )

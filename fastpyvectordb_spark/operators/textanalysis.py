@@ -225,3 +225,70 @@ def scrub_stats_exprs(text: Column) -> dict[str, Column]:
         f"n_{name}": F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
         for name, pat, _ in _SCRUB_PATTERNS
     }
+
+
+# ---------------------------------------------------------------------------
+# Repetition filtering (Gopher, Rae et al. 2021 Table A1): per-doc
+# duplicate n-gram fraction and top n-gram fraction — the workhorse
+# quality rules for web-scale corpus cleaning.
+# ---------------------------------------------------------------------------
+
+def repetition_metrics(
+    docs,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_frac_threshold: float = 0.04,
+    dup_frac_threshold: float = 0.55,
+    round_digits: int = 6,
+):
+    """Per-doc word n-gram repetition statistics →
+    (doc_id, n_grams, dup_gram_frac, top_gram_frac, repetitive).
+
+    ``dup_gram_frac`` = 1 − distinct/total n-grams;
+    ``top_gram_frac`` = occurrences of the most frequent n-gram / total.
+    One explode + one two-level aggregation, both keyed on doc_id —
+    shuffles hashes, never gram strings (the shingle-hash trick from
+    dedup). Thresholds follow Gopher's shape; exact values are corpus
+    knobs."""
+    from pyspark.sql import DataFrame, functions as F
+
+    from fastpyvectordb_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join(F.col("t"), " "))),
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("gh"),
+    )
+    per_gram = grams.groupBy("doc_id", "gh").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    dup = F.lit(1.0) - F.col("n_distinct") / F.col("n_grams")
+    top = F.col("top_c") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round(dup, round_digits).alias("dup_gram_frac"),
+        F.round(top, round_digits).alias("top_gram_frac"),
+        (
+            (dup > dup_frac_threshold) | (top > top_frac_threshold)
+        ).alias("repetitive"),
+    )

@@ -274,3 +274,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingles(corpus)
     pairs = D.jaccard_pairs(sh, min_jaccard=0.3)
     return D.duplicate_clusters(pairs).orderBy("doc_id")
+
+
+@register(
+    "dedup_decontaminate",
+    f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{D.duckdb_shingles_cte("corpus", n=5).lstrip()},
+bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 37 = 0)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap_ngrams
+FROM shingles s JOIN bench b ON s.sh = b.sh
+GROUP BY s.doc_id
+HAVING COUNT(*) >= 3
+ORDER BY doc_id
+""",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (GPT-3 App. C shape): docs sharing ≥3
+    distinct 5-grams with the 'benchmark' slice (doc_id % 37 == 0).
+    Benchmark n-gram set broadcasts; the join is on 8-byte hashes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return (
+        D.decontaminate(docs, bench, n=5, min_overlap=3)
+        .select(
+            "doc_id", F.col("overlap_ngrams").cast("long").alias("overlap_ngrams")
+        )
+        .orderBy("doc_id")
+    )

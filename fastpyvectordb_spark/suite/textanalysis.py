@@ -343,3 +343,46 @@ def text_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_repetition_filter",
+    """
+WITH _toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS t
+  FROM documents
+),
+_grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN unnest(list_transform(range(1, len(t)),
+                     i -> array_to_string(list_slice(t, i, i + 1), ' ')))
+              ELSE array_to_string(t, ' ')
+         END AS g
+  FROM _toks
+),
+_per AS (SELECT doc_id, g, COUNT(*) AS c FROM _grams GROUP BY doc_id, g),
+_doc AS (
+  SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct, MAX(c) AS top_c
+  FROM _per GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       ROUND(1.0 - n_distinct / n_grams, 6) AS dup_gram_frac,
+       ROUND(top_c / n_grams, 6) AS top_gram_frac,
+       ((1.0 - n_distinct / n_grams) > 0.05 OR (top_c / n_grams) > 0.05)
+         AS repetitive
+FROM _doc
+ORDER BY doc_id
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rules: per-doc duplicate-2-gram and
+    top-2-gram fractions with corpus-tuned flag thresholds."""
+    from fastpyvectordb_spark.operators.textanalysis import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(
+        docs, n=2, top_frac_threshold=0.05, dup_frac_threshold=0.05
+    ).orderBy("doc_id")

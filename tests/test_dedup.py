@@ -201,3 +201,41 @@ def test_deterministic_split_huge_ids_cross_engine(spark):
         b = ((i + 42) * 2654435761) % (2**32) % 100
         want = "train" if b < 80 else ("val" if b < 90 else "test")
         assert got_spark[i] == want, i
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from fastpyvectordb_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "totally different words with no overlap at all here"),
+            (3, "prefix alpha beta gamma delta epsilon suffix tail words"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["overlap_ngrams"]
+        for r in decontaminate(docs, bench, n=5, min_overlap=1).collect()
+    }
+    assert 1 in out and 3 in out and 2 not in out
+
+
+def test_repetition_metrics_flags_repeats(spark):
+    from fastpyvectordb_spark.operators.textanalysis import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 30),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(
+        docs, n=2, dup_frac_threshold=0.5, top_frac_threshold=0.3
+    ).collect()}
+    assert rows[1]["repetitive"] and rows[1]["dup_gram_frac"] > 0.9
+    assert not rows[2]["repetitive"] and rows[2]["dup_gram_frac"] == 0.0
