@@ -220,43 +220,75 @@ def websocket_sink(broadcaster: WebSocketBroadcaster, max_rows: int = 10_000):
 
 # -- test/client helper (masked client→server frames) ------------------
 
-def client_connect(host: str, port: int, timeout: float = 5.0) -> socket.socket:
-    """Raw-socket WebSocket client handshake (for tests and simple
-    consumers; production clients use any standard library)."""
-    s = socket.create_connection((host, port), timeout=timeout)
-    key = base64.b64encode(b"0123456789abcdef").decode()
-    s.sendall(
-        (
-            f"GET / HTTP/1.1\r\nHost: {host}:{port}\r\n"
-            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
-            f"Sec-WebSocket-Key: {key}\r\n"
-            "Sec-WebSocket-Version: 13\r\n\r\n"
-        ).encode()
-    )
-    resp = b""
-    while b"\r\n\r\n" not in resp:
-        chunk = s.recv(4096)
-        if not chunk:
-            raise ConnectionError("no handshake response")
-        resp += chunk
-    status = resp.split(b"\r\n", 1)[0]
-    if b"101" not in status:
-        raise ConnectionError(f"handshake failed: {status!r}")
-    expect = _accept_key(key).encode()
-    if expect not in resp:
-        raise ConnectionError("bad Sec-WebSocket-Accept")
-    return s
+
+class WSClient:
+    """Buffered raw-socket WebSocket client (tests and simple
+    consumers; production clients use any standard library).
+
+    Buffering matters: the server may send replayed frames in the SAME
+    TCP segment as the 101 handshake response — a client that reads the
+    handshake with a raw recv() silently discards them."""
+
+    def __init__(self, host: str, port: int, timeout: float = 5.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self._buf = b""
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        self.sock.sendall(
+            (
+                f"GET / HTTP/1.1\r\nHost: {host}:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("no handshake response")
+            resp += chunk
+        head, _, rest = resp.partition(b"\r\n\r\n")
+        self._buf = rest  # frames that rode along with the handshake
+        status = head.split(b"\r\n", 1)[0]
+        if b"101" not in status:
+            raise ConnectionError(f"handshake failed: {status!r}")
+        if _accept_key(key).encode() not in head:
+            raise ConnectionError("bad Sec-WebSocket-Accept")
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("socket closed")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def recv_text(self) -> str:
+        b0, b1 = self._read_exact(2)
+        opcode = b0 & 0x0F
+        n = b1 & 0x7F
+        if n == 126:
+            (n,) = struct.unpack("!H", self._read_exact(2))
+        elif n == 127:
+            (n,) = struct.unpack("!Q", self._read_exact(8))
+        payload = self._read_exact(n)
+        if opcode != 0x1:
+            raise ValueError(f"unexpected opcode {opcode}")
+        return payload.decode("utf-8")
+
+    def send_close(self) -> None:
+        mask = b"\x00\x00\x00\x00"
+        self.sock.sendall(struct.pack("!BB", 0x88, 0x80) + mask)
 
 
-def client_recv_text(sock: socket.socket) -> str:
-    """Receive one text frame on a client socket (server frames are
-    unmasked — same parser)."""
-    opcode, payload = decode_frame(sock)
-    if opcode != 0x1:
-        raise ValueError(f"unexpected opcode {opcode}")
-    return payload.decode("utf-8")
+def client_connect(host: str, port: int, timeout: float = 5.0) -> WSClient:
+    return WSClient(host, port, timeout=timeout)
 
 
-def client_send_close(sock: socket.socket) -> None:
-    mask = b"\x00\x00\x00\x00"
-    sock.sendall(struct.pack("!BB", 0x88, 0x80) + mask)
+def client_recv_text(client: WSClient) -> str:
+    return client.recv_text()
+
+
+def client_send_close(client: WSClient) -> None:
+    client.send_close()

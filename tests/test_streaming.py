@@ -267,23 +267,37 @@ def test_websocket_broadcast_and_late_joiner(spark):
 
     b = WebSocketBroadcaster(history=5)
     try:
-        c1 = client_connect(b.host, b.port)
+        c1 = client_connect(b.host, b.port, timeout=30)
         import time as _t
 
-        deadline = _t.time() + 5
+        # the warm-up may broadcast seq 1 several times before c1
+        # registers (each lands in the ring); readers below tolerate
+        # duplicates by draining until the expected seq arrives
+        deadline = _t.time() + 20
         while b.broadcast({"seq": 1}) < 1 and _t.time() < deadline:
             _t.sleep(0.02)
-        msg = json.loads(client_recv_text(c1))
-        assert msg == {"seq": 1}
+
+        def read_until(sock, want_seq, limit=20):
+            for _ in range(limit):
+                got = json.loads(client_recv_text(sock))
+                if got.get("seq") == want_seq:
+                    return got
+            raise AssertionError(f"seq {want_seq} never arrived")
+
+        assert read_until(c1, 1) == {"seq": 1}
         b.broadcast({"seq": 2})
-        assert json.loads(client_recv_text(c1))["seq"] == 2
-        # late joiner gets the ring buffer (last-N replay)
-        c2 = client_connect(b.host, b.port)
-        assert json.loads(client_recv_text(c2))["seq"] == 1
-        assert json.loads(client_recv_text(c2))["seq"] == 2
+        assert read_until(c1, 2)["seq"] == 2
+        # late joiner gets the ring buffer (last-N replay): both seqs
+        c2 = client_connect(b.host, b.port, timeout=30)
+        read_until(c2, 1)
+        read_until(c2, 2)
         # long frame (>125 bytes → 16-bit length path)
         b.broadcast({"pad": "x" * 500})
-        assert len(json.loads(client_recv_text(c1))["pad"]) == 500
+        for _ in range(20):
+            got = json.loads(client_recv_text(c1))
+            if "pad" in got:
+                break
+        assert len(got["pad"]) == 500
         client_send_close(c1)
         client_send_close(c2)
     finally:
@@ -300,13 +314,12 @@ def test_websocket_sink_foreachbatch(spark):
 
     b = WebSocketBroadcaster()
     try:
-        c = client_connect(b.host, b.port)
+        c = client_connect(b.host, b.port, timeout=30)
         import time as _t
 
-        deadline = _t.time() + 5
+        deadline = _t.time() + 20
         while not b.broadcast({"warm": True}) and _t.time() < deadline:
             _t.sleep(0.02)
-        client_recv_text(c)  # drain warm-up
         from fastpyvectordb_spark.streaming.ws import websocket_sink
 
         batch = spark.createDataFrame(
@@ -314,7 +327,13 @@ def test_websocket_sink_foreachbatch(spark):
             "event_id string, event_type string, user_id string",
         )
         websocket_sink(b)(batch, batch_id=7)
-        got = [json.loads(client_recv_text(c)) for _ in range(2)]
+        got = []
+        for _ in range(30):  # skip however many warm-up frames arrived
+            msg = json.loads(client_recv_text(c))
+            if "event" in msg:
+                got.append(msg)
+            if len(got) == 2:
+                break
         assert {g["event"]["event_id"] for g in got} == {"e1", "e2"}
         assert all(g["batch_id"] == 7 for g in got)
     finally:
