@@ -456,6 +456,81 @@ class Collection:
         self._finish_commit(version, op)
         return n_out
 
+    def _commit_kill(self, doomed: DataFrame, op: str, event_type: str = "delete") -> bool:
+        """Kill-only commit driven by ONE job: the doomed-id scan's own
+        tasks write the deletion-vector and CDC event files directly
+        (pyarrow, executor-side). The new version becomes current only
+        if some task materialized a kill — an empty match discards the
+        staged version dir and commits nothing. Returns whether a
+        commit happened."""
+        import shutil
+
+        cur = self._data_path()
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        vdir = os.path.join(self.path, version)
+        os.makedirs(vdir, exist_ok=True)
+        for entry in os.listdir(cur):
+            if not entry.startswith("_bucket="):
+                continue
+            src_dir = os.path.join(cur, entry)
+            dst_dir = os.path.join(vdir, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in os.listdir(src_dir):
+                if fn.endswith(".parquet"):
+                    os.link(
+                        os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
+                    )
+        self._link_dv(cur, vdir)
+        seq = self._seq_next()
+        dv_dir = os.path.join(vdir, "_dv")
+        ev_dir = os.path.join(self.path, "_events")
+        os.makedirs(dv_dir, exist_ok=True)
+        os.makedirs(ev_dir, exist_ok=True)
+        coll = os.path.basename(self.path)
+
+        def per_part(rows) -> None:
+            import uuid as _uuid
+            from datetime import datetime, timezone
+
+            import pyarrow as pa
+            import pyarrow.parquet as papq
+
+            ids = [str(r["id"]) for r in rows]
+            if not ids:
+                return
+            tok = _uuid.uuid4().hex[:8]
+            papq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(ids, pa.string()),
+                        "kill_seq": pa.array([seq] * len(ids), pa.int64()),
+                    }
+                ),
+                os.path.join(dv_dir, f"kills_{seq}_{tok}.parquet"),
+            )
+            now = datetime.now(timezone.utc)
+            papq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array([f"{tok}-{i}" for i in ids], pa.string()),
+                        "event_type": pa.array([event_type] * len(ids), pa.string()),
+                        "collection": pa.array([coll] * len(ids), pa.string()),
+                        "doc_id": pa.array(ids, pa.string()),
+                        "ts": pa.array([now] * len(ids), pa.timestamp("us", tz="UTC")),
+                    }
+                ),
+                os.path.join(ev_dir, f"ev_{tok}.parquet"),
+            )
+
+        doomed.select(F.col("id").cast("string").alias("id")).foreachPartition(per_part)
+        if not any(f.startswith(f"kills_{seq}_") for f in os.listdir(dv_dir)):
+            shutil.rmtree(vdir)  # nothing matched: no commit
+            return False
+        if cur in self._schema_cache:
+            self._schema_cache[vdir] = self._schema_cache[cur]
+        self._finish_commit(version, op)
+        return True
+
     def _wrap_side_effects(
         self, df: DataFrame, vdir: str, seq: int, event_type: str
     ) -> DataFrame:
@@ -862,43 +937,22 @@ class Collection:
             self._commit_delta(kept, touched, op="delete")
             self._emit("delete", doomed)
             return
-        if where is None and ids:
-            # id-list delete, deletion-vector style: ONE bucket-pruned
-            # existence scan (needed for CDC fidelity — only ids that
-            # exist emit events), then a kill-only commit: hard links +
-            # one driver-written DV file. No data is read or rewritten.
-            if len(ids) >= self.config.n_buckets * 4:
-                # hash-spread id list almost surely touches every
-                # bucket — the pruning job would buy nothing
-                scope = self.df()
-            else:
-                ids_df = self.spark.createDataFrame(
-                    [(str(i),) for i in ids], "id string"
-                )
-                scope = self._bucket_rows(self._touched_buckets(ids_df))
-            doomed_ids = [
-                r["id"]
-                for r in scope.filter(F.coalesce(cond, F.lit(False)))
-                .select("id")
-                .collect()
-            ]
-            if not doomed_ids:
-                return
-            self._commit_append(None, op="delete", kill_ids=doomed_ids)
-            self._emit_ids("delete", doomed_ids)
-            return
-        # predicate delete: doomed set is unbounded — keep it
-        # distributed; the kill file is a small Spark write
-        doomed = (
-            self.df()
-            .filter(F.coalesce(cond, F.lit(False)))
-            .select("id")
-            .localCheckpoint()
-        )
-        if not doomed.head(1):
-            return
-        self._commit_append(None, op="delete", kill_ids=doomed)
-        self._emit("delete", doomed)
+        # deletion-vector delete: ONE job — the doomed-id scan's tasks
+        # write the kill + CDC event files as they match (existence is
+        # checked by what materializes, so no separate probe/collect);
+        # the commit itself is hard links + a pointer flip. Small id
+        # lists prune the scan to their hash buckets; hash-spread lists
+        # (≥4×n_buckets ids) touch every bucket anyway and skip the
+        # pruning job.
+        if where is None and ids and len(ids) < self.config.n_buckets * 4:
+            ids_df = self.spark.createDataFrame(
+                [(str(i),) for i in ids], "id string"
+            )
+            scope = self._bucket_rows(self._touched_buckets(ids_df))
+        else:
+            scope = self.df()
+        doomed = scope.filter(F.coalesce(cond, F.lit(False))).select("id")
+        self._commit_kill(doomed, op="delete")
 
     def update(
         self,
