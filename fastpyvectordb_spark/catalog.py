@@ -466,6 +466,8 @@ class Collection:
         import shutil
 
         cur = self._data_path()
+        if cur is None or not self._has_parquet(cur):
+            return False  # empty collection: nothing can match
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, version)
         os.makedirs(vdir, exist_ok=True)

@@ -383,3 +383,11 @@ def test_legacy_nonbucketed_snapshot_dml(spark, db, tmp_path):
     assert got == {"v0": 50.0, "v5": 5.0}
     c.delete(ids=["v9"])
     assert c.count() == 9
+
+
+def test_delete_on_empty_collection_is_noop(spark, db):
+    c = db.create_collection("empty_del", dimensions=4)
+    c.delete(ids=["ghost"])
+    c.delete(where={"field": "x", "op": "eq", "value": 1})
+    assert c.count() == 0
+    assert c.history() == []
