@@ -914,6 +914,10 @@ class Collection:
 
     def delete(self, ids: Sequence[str] | None = None, where: Filter | dict | None = None) -> None:
         """D5/D6: tombstone by id set and/or filter (anti-join rewrite)."""
+        cur_p = self._data_path()
+        if cur_p is None or not self._has_parquet(cur_p):
+            return  # empty collection: nothing can match (and a where
+            # predicate on absent metadata columns could not resolve)
         cond = None
         if ids is not None:
             cond = F.col("id").isin(list(ids))

@@ -388,6 +388,6 @@ def test_legacy_nonbucketed_snapshot_dml(spark, db, tmp_path):
 def test_delete_on_empty_collection_is_noop(spark, db):
     c = db.create_collection("empty_del", dimensions=4)
     c.delete(ids=["ghost"])
-    c.delete(where={"field": "x", "op": "eq", "value": 1})
+    c.delete(where={"category": "Z"})
     assert c.count() == 0
     assert c.history() == []
