@@ -260,6 +260,20 @@ def main() -> None:
     extras["delete_rows_per_sec"] = round(1000 / timings["q_dml_delete_1k"], 1)
     assert _col.count() == N_BIG - 1000
 
+    # kill-only fast path (verify_existing=False): links + a driver-
+    # written DV + CDC files, zero Spark jobs — plain SQL DELETE
+    # semantics (the default path above is Delta-CDF-faithful)
+    @bench("q_dml_delete_1k_fast")
+    def _():
+        _col.delete(
+            ids=[str(i) for i in range(1000, 2000)], verify_existing=False
+        )
+
+    extras["delete_fast_rows_per_sec"] = round(
+        1000 / timings["q_dml_delete_1k_fast"], 1
+    )
+    assert _col.count() == N_BIG - 2000
+
     # IVF accelerator at 100K: build once, then probe
     from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_search
 

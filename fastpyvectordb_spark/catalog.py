@@ -912,12 +912,49 @@ class Collection:
         self._emit("update", batch.select("id"))
         return n
 
-    def delete(self, ids: Sequence[str] | None = None, where: Filter | dict | None = None) -> None:
-        """D5/D6: tombstone by id set and/or filter (anti-join rewrite)."""
+    def delete(
+        self,
+        ids: Sequence[str] | None = None,
+        where: Filter | dict | None = None,
+        verify_existing: bool = True,
+    ) -> None:
+        """D5/D6: deletion-vector tombstoning by id set and/or filter.
+
+        ``verify_existing=False`` (id-list deletes only) skips the
+        existence scan entirely: the kill file and CDC events are
+        written for the REQUESTED ids in one links-only commit with no
+        Spark job at all — kills of absent ids are inert, and CDC
+        records the delete request rather than verified row deletes
+        (plain SQL ``DELETE`` semantics; the default scan-verified path
+        is Delta-CDF-faithful)."""
         cur_p = self._data_path()
         if cur_p is None or not self._has_parquet(cur_p):
             return  # empty collection: nothing can match (and a where
             # predicate on absent metadata columns could not resolve)
+        if not verify_existing and ids and where is None and self._snapshot_bucketed():
+            id_list = [str(i) for i in ids]
+            version = f"v_{uuid.uuid4().hex[:12]}"
+            vdir = os.path.join(self.path, version)
+            os.makedirs(vdir, exist_ok=True)
+            for entry in os.listdir(cur_p):
+                if not entry.startswith("_bucket="):
+                    continue
+                src_dir = os.path.join(cur_p, entry)
+                dst_dir = os.path.join(vdir, entry)
+                os.makedirs(dst_dir, exist_ok=True)
+                for fn in os.listdir(src_dir):
+                    if fn.endswith(".parquet"):
+                        os.link(
+                            os.path.join(src_dir, fn),
+                            os.path.join(dst_dir, fn),
+                        )
+            self._link_dv(cur_p, vdir)
+            self._write_kills(vdir, id_list, self._seq_next())
+            if cur_p in self._schema_cache:
+                self._schema_cache[vdir] = self._schema_cache[cur_p]
+            self._finish_commit(version, op="delete")
+            self._emit_ids("delete", id_list)
+            return
         cond = None
         if ids is not None:
             cond = F.col("id").isin(list(ids))

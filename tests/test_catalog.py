@@ -391,3 +391,17 @@ def test_delete_on_empty_collection_is_noop(spark, db):
     c.delete(where={"category": "Z"})
     assert c.count() == 0
     assert c.history() == []
+
+
+def test_fast_delete_skips_verification(spark, db):
+    """verify_existing=False: kill-only commit with no Spark job —
+    requested ids vanish, absent ids are inert, re-insert works."""
+    c = db.create_collection("fastdel", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(10)))
+    c.delete(ids=["v1", "v3", "ghost"], verify_existing=False)
+    assert c.count() == 8
+    ids = set(c.list_ids(limit=100))
+    assert "v1" not in ids and "v3" not in ids and "v5" in ids
+    # killed id can come back (fresh _seq postdates the kill)
+    c.insert_batch(_batch(spark, [("v1", [9.0] * 4, "A")]))
+    assert c.count() == 9
