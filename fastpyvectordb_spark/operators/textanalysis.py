@@ -292,3 +292,73 @@ def repetition_metrics(
             (dup > dup_frac_threshold) | (top > top_frac_threshold)
         ).alias("repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — training-mixture control (the
+# "domain weights" step of every corpus recipe: sample source s at
+# rate r_s). Same overflow-free integer hash as the split operator, so
+# the kept set is a pure function of (id, salt) and identical across
+# engines, runs, and partitionings.
+# ---------------------------------------------------------------------------
+
+def _det_bucket_expr(id_col: Column, salt: int, mod: int) -> Column:
+    a = F.pmod(id_col.cast("bigint") + F.lit(salt), F.lit(2**32))
+    hi = F.floor(a / F.lit(65536))
+    lo = a % F.lit(65536)
+    prod_mod = F.pmod(
+        lo * F.lit(2654435761)
+        + F.pmod(hi * F.lit(2654435761), F.lit(65536)) * F.lit(65536),
+        F.lit(2**32),
+    )
+    return prod_mod % mod
+
+
+def _det_bucket_sql(id_sql: str, salt: int, mod: int) -> str:
+    a = f"((({id_sql} + {salt}) % 4294967296 + 4294967296) % 4294967296)"
+    hi = f"CAST(FLOOR({a} / 65536) AS BIGINT)"
+    lo = f"({a} % 65536)"
+    prod = (
+        f"(({lo} * 2654435761 + (({hi} * 2654435761) % 65536) * 65536)"
+        f" % 4294967296)"
+    )
+    return f"({prod} % {mod})"
+
+
+def stratified_keep_expr(
+    id_col: Column,
+    key_col: Column,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: int = 7,
+) -> Column:
+    """True iff the row survives sampling at its key's rate (rates are
+    per-key keep fractions in [0, 1]; resolution 1/10000). A pure
+    projection — no shuffle, no rand(), re-runnable anywhere."""
+    bucket = _det_bucket_expr(id_col, salt, 10_000)
+    expr = None
+    for key, rate in rates.items():
+        cond = key_col == F.lit(key)
+        keep = bucket < F.lit(int(round(rate * 10_000)))
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    fallback = bucket < F.lit(int(round(default_rate * 10_000)))
+    return expr.otherwise(fallback) if expr is not None else fallback
+
+
+def stratified_keep_sql(
+    id_sql: str,
+    key_sql: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: int = 7,
+) -> str:
+    """DuckDB twin of :func:`stratified_keep_expr`."""
+    bucket = _det_bucket_sql(id_sql, salt, 10_000)
+    cases = [
+        f"WHEN {key_sql} = '{k}' THEN {bucket} < {int(round(r * 10_000))}"
+        for k, r in rates.items()
+    ]
+    fallback = f"{bucket} < {int(round(default_rate * 10_000))}"
+    if not cases:
+        return fallback
+    return "CASE " + " ".join(cases) + f" ELSE {fallback} END"

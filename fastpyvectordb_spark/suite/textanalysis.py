@@ -386,3 +386,75 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(
         docs, n=2, top_frac_threshold=0.05, dup_frac_threshold=0.05
     ).orderBy("doc_id")
+
+
+_MIX_RATES = {"src0": 0.25, "src1": 0.5, "src2": 1.0}
+
+
+@register(
+    "pipeline_stratified_counts",
+    f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN {T.stratified_keep_sql("doc_id", "source", _MIX_RATES, default_rate=0.1)}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def pipeline_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture control: deterministic per-source sampling
+    (src0@25%, src1@50%, src2@100%, everything else@10%) — per-source
+    total vs kept counts. The keep decision is a pure projection (no
+    rand(), no shuffle beyond the count agg); both engines assign
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = T.stratified_keep_expr(
+        F.col("doc_id"), F.col("source"), _MIX_RATES, default_rate=0.1
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pipeline_token_budget",
+    """
+WITH tok AS (
+  SELECT source, lang,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                         t -> t <> '')) AS n_tok
+  FROM documents
+)
+SELECT source, lang,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       CAST(COUNT(*) AS BIGINT) AS docs
+FROM tok
+GROUP BY source, lang
+HAVING SUM(n_tok) > 300
+ORDER BY tokens DESC, source, lang
+""",
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget report (the mixture table every data recipe is
+    written against): wordish tokens per (source, lang), largest cells
+    first, floor-filtered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "lang", F.size(tokenize(F.col("text"))).alias("n_tok")
+    )
+    return (
+        toks.groupBy("source", "lang")
+        .agg(
+            F.sum("n_tok").cast("long").alias("tokens"),
+            F.count(F.lit(1)).cast("long").alias("docs"),
+        )
+        .filter(F.col("tokens") > 300)
+        .orderBy(F.desc("tokens"), "source", "lang")
+    )

@@ -239,3 +239,30 @@ def test_repetition_metrics_flags_repeats(spark):
     ).collect()}
     assert rows[1]["repetitive"] and rows[1]["dup_gram_frac"] > 0.9
     assert not rows[2]["repetitive"] and rows[2]["dup_gram_frac"] == 0.0
+
+
+def test_stratified_sampling_deterministic_and_rate_accurate(spark):
+    from fastpyvectordb_spark.operators.textanalysis import stratified_keep_expr
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    keep = stratified_keep_expr(
+        F.col("doc_id"), F.col("source"), {"a": 0.3}, default_rate=0.9
+    )
+    out = docs.withColumn("keep", keep)
+    counts = {
+        (r["source"], r["keep"]): r["n"]
+        for r in out.groupBy("source", "keep").agg(F.count("*").alias("n")).collect()
+    }
+    a_rate = counts.get(("a", True), 0) / 5000
+    b_rate = counts.get(("b", True), 0) / 5000
+    assert abs(a_rate - 0.3) < 0.03, a_rate
+    assert abs(b_rate - 0.9) < 0.03, b_rate
+    # identical across re-evaluation (pure function of id)
+    again = {
+        (r["source"], r["keep"]): r["n"]
+        for r in out.groupBy("source", "keep").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == again
