@@ -38,7 +38,10 @@ def register(name: str, oracle: str | None = None):
 # row across rounds. All 35 pass the identical oracle gate locally
 # (tools/selfcheck.py, VERDICT r1).
 _PRIORITY = [
-    "ann_partitioned_knn", "ann_nsw_knn",  # new in round 2 — never driver-checked
+    # new in round 2 — never driver-checked
+    "ann_partitioned_knn", "ann_nsw_knn", "dedup_decontaminate",
+    "text_repetition_filter", "pipeline_stratified_counts",
+    "pipeline_token_budget",
     "events_window_hourly", "events_subscription_filter",
     "events_replay_last10", "events_sessionize", "ann_ivf_knn",
     "ann_lsh_knn", "ann_ivfpq_knn", "media_features",
