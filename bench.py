@@ -830,7 +830,11 @@ def main() -> None:
     # inside the driver's fixed-size stdout tail window (~2.4 KB): the
     # round-1 full line was ~2.9 KB, got front-truncated by the tail
     # capture, and parsed as null. Keep this line short and last.
-    headline = [k for k in extras if k.endswith(("_qps", "_recall_at_k", "_per_sec"))]
+    headline = [
+        k
+        for k in extras
+        if k.endswith(("_qps", "_recall_at_k", "_per_sec", "_gbps", "_gflops"))
+    ]
     compact = {
         "metric": "suite_total_runtime",
         "value": total,
