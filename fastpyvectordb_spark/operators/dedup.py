@@ -572,3 +572,117 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
         .filter(F.col("overlap_ngrams") >= min_overlap)
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-span duplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better") — approximated at word n-gram
+# granularity.  The exact method finds duplicated ≥50-token substrings
+# with a suffix array; a suffix array over 100 TB is not a Spark-shaped
+# object, but the same signal — "what fraction of this document's token
+# spans also appear verbatim elsewhere in the corpus?" — falls out of a
+# positional n-gram pass: two hash-keyed aggregations and one equi-join,
+# all shuffling 8-byte gram hashes, never strings and never O(N²).
+# ---------------------------------------------------------------------------
+
+def positional_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Every word ``n``-gram occurrence (NOT deduplicated) per doc →
+    (doc_id, sh BIGINT).  Docs shorter than ``n`` tokens contribute one
+    whole-text gram so every document stays in downstream stats."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join(F.col("t"), " "))),
+        ).alias("gram"),
+    )
+    return grams.select("doc_id", _hash64(F.col("gram")).alias("sh"))
+
+
+def substring_span_stats(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span fraction →
+    (doc_id, n_grams, dup_grams, dup_frac).
+
+    A gram occurrence is *duplicated* when the same n-gram appears in
+    ≥2 distinct documents corpus-wide.  ``dup_frac`` is the fraction of
+    this doc's gram positions that are duplicated — the thresholding
+    signal for span-level dedup / repetition-heavy doc removal.
+
+    Scale shape: gram document-frequencies are one map-side-combinable
+    ``groupBy(sh)`` (8-byte keys); the join back is a keyed equi-join.
+    The df table can optionally be pre-filtered to df≥2 and broadcast
+    when the duplicated-gram universe is small."""
+    grams = positional_ngrams(docs, n, id_col, text_col)
+    df_tab = grams.groupBy("sh").agg(
+        F.count_distinct("doc_id").alias("gram_docs")
+    )
+    per = (
+        grams.join(df_tab, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("gram_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("dup_grams"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "dup_grams",
+        F.round(F.col("dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+    )
+
+
+def duckdb_substring_span_cte(
+    table: str, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """CTE ``span_stats(doc_id, n_grams, dup_grams, dup_frac)`` —
+    identical positional-gram statistics in DuckDB."""
+    gram_expr = (
+        "CASE WHEN len(t) >= %d\n"
+        "                THEN unnest(list_transform(range(1, len(t) - %d + 1),\n"
+        "                       i -> array_to_string(list_slice(t, i, i + %d), ' ')))\n"
+        "                ELSE array_to_string(t, ' ')\n"
+        "           END" % (n, n - 1, n - 1)
+    )
+    return f"""
+_ptoks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9_]+'), t -> t <> '') AS t
+  FROM {table}
+),
+_pgrams AS (
+  SELECT doc_id,
+         {_duckdb_hash64(gram_expr)} AS sh
+  FROM _ptoks
+),
+_pdf AS (
+  SELECT sh, count(DISTINCT doc_id) AS gram_docs FROM _pgrams GROUP BY sh
+),
+span_stats AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN d.gram_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+         round(sum(CASE WHEN d.gram_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+  FROM _pgrams g JOIN _pdf d ON g.sh = d.sh
+  GROUP BY g.doc_id
+)"""

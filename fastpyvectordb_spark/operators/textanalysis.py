@@ -362,3 +362,76 @@ def stratified_keep_sql(
     if not cases:
         return fallback
     return "CASE " + " ".join(cases) + f" ELSE {fallback} END"
+
+
+# ---------------------------------------------------------------------------
+# Word-distribution entropy — a perplexity-proxy quality signal
+# (low-entropy docs are repetitive/templated; cf. Gopher's repetition
+# rules and CCNet's LM-perplexity filter, which this approximates
+# without a model).  Pure keyed aggregation: one groupBy on
+# (doc_id, word) with map-side combine, then one per-doc fold.
+# ---------------------------------------------------------------------------
+
+def word_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc Shannon entropy (nats) of the word distribution →
+    (doc_id, n_tokens BIGINT, entropy DOUBLE rounded to 6).
+
+    Cross-engine determinism: the per-doc fold runs over word counts
+    sorted by word, accumulated sequentially in doubles — the same
+    left-to-right ``list_sum(list_transform(...))`` shape the DuckDB
+    twin uses (FIXTURES.md §6), so both engines see an identical
+    float-addition order."""
+    counts = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
+        )
+        .select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("w", "c"))).alias("cs"),
+    )
+    tot = F.col("n_tokens").cast("double")
+    ent = -F.aggregate(
+        F.col("cs"),
+        F.lit(0.0),
+        lambda acc, s: acc + (s["c"].cast("double") / tot)
+        * F.log(s["c"].cast("double") / tot),
+    )
+    return per.select(
+        "doc_id", "n_tokens", F.round(ent, 6).alias("entropy")
+    )
+
+
+def duckdb_word_entropy_cte(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """CTE ``entropy_stats(doc_id, n_tokens, entropy)`` — the identical
+    sorted sequential fold in DuckDB."""
+    return f"""
+_etoks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(list_filter(string_split_regex(lower({text_col}), '[^a-z0-9_]+'), t -> t <> '')) AS w
+  FROM {table}
+),
+_ecounts AS (
+  SELECT doc_id, w, count(*) AS c FROM _etoks GROUP BY doc_id, w
+),
+_elists AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         list(CAST(c AS DOUBLE) ORDER BY w) AS cs
+  FROM _ecounts GROUP BY doc_id
+),
+entropy_stats AS (
+  SELECT doc_id, n_tokens,
+         round(-list_sum(list_transform(cs,
+             c -> (c / n_tokens) * ln(c / n_tokens))), 6) AS entropy
+  FROM _elists
+)"""

@@ -302,3 +302,71 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-span duplication (Lee et al. 2021 signal at word-5-gram
+# granularity) — runs on the RAW documents table: the driver corpus
+# draws from a small vocabulary, so ~9% of gram positions repeat
+# across documents naturally and ~10% of docs cross the 0.2 threshold.
+# ---------------------------------------------------------------------------
+
+SPAN_N = 5
+SPAN_THRESHOLD = 0.2
+
+_SPAN_ORACLE = f"""
+WITH {D.duckdb_substring_span_cte("documents", SPAN_N).lstrip()}
+SELECT doc_id, n_grams, dup_grams, dup_frac
+FROM span_stats
+WHERE dup_frac >= {SPAN_THRESHOLD}
+ORDER BY dup_frac DESC, doc_id
+"""
+
+
+@register("dedup_substring_spans", _SPAN_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose duplicated-span fraction crosses the removal
+    threshold (span-level dedup candidate list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = D.substring_span_stats(docs, n=SPAN_N)
+    return stats.filter(F.col("dup_frac") >= SPAN_THRESHOLD).orderBy(
+        F.desc("dup_frac"), "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding clustering (mixture-control bucketing): deterministic
+# nearest-centroid assignment with centroids = the 8 lowest vec_ids,
+# profiled as (size, integer-micros within-cluster distance).  The
+# MLlib-KMeans paths train centroids; this oracle-checks the
+# assignment operator they share (= the IVF list-assignment step).
+# ---------------------------------------------------------------------------
+
+from fastpyvectordb_spark.operators import clustering as C
+
+N_CENTROIDS = 8
+
+_CLUSTER_ORACLE = f"""
+WITH {C.duckdb_assign_cte(
+    "embeddings",
+    f"SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings WHERE vec_id < {N_CENTROIDS}",
+    lambda a, b: duckdb_distance(a, b, "cosine"),
+).lstrip()}
+SELECT centroid_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CAST(floor(dist * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_dist_micros
+FROM assigned
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
+@register("cluster_centroid_profile", _CLUSTER_ORACLE)
+def cluster_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assigned = C.assign_to_centroids(emb, cents, metric="cosine")
+    return C.cluster_profile(assigned)

@@ -309,3 +309,131 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 proper (local supplier volume): 6-table join with the
+# customer-nation == supplier-nation correlation — the shape that
+# exercises join *reordering*. Catalyst broadcasts the three dim
+# tables, leaving one shuffle each on orderkey and the dim keys; the
+# nation-equality residual prunes before the aggregate.
+# ---------------------------------------------------------------------------
+
+_Q5FULL_ORACLE = """
+SELECT n.n_name AS n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+
+@register("join_local_supplier_volume", _Q5FULL_ORACLE)
+def join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sn = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).join(
+            r, n.n_regionkey == r.r_regionkey
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            sn,
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (c.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy(F.desc("revenue_cents"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape (national market share): two distinct roles for the
+# nation table (customer's vs supplier's) and a conditional-share
+# aggregate. Integer-cents sums make the share division deterministic.
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)
+                      ELSE 0 END) * 1.0
+             / SUM(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)), 6)
+         AS mkt_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+JOIN region r   ON n1.n_regionkey = r.r_regionkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+GROUP BY year(o.o_orderdate)
+ORDER BY o_year
+"""
+
+
+@register("agg_nation_market_share", _Q8_ORACLE)
+def agg_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"),
+        F.col("n_name").alias("n2_name"),
+    )
+    cust_dim = F.broadcast(
+        c.join(n1, c.c_nationkey == n1.n_nationkey).join(
+            r, n1.n_regionkey == r.r_regionkey
+        )
+    )
+    supp_dim = F.broadcast(s.join(n2, s.s_nationkey == F.col("n2_nationkey")))
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_dim, o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(supp_dim, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("n2_name") == "NATION_5", cents).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+                * F.lit(1.0)
+                / F.sum(cents),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

@@ -458,3 +458,27 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tokens") > 300)
         .orderBy(F.desc("tokens"), "source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Word-distribution entropy (perplexity-proxy quality signal): the 25
+# most repetitive (lowest-entropy) docs = removal candidates.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = f"""
+WITH {T.duckdb_word_entropy_cte("documents").lstrip()}
+SELECT doc_id, n_tokens, entropy
+FROM entropy_stats
+ORDER BY entropy, doc_id
+LIMIT 25
+"""
+
+
+@register("text_word_entropy", _ENTROPY_ORACLE)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T.word_entropy(docs)
+        .orderBy("entropy", "doc_id")
+        .limit(25)
+    )

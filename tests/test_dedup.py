@@ -266,3 +266,87 @@ def test_stratified_sampling_deterministic_and_rate_accurate(spark):
         for r in out.groupBy("source", "keep").agg(F.count("*").alias("n")).collect()
     }
     assert counts == again
+
+
+# ---------------------------------------------------------------------------
+# substring-span duplication (Lee et al. 2021 signal)
+# ---------------------------------------------------------------------------
+
+def test_substring_span_stats_hand_checked(spark):
+    # A and B share one 3-gram window exactly ("b c d"); C is disjoint.
+    rows = [
+        (1, "a b c d"),   # grams: "a b c", "b c d"
+        (2, "x b c d"),   # grams: "x b c", "b c d"
+        (3, "p q r s"),   # grams: "p q r", "q r s"
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.substring_span_stats(docs, n=3).collect()
+    }
+    assert out[1]["n_grams"] == 2 and out[1]["dup_grams"] == 1
+    assert out[1]["dup_frac"] == 0.5
+    assert out[2]["dup_frac"] == 0.5
+    assert out[3]["dup_grams"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_substring_span_short_doc_whole_text_gram(spark):
+    # docs shorter than n tokens fall back to one whole-text gram and
+    # still participate (identical short docs count as duplicated)
+    rows = [(1, "tiny doc"), (2, "tiny doc"), (3, "other")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in D.substring_span_stats(docs, n=5).collect()}
+    assert out[1]["n_grams"] == 1 and out[1]["dup_frac"] == 1.0
+    assert out[2]["dup_frac"] == 1.0
+    assert out[3]["dup_frac"] == 0.0
+
+
+def test_substring_span_within_doc_repeat_not_counted(spark):
+    # the SAME gram repeated within ONE doc is not cross-doc duplication
+    rows = [(1, "a b c a b c"), (2, "z z z z z z")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in D.substring_span_stats(docs, n=3).collect()}
+    assert out[1]["dup_grams"] == 0
+    assert out[2]["dup_grams"] == 0
+
+
+# ---------------------------------------------------------------------------
+# nearest-centroid assignment
+# ---------------------------------------------------------------------------
+
+def test_assign_to_centroids_nearest_and_tiebreak(spark):
+    from fastpyvectordb_spark.operators import clustering as C
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id bigint, centroid_vec array<float>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1]),   # → centroid 0
+            (11, [0.1, 0.9]),   # → centroid 1
+            (12, [1.0, 1.0]),   # equidistant → tie-break to centroid 0
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in C.assign_to_centroids(vecs, cents, metric="cosine").collect()
+    }
+    assert out[10]["centroid_id"] == 0
+    assert out[11]["centroid_id"] == 1
+    assert out[12]["centroid_id"] == 0  # lower id wins the tie
+    assert out[10]["dist"] < out[12]["dist"]
+
+
+def test_cluster_profile_integer_micros(spark):
+    from fastpyvectordb_spark.operators import clustering as C
+
+    assigned = spark.createDataFrame(
+        [(1, 0, 0.1), (2, 0, 0.2), (3, 1, 0.25)],
+        "vec_id bigint, centroid_id bigint, dist double",
+    )
+    rows = {r["centroid_id"]: r for r in C.cluster_profile(assigned).collect()}
+    assert rows[0]["n_members"] == 2
+    assert rows[0]["sum_dist_micros"] == 100000 + 200000
+    assert rows[1]["sum_dist_micros"] == 250000

@@ -38,3 +38,17 @@ def test_freq_items_contains_true_top(spark):
     )
     freq = docs.freqItems(["lang"], support=0.1).head()["lang_freqItems"]
     assert true_top in freq
+
+
+def test_word_entropy_hand_checked(spark):
+    import math
+    from fastpyvectordb_spark.operators.textanalysis import word_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b"), (3, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_tokens"] == 4
+    assert abs(out[2]["entropy"] - round(math.log(2), 6)) < 1e-9
+    assert abs(out[3]["entropy"] - round(math.log(4), 6)) < 1e-9
