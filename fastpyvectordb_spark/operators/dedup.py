@@ -626,21 +626,29 @@ def substring_span_stats(
     this doc's gram positions that are duplicated — the thresholding
     signal for span-level dedup / repetition-heavy doc removal.
 
-    Scale shape: gram document-frequencies are one map-side-combinable
-    ``groupBy(sh)`` (8-byte keys); the join back is a keyed equi-join.
-    The df table can optionally be pre-filtered to df≥2 and broadcast
-    when the duplicated-gram universe is small."""
-    grams = positional_ngrams(docs, n, id_col, text_col)
-    df_tab = grams.groupBy("sh").agg(
-        F.count_distinct("doc_id").alias("gram_docs")
+    Scale shape: gram occurrences first collapse to per-(doc, gram)
+    counts — one map-side-combinable shuffle that also makes the gram
+    explosion single-pass — then document frequency is a count over
+    that already-distinct pair table, and the join back is a keyed
+    equi-join on the 8-byte hash. The df table can optionally be
+    pre-filtered to df≥2 and broadcast when the duplicated-gram
+    universe is small."""
+    occ = (
+        positional_ngrams(docs, n, id_col, text_col)
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
     )
+    # occ is unique per (doc, gram), so COUNT(*) == COUNT(DISTINCT doc)
+    df_tab = occ.groupBy("sh").agg(F.count(F.lit(1)).alias("gram_docs"))
     per = (
-        grams.join(df_tab, "sh")
+        occ.join(df_tab, "sh")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("n_occ").alias("n_grams"),
             F.sum(
-                F.when(F.col("gram_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+                F.when(F.col("gram_docs") >= 2, F.col("n_occ")).otherwise(
+                    F.lit(0)
+                )
             ).alias("dup_grams"),
         )
     )

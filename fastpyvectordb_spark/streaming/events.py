@@ -426,3 +426,40 @@ def push_to_subscribers(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop redelivered events by key
+    within the watermark horizon.
+
+    Batch/stream dual plan: on a streaming DataFrame this is
+    ``withWatermark + dropDuplicatesWithinWatermark`` — the state store
+    only retains keys younger than the watermark, so state is bounded
+    no matter how long the stream runs (the unbounded-state trap of
+    plain ``dropDuplicates`` on a stream).  On a batch DataFrame the
+    same call degenerates to keyed first-wins dedup, so the batch
+    result is the streaming result with an infinite horizon — the
+    equivalence the test pins.
+
+    Ingest-scale shape: one hash shuffle on the dedup key; redeliveries
+    collapse map-side.  NTZ timestamps are cast for the watermark and
+    restored on the way out, matching ``windowed_counts``."""
+    keys = keys or ["event_id"]
+    ntz = _is_ntz(events, ts_col)
+    out = events
+    if ntz:
+        out = out.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if out.isStreaming:
+        out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    else:
+        out = out.dropDuplicates(keys)
+    if ntz:
+        out = out.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
+    return out

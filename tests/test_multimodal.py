@@ -90,3 +90,46 @@ def test_real_decode_paths_gated(spark):
     assert out[0]["width"] == 4
     resized = Image.open(io.BytesIO(bytes(out[0]["payload"])))
     assert resized.size == (4, 4)
+
+
+# ---------------------------------------------------------------------------
+# sharded corpus export (delivery sink)
+# ---------------------------------------------------------------------------
+
+def test_export_sharded_layout_and_manifest(spark, tmp_path):
+    from fastpyvectordb_spark.operators.export import (
+        export_manifest, export_sharded,
+    )
+    from fastpyvectordb_spark.operators.textanalysis import (
+        deterministic_split_expr,
+    )
+    from fastpyvectordb_spark.tables import load_table
+    import os
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "split",
+        deterministic_split_expr(
+            F.col("doc_id"), {"train": 90, "val": 5, "test": 5}
+        ),
+    )
+    out = str(tmp_path / "corpus")
+    export_sharded(
+        docs, out, partition_by=["split", "lang"],
+        max_records_per_file=20, shuffle_by_keys=True,
+    )
+    # hive layout: split=*/lang=* directories
+    top = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert top, os.listdir(out)
+    sub = os.listdir(os.path.join(out, top[0]))
+    assert any(d.startswith("lang=") for d in sub)
+
+    # round-trip: nothing lost, shard bound respected
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    man = export_manifest(spark, out)
+    rows = man.collect()
+    assert set(man.columns) >= {"n_rows", "n_files"}
+    assert sum(r["n_rows"] for r in rows) == docs.count()
+    # 20-record cap → every partition dir has ceil(n_rows/20) or more files
+    for r in rows:
+        assert r["n_files"] >= (r["n_rows"] + 19) // 20

@@ -69,3 +69,40 @@ def test_late_rows_beyond_watermark_dropped(spark, tmp_path):
     # and the late rows must not appear as counts anywhere
     total_counted = sum(r["n_events"] for r in out2)
     assert total_counted <= len(fresh)
+
+
+def test_stream_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
+    """dedup_within_watermark: duplicate event_ids delivered across
+    micro-batches inside the horizon must be emitted exactly once, and
+    the batch plan over the same files agrees with the streaming run."""
+    from fastpyvectordb_spark.streaming.events import (
+        dedup_within_watermark, stream_from_parquet_dir,
+    )
+
+    src = str(tmp_path / "dsrc")
+    base = _rows(0, T0 + dt.timedelta(hours=6), 12)
+    spark.createDataFrame(base, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    # redeliver the same 12 events (same event_ids) as a second file
+    spark.createDataFrame(base, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "dout")
+    stream = stream_from_parquet_dir(spark, src, max_files_per_trigger=1)
+    q = (
+        dedup_within_watermark(stream, keys=["event_id"], watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert sorted(r["event_id"] for r in got) == sorted(
+        r[0] for r in base
+    )  # exactly once each
+
+    batch = dedup_within_watermark(spark.read.parquet(src), keys=["event_id"])
+    assert sorted(r["event_id"] for r in batch.collect()) == sorted(
+        r["event_id"] for r in got
+    )
