@@ -784,6 +784,26 @@ def main() -> None:
         n_docs / timings["q_pipeline_clean_corpus"], 1
     )
 
+    @bench("q_dedup_substring_spans")
+    def _():
+        from fastpyvectordb_spark.operators.dedup import substring_span_stats
+
+        substring_span_stats(docs, n=5).count()
+
+    extras["span_dedup_docs_per_sec"] = round(
+        n_docs / timings["q_dedup_substring_spans"], 1
+    )
+
+    @bench("q_text_word_entropy")
+    def _():
+        from fastpyvectordb_spark.operators.textanalysis import word_entropy
+
+        word_entropy(docs).count()
+
+    extras["entropy_docs_per_sec"] = round(
+        n_docs / timings["q_text_word_entropy"], 1
+    )
+
     # -- analytics ----------------------------------------------------
     @bench("q_pricing_summary")
     def _():

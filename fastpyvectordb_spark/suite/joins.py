@@ -437,3 +437,65 @@ def agg_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape (global sales opportunity): scalar-subquery threshold
+# + NOT EXISTS anti-join (dormant high-balance customers: above-average
+# balance, no order since mid-2000). The threshold is computed in
+# integer cents (exact BIGINT sum / BIGINT count) so the double
+# division — and therefore every boundary comparison — is bit-identical
+# across engines.
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT SUM(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) * 1.0 / COUNT(*) AS thresh_cents
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name AS n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_bal_cents
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT) > (SELECT thresh_cents FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY n.n_name
+ORDER BY n_name
+"""
+
+
+@register("join_sales_opportunity", _Q22_ORACLE)
+def join_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    bal_cents = _cents(F.col("c_acctbal"))
+    # scalar subquery as a broadcast one-row join: stays lazy (no
+    # driver-side job inside the builder) and costs one tiny stage
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(bal_cents) * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "thresh_cents"
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(bal_cents > F.col("thresh_cents"))
+        .drop("thresh_cents")
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+            ).select("o_custkey"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(bal_cents).alias("total_bal_cents"),
+        )
+        .orderBy("n_name")
+    )
