@@ -348,3 +348,43 @@ def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         F.countDistinct("type").alias("n_edge_types"),
     )
     return n_nodes.crossJoin(n_labels).crossJoin(e)
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation over an undirected edge set →
+    (node, n_triangles), descending.
+
+    Input edges may be directed/duplicated; they are canonicalized to
+    distinct (a < b) pairs first (the degree-orientation trick), so
+    each triangle is enumerated exactly once as a<b<c and then charged
+    to its three corners.
+
+    Scale shape: the standard two-join MapReduce formulation — every
+    join is an equi-join on a node id, so the cost is bounded by
+    Σ_v deg(v)² wedge enumeration, not |V|³; AQE's skew handling
+    splits hub nodes. This is the shape GraphX/GraphFrames use.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")  # x < y < z
+    tri = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "node")
+    )

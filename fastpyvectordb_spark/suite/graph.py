@@ -348,3 +348,57 @@ def graph_part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase projection (beyond the
+# reference's graph surface — the classic distributed graph metric).
+# Node ids are zero-padded so string order == numeric order in both
+# engines (the operator compares ids with least/greatest).
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH members AS (
+  SELECT DISTINCT l_orderkey AS okey,
+         'p:' || lpad(CAST(l_partkey AS VARCHAR), 9, '0') AS part
+  FROM lineitem
+),
+pairs AS (
+  SELECT DISTINCT a.part AS a, b.part AS b
+  FROM members a JOIN members b ON a.okey = b.okey AND a.part < b.part
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners
+GROUP BY node
+ORDER BY n_triangles DESC, node
+LIMIT 20
+"""
+
+
+@register("graph_triangles_topk", _TRIANGLE_ORACLE)
+def graph_triangles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    members = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.concat(
+            F.lit("p:"), F.lpad(F.col("l_partkey").cast("string"), 9, "0")
+        ).alias("part"),
+    ).distinct()
+    a, b = members.alias("a"), members.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.okey") == F.col("b.okey"))
+        & (F.col("a.part") < F.col("b.part")),
+    ).select(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
+    return G.triangle_counts(pairs).limit(20)

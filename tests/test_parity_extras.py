@@ -135,3 +135,22 @@ def test_provider_embedders_feature_gated(spark):
         plan = df.withColumn("emb", udf(df.text))
         with pytest.raises(Exception, match="NotImplementedError|not installed|not set"):
             plan.collect()
+
+
+def test_triangle_counts_hand_checked(spark):
+    """K4 on {a,b,c,d} minus edge (c,d) has exactly two triangles
+    (abc, abd); a/b sit in both, c/d in one. Directed duplicates and
+    self-loops must not change the count."""
+    from fastpyvectordb_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # duplicate reversed edge
+            ("a", "c"), ("b", "c"),
+            ("a", "d"), ("b", "d"),
+            ("a", "a"),                       # self-loop ignored
+        ],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {"a": 2, "b": 2, "c": 1, "d": 1}
