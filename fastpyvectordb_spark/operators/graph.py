@@ -388,3 +388,88 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), "node")
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank in exact fixed-point integer arithmetic →
+    (node, r BIGINT) where ``r`` is the rank in micro-units.
+
+    Every step is int64 math — ``r DIV outdeg`` per edge, SUM, then
+    ``150000 + (850000·s) DIV 1000000`` (damping 0.85) — so the result
+    is bit-exact regardless of partitioning, join order, or engine:
+    the property that makes an *iterative* algorithm oracle-checkable,
+    which float PageRank never is (its sums are order-sensitive).
+    Dangling-node mass is dropped (ranks need not sum to a constant);
+    initial rank is 1e6 per node.
+
+    Scale shape: per iteration one equi-join ranks⋈edges (shuffle on
+    src) and one ``groupBy(dst)`` partial-agg shuffle — the GraphX/
+    Pregel message-passing plan. ``localCheckpoint`` every
+    ``checkpoint_every`` iterations truncates the growing lineage so
+    plan compilation stays O(1) per step.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.select(src, dst).join(deg, src)
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("r"))
+    for i in range(iters):
+        contrib = (
+            e.join(ranks, e[src] == ranks["node"])
+            .select(F.col(dst).alias("node"), F.expr("r DIV outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("s"), F.lit(0).cast("long")).alias("s"),
+            )
+            .select(
+                "node",
+                F.expr("CAST(150000 + (850000 * s) DIV 1000000 AS BIGINT)").alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def duckdb_pagerank_ctes(iters: int = 8) -> str:
+    """Chained CTEs ``pr0..pr{iters}`` — the identical fixed-point
+    iteration in DuckDB (unrolled: SQL forbids aggregates in recursive
+    terms). Expects an ``edges(src, dst, ...)`` CTE in scope; the final
+    ranks table is ``pr{iters}(node, r)``."""
+    parts = [
+        """prnodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+prdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM prnodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pr{i} AS (
+  SELECT n.node,
+         CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
+  FROM prnodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // d.outdeg) AS c
+    FROM edges e
+    JOIN prdeg d ON e.src = d.src
+    JOIN pr{i - 1} p ON p.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+    return ",\n".join(parts)

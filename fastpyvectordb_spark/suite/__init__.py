@@ -42,7 +42,7 @@ _PRIORITY = [
     "dedup_substring_spans", "text_word_entropy",
     "cluster_centroid_profile", "join_local_supplier_volume",
     "agg_nation_market_share", "join_sales_opportunity",
-    "graph_triangles_topk",
+    "graph_triangles_topk", "graph_pagerank_top20",
     "ann_partitioned_knn", "ann_nsw_knn", "dedup_decontaminate",
     "text_repetition_filter", "pipeline_stratified_counts",
     "pipeline_token_budget",

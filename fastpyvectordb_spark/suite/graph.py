@@ -402,3 +402,32 @@ def graph_triangles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.part") < F.col("b.part")),
     ).select(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
     return G.triangle_counts(pairs).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank (iterative, yet oracle-checkable): all-integer
+# damping arithmetic makes the ranks bit-exact on both engines, so the
+# driver's hash gate pins an 8-iteration Pregel-style loop end to end.
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 8
+
+_PAGERANK_ORACLE = f"""
+WITH {_EDGES_CTE.lstrip()},
+{G.duckdb_pagerank_ctes(PR_ITERS)}
+SELECT node, r AS rank_micros
+FROM pr{PR_ITERS}
+ORDER BY rank_micros DESC, node
+LIMIT 20
+"""
+
+
+@register("graph_pagerank_top20", _PAGERANK_ORACLE)
+def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = build_edges(spark, sf_dir)
+    return (
+        G.pagerank_fixed_point(edges, iters=PR_ITERS)
+        .select("node", F.col("r").alias("rank_micros"))
+        .orderBy(F.desc("rank_micros"), "node")
+        .limit(20)
+    )

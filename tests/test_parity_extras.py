@@ -154,3 +154,19 @@ def test_triangle_counts_hand_checked(spark):
     )
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert out == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_pagerank_fixed_point_hand_checked(spark):
+    """a→b, c→b, b→a for two iterations, worked by hand in exact
+    micro-unit arithmetic."""
+    from fastpyvectordb_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("b", "a")], "src string, dst string"
+    )
+    out = {
+        r["node"]: r["r"]
+        for r in pagerank_fixed_point(edges, iters=2).collect()
+    }
+    # iter1: r=(1.0, 1.85, 0.15)e6; iter2 below
+    assert out == {"a": 1_722_500, "b": 1_127_500, "c": 150_000}
