@@ -435,3 +435,135 @@ entropy_stats AS (
              c -> (c / n_tokens) * ln(c / n_tokens))), 6) AS entropy
   FROM _elists
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Moore-Lewis cross-entropy-difference selection (Moore & Lewis 2010,
+# "Intelligent Selection of Language Model Training Data") — score each
+# out-of-domain document by how in-domain its unigram distribution
+# looks: score(d) = (1/|d|) Σ_w c_dw · [ln p_in(w) − ln p_out(w)],
+# add-one smoothed. High score = keep for the target mixture.
+# ---------------------------------------------------------------------------
+
+def moore_lewis_scores(
+    docs: DataFrame,
+    in_domain: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_tokens, ml_score) for documents NOT matching
+    ``in_domain`` (the selection candidates), scored against the
+    unigram LM of the matching ones.
+
+    Determinism: all probabilities are exact integer-count ratios
+    (add-one smoothing over corpus vocabulary V), each word's
+    log-ratio is a single ``ln`` of a ratio of exact-in-double int64
+    products, and the per-doc sum folds over words in sorted order —
+    the FIXTURES.md §6 discipline, extended to a three-way join of
+    count tables.
+
+    Scale shape: two corpus-wide word-count aggregations (map-side
+    combinable, 8-byte-ish keys), scalar totals broadcast as one-row
+    joins, then one equi-join per candidate-doc word. No all-pairs
+    anything; the LM tables shuffle once each.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        in_domain.alias("_in"),
+        F.explode(tokenize(F.col(text_col))).alias("w"),
+    )
+    all_counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_all"))
+    in_counts = (
+        toks.filter(F.col("_in"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_in"))
+    )
+    totals = all_counts.agg(
+        F.sum("c_all").alias("n_all"),
+        F.count(F.lit(1)).alias("v"),
+    ).crossJoin(
+        toks.filter(F.col("_in")).agg(F.count(F.lit(1)).alias("n_in"))
+    )
+    doc_counts = (
+        toks.filter(~F.col("_in"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c_dw"))
+    )
+    joined = (
+        doc_counts.join(all_counts, "w")
+        .join(in_counts, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "w",
+            "c_dw",
+            # ln(p_in/p_out) = ln( (c_in+1)(n_all+V) / (n_in+V)(c_all+1) )
+            F.log(
+                (
+                    (F.coalesce(F.col("c_in"), F.lit(0)) + 1)
+                    * (F.col("n_all") + F.col("v"))
+                ).cast("double")
+                / (
+                    (F.col("n_in") + F.col("v")) * (F.col("c_all") + 1)
+                ).cast("double")
+            ).alias("term"),
+        )
+    )
+    per = joined.groupBy("doc_id").agg(
+        F.sum("c_dw").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("w", "c_dw", "term"))).alias("ts"),
+    )
+    score = F.aggregate(
+        F.col("ts"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["c_dw"].cast("double") * s["term"],
+    ) / F.col("n_tokens").cast("double")
+    return per.select(
+        "doc_id", "n_tokens", F.round(score, 6).alias("ml_score")
+    )
+
+
+def duckdb_moore_lewis_cte(
+    table: str,
+    in_domain_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """CTE ``ml_scores(doc_id, n_tokens, ml_score)`` — the identical
+    add-one-smoothed log-ratio scoring in DuckDB."""
+    return f"""
+_mtoks AS (
+  SELECT {id_col} AS doc_id, ({in_domain_sql}) AS _in,
+         unnest(list_filter(string_split_regex(lower({text_col}), '[^a-z0-9_]+'), t -> t <> '')) AS w
+  FROM {table}
+),
+_mall AS (SELECT w, count(*) AS c_all FROM _mtoks GROUP BY w),
+_min AS (SELECT w, count(*) AS c_in FROM _mtoks WHERE _in GROUP BY w),
+_mtot AS (
+  SELECT (SELECT CAST(sum(c_all) AS BIGINT) FROM _mall) AS n_all,
+         (SELECT CAST(count(*) AS BIGINT) FROM _mall) AS v,
+         (SELECT CAST(count(*) AS BIGINT) FROM _mtoks WHERE _in) AS n_in
+),
+_mdoc AS (
+  SELECT doc_id, w, count(*) AS c_dw FROM _mtoks WHERE NOT _in GROUP BY doc_id, w
+),
+_mterms AS (
+  SELECT d.doc_id, d.w, d.c_dw,
+         ln(CAST((COALESCE(i.c_in, 0) + 1) * (t.n_all + t.v) AS DOUBLE)
+            / CAST((t.n_in + t.v) * (a.c_all + 1) AS DOUBLE)) AS term
+  FROM _mdoc d
+  JOIN _mall a ON d.w = a.w
+  LEFT JOIN _min i ON d.w = i.w
+  CROSS JOIN _mtot t
+),
+_mlists AS (
+  SELECT doc_id,
+         CAST(sum(c_dw) AS BIGINT) AS n_tokens,
+         list(CAST(c_dw AS DOUBLE) * term ORDER BY w) AS ts
+  FROM _mterms GROUP BY doc_id
+),
+ml_scores AS (
+  SELECT doc_id, n_tokens,
+         round(list_sum(ts) / n_tokens, 6) AS ml_score
+  FROM _mlists
+)"""

@@ -482,3 +482,27 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("entropy", "doc_id")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Moore-Lewis data selection: score non-English docs by similarity to
+# the English unigram LM — the 20 best candidates for the 'en' mixture.
+# ---------------------------------------------------------------------------
+
+_ML_ORACLE = f"""
+WITH {T.duckdb_moore_lewis_cte("documents", "lang = 'en'").lstrip()}
+SELECT doc_id, n_tokens, ml_score
+FROM ml_scores
+ORDER BY ml_score DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("text_moore_lewis_selection", _ML_ORACLE)
+def text_moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T.moore_lewis_scores(docs, in_domain=(F.col("lang") == "en"))
+        .orderBy(F.desc("ml_score"), "doc_id")
+        .limit(20)
+    )

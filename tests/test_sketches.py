@@ -52,3 +52,38 @@ def test_word_entropy_hand_checked(spark):
     assert out[1]["entropy"] == 0.0 and out[1]["n_tokens"] == 4
     assert abs(out[2]["entropy"] - round(math.log(2), 6)) < 1e-9
     assert abs(out[3]["entropy"] - round(math.log(4), 6)) < 1e-9
+
+
+def test_moore_lewis_prefers_in_domain_looking_docs(spark):
+    """Candidates sharing the in-domain vocabulary must outscore
+    candidates with disjoint vocabulary."""
+    import math
+    from fastpyvectordb_spark.operators.textanalysis import moore_lewis_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta", "en"),
+            (2, "alpha beta gamma", "en"),
+            (10, "alpha beta alpha beta", "xx"),   # in-domain-looking
+            (11, "zeta eta theta iota", "xx"),     # disjoint vocab
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in moore_lewis_scores(
+            docs, in_domain=(F.col("lang") == "en")
+        ).collect()
+    }
+    assert set(out) == {10, 11}  # only candidates are scored
+    assert out[10]["ml_score"] > out[11]["ml_score"]
+    assert out[10]["n_tokens"] == 4
+
+    # hand-check one term: for doc 10's word "alpha":
+    # c_in=4(2+2? no: en docs have alpha x3) — verify via formula
+    # en tokens: doc1=5, doc2=3 → n_in=8; all tokens = 8+4+4=16
+    # vocab V = |{alpha,beta,gamma,zeta,eta,theta,iota}| = 7
+    # alpha: c_in=3, c_all=5 → term=ln((3+1)*(16+7)/((8+7)*(5+1)))
+    term_alpha = math.log((4 * 23) / (15 * 6))
+    # beta identical counts → same term; score = (2*t_a + 2*t_b)/4
+    assert abs(out[10]["ml_score"] - round(term_alpha, 6)) < 2e-6
