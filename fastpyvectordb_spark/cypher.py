@@ -24,7 +24,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _NODE_RE = re.compile(r"\(\s*(\w+)\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)")
@@ -123,13 +123,14 @@ class CypherCompiler:
 
     def query(self, cypher: str) -> DataFrame:
         m = re.search(
-            r"MATCH\s+(.+?)(?:\s+WHERE\s+(.+?))?\s+RETURN\s+(.+)$",
+            r"MATCH\s+(.+?)(?:\s+WHERE\s+(.+?))?\s+RETURN\s+(.+?)"
+            r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?$",
             cypher.strip(),
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"cannot parse query (need MATCH ... RETURN ...): {cypher!r}")
-        pattern, where, ret = m.groups()
+        pattern, where, ret, order_by, limit = m.groups()
         plan = self._match(pattern)
         df = plan.df
 
@@ -146,14 +147,55 @@ class CypherCompiler:
             }[op]
             df = df.filter(F.coalesce(pred, F.lit(False)))
 
-        out_cols = []
-        for item in [s.strip() for s in ret.split(",")]:
+        def _item_col(item: str) -> Column:
             if "." in item:
                 var, prop = item.split(".", 1)
-                out_cols.append(F.col(f"{var}__{prop}").alias(item))
+                return F.col(f"{var}__{prop}").alias(item)
+            return F.col(f"{item}__id").alias(item)
+
+        # RETURN list: plain items, plus count(*) / count(x) aggregates.
+        # Any plain item alongside an aggregate becomes a group key
+        # (Cypher's implicit grouping).
+        items = [s.strip() for s in ret.split(",")]
+        agg_cols, key_items = [], []
+        for item in items:
+            cm = re.fullmatch(r"count\s*\(\s*(\*|[A-Za-z_][\w.]*)\s*\)",
+                              item, re.IGNORECASE)
+            if cm:
+                tgt = cm.group(1)
+                src = F.lit(1) if tgt == "*" else _item_col(tgt)
+                agg_cols.append(F.count(src).alias(item.replace(" ", "")))
             else:
-                out_cols.append(F.col(f"{item}__id").alias(item))
-        return df.select(*out_cols)
+                key_items.append(item)
+        if agg_cols:
+            keys = [_item_col(i) for i in key_items]
+            df = (
+                df.groupBy(*keys).agg(*agg_cols)
+                if keys
+                else df.agg(*agg_cols)
+            )
+        else:
+            df = df.select(*[_item_col(i) for i in key_items])
+
+        if order_by:
+            sort_cols = []
+            for part in [s.strip() for s in order_by.split(",")]:
+                om = re.fullmatch(r"(.+?)(?:\s+(ASC|DESC))?", part,
+                                  re.IGNORECASE)
+                expr, direction = om.group(1).strip(), (om.group(2) or "ASC")
+                name = expr.replace(" ", "")
+                if name not in df.columns:
+                    raise ValueError(
+                        f"ORDER BY item {expr!r} must appear in RETURN"
+                    )
+                col = F.col(f"`{name}`")  # backticks: aliases contain '.'
+                sort_cols.append(
+                    col.desc() if direction.upper() == "DESC" else col.asc()
+                )
+            df = df.orderBy(*sort_cols)
+        if limit:
+            df = df.limit(int(limit))
+        return df
 
 
 def cypher_query(nodes: DataFrame, edges: DataFrame, query: str) -> DataFrame:

@@ -43,7 +43,7 @@ _PRIORITY = [
     "cluster_centroid_profile", "join_local_supplier_volume",
     "agg_nation_market_share", "join_sales_opportunity",
     "graph_triangles_topk", "graph_pagerank_top20",
-    "text_moore_lewis_selection",
+    "text_moore_lewis_selection", "cypher_nation_customer_counts",
     "ann_partitioned_knn", "ann_nsw_knn", "dedup_decontaminate",
     "text_repetition_filter", "pipeline_stratified_counts",
     "pipeline_token_budget",

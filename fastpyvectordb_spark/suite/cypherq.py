@@ -55,3 +55,29 @@ def cypher_node_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE c.acctbal < 0 RETURN c, c.acctbal",
     )
     return out.orderBy("c")
+
+
+# ---------------------------------------------------------------------------
+# Aggregating Cypher: RETURN count(…) with implicit grouping + ORDER BY
+# + LIMIT (the openCypher read-query core beyond bare projections).
+# ---------------------------------------------------------------------------
+
+_CY_COUNT_ORACLE = """
+SELECT 'NATION_' || n.n_nationkey AS "n.name",
+       CAST(count(*) AS BIGINT) AS "count(c)"
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_nationkey
+ORDER BY "count(c)" DESC, "n.name"
+LIMIT 10
+"""
+
+
+@register("cypher_nation_customer_counts", _CY_COUNT_ORACLE)
+def cypher_nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = build_nodes(spark, sf_dir), build_edges(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        edges,
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+        "RETURN n.name, count(c) ORDER BY count(c) DESC, n.name LIMIT 10",
+    )

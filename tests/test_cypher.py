@@ -112,3 +112,37 @@ def test_traverse_df_matches_traverse(graph):
     by_df = traverse_df(e, seeds, max_depth=2, edge_type="KNOWS")
     key = lambda r: (r["start_id"], r["end_id"], r["depth"], r["path"])
     assert sorted(map(key, by_list.collect())) == sorted(map(key, by_df.collect()))
+
+
+def test_cypher_count_star_and_grouped(spark, graph):
+    nodes, edges = graph
+    one = cypher_query(nodes, edges, "MATCH (p:Person) RETURN count(*)").collect()
+    assert len(one) == 1 and one[0]["count(*)"] == 3
+
+    grouped = cypher_query(
+        nodes, edges,
+        "MATCH (p:Person)-[:WORKS_AT]->(c:Company) "
+        "RETURN c.name, count(p) ORDER BY count(p) DESC, c.name LIMIT 2",
+    ).collect()
+    assert [(r["c.name"], r["count(p)"]) for r in grouped] == [
+        ("Acme", 2), ("Globex", 1)
+    ]
+
+
+def test_cypher_order_by_limit_plain(spark, graph):
+    nodes, edges = graph
+    rows = cypher_query(
+        nodes, edges,
+        "MATCH (p:Person) RETURN p.name ORDER BY p.name DESC LIMIT 2",
+    ).collect()
+    assert [r["p.name"] for r in rows] == ["Carol", "Bob"]
+
+
+def test_cypher_order_by_requires_returned_item(spark, graph):
+    nodes, edges = graph
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ORDER BY"):
+        cypher_query(
+            nodes, edges,
+            "MATCH (p:Person) RETURN p.name ORDER BY p.age",
+        )
