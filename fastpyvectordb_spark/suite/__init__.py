@@ -44,6 +44,8 @@ _PRIORITY = [
     "agg_nation_market_share", "join_sales_opportunity",
     "graph_triangles_topk", "graph_pagerank_top20",
     "text_moore_lewis_selection", "cypher_nation_customer_counts",
+    "join_volume_shipping_q7", "join_top_supplier_q15",
+    "join_small_qty_orders_q17", "agg_disjunctive_parts_q19",
     "ann_partitioned_knn", "ann_nsw_knn", "dedup_decontaminate",
     "text_repetition_filter", "pipeline_stratified_counts",
     "pipeline_token_budget",
@@ -106,6 +108,7 @@ def _load_all() -> None:
         "analytics2",
         "cypherq",
         "joins",
+        "tpch2",
     ):
         try:
             __import__(f"fastpyvectordb_spark.suite.{optional}")
