@@ -567,3 +567,48 @@ ml_scores AS (
          round(list_sum(ts) / n_tokens, 6) AS ml_score
   FROM _mlists
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Filter-funnel report: stagewise survivor counts for a cleaning
+# pipeline, in ONE scan (no reference twin — LLM-pipeline
+# observability; the attrition table every data-cleaning run reports).
+# ---------------------------------------------------------------------------
+
+
+def funnel_counts(
+    docs: DataFrame, stages: list[tuple[str, Column]]
+) -> DataFrame:
+    """Cumulative filter funnel: stage k's survivors satisfy stages
+    1..k. All counts come from a single aggregate pass (conditional
+    sums — no per-stage scan, no shuffle beyond the final 1-row agg);
+    the one row then unpivots to (stage_idx, stage, n_in, n_out,
+    n_dropped) via an inline explode. 100 TB cost = one corpus scan."""
+    if not stages:
+        raise ValueError("funnel_counts needs at least one stage")
+    conds = []
+    acc = None
+    for _, pred in stages:
+        acc = pred if acc is None else (acc & pred)
+        conds.append(acc)
+    aggs = [F.count(F.lit(1)).alias("_n0")] + [
+        F.sum(F.coalesce(c, F.lit(False)).cast("long")).alias(f"_n{i + 1}")
+        for i, c in enumerate(conds)
+    ]
+    row = docs.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"_n{i}").alias("n_in"),
+                F.col(f"_n{i + 1}").alias("n_out"),
+            )
+            for i, (name, _) in enumerate(stages)
+        ]
+    )
+    return (
+        row.select(F.explode(entries).alias("e"))
+        .select("e.*")
+        .withColumn("n_dropped", F.col("n_in") - F.col("n_out"))
+    )

@@ -46,6 +46,7 @@ _PRIORITY = [
     "text_moore_lewis_selection", "cypher_nation_customer_counts",
     "join_volume_shipping_q7", "join_top_supplier_q15",
     "join_small_qty_orders_q17", "agg_disjunctive_parts_q19",
+    "pipeline_pack_sequences", "pipeline_filter_funnel",
     "ann_partitioned_knn", "ann_nsw_knn", "dedup_decontaminate",
     "text_repetition_filter", "pipeline_stratified_counts",
     "pipeline_token_budget",

@@ -506,3 +506,107 @@ def text_moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ml_score"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk layout stats per source stream
+# (operators/packing.py). L = 512 tokens, whitespace tokenization.
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+  FROM tok
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_seqs,
+       CAST(count(*) FILTER (WHERE n_tokens > 0
+            AND (start_tok + n_tokens - 1) // 512 > start_tok // 512)
+            AS BIGINT) AS n_straddlers
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+@register("pipeline_pack_sequences", _PACK_ORACLE)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-sequence packing table: how many 512-token
+    sequences each stream yields and how many documents straddle a
+    sequence boundary. Window cumsum per stream (one shuffle on
+    source); the single-stream global path is the two-pass prefix sum
+    in operators/packing.py (parity-pinned in tests/test_packing.py)."""
+    from fastpyvectordb_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(
+        F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    tok = docs.select("doc_id", "source", ws.alias("n_tokens"))
+    packed = pack_sequences(
+        tok, seq_len=512, tokens_col="n_tokens", stream_col="source"
+    )
+    return packing_stats(packed, seq_len=512, tokens_col="n_tokens").orderBy(
+        "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter-funnel report: stagewise attrition for a C4/Gopher-style
+# cleaning pipeline, one corpus scan (operators/textanalysis.py
+# funnel_counts).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = r"""
+WITH p AS (
+  SELECT length(text) >= 50 AS c1,
+         length(text) <= 1500 AS c2,
+         lang = 'en' AS c3,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 20 AS c4,
+         contains(' ' || text || ' ', ' the ') AS c5
+  FROM documents
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(count(*) FILTER (c1) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (c1 AND c2) AS BIGINT) AS n2,
+         CAST(count(*) FILTER (c1 AND c2 AND c3) AS BIGINT) AS n3,
+         CAST(count(*) FILTER (c1 AND c2 AND c3 AND c4) AS BIGINT) AS n4,
+         CAST(count(*) FILTER (c1 AND c2 AND c3 AND c4 AND c5) AS BIGINT) AS n5
+  FROM p
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'min_50_chars' AS stage, n0 AS n_in, n1 AS n_out, n0 - n1 AS n_dropped FROM s
+  UNION ALL SELECT 2, 'max_1500_chars', n1, n2, n1 - n2 FROM s
+  UNION ALL SELECT 3, 'lang_en', n2, n3, n2 - n3 FROM s
+  UNION ALL SELECT 4, 'min_20_ws_tokens', n3, n4, n3 - n4 FROM s
+  UNION ALL SELECT 5, 'has_the', n4, n5, n4 - n5 FROM s
+) ORDER BY stage_idx
+"""
+
+
+@register("pipeline_filter_funnel", _FUNNEL_ORACLE)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    ws = F.size(F.filter(F.split(t, "\\s+"), lambda x: x != F.lit("")))
+    stages = [
+        ("min_50_chars", F.length(t) >= 50),
+        ("max_1500_chars", F.length(t) <= 1500),
+        ("lang_en", F.col("lang") == "en"),
+        ("min_20_ws_tokens", ws >= 20),
+        ("has_the", F.concat(F.lit(" "), t, F.lit(" ")).contains(" the ")),
+    ]
+    return T.funnel_counts(docs, stages).withColumn(
+        "stage_idx", F.col("stage_idx").cast("int")
+    ).orderBy("stage_idx")

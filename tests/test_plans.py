@@ -95,7 +95,7 @@ def test_suite_registration_contract():
         "ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn", "ann_partitioned_knn",
         "ann_nsw_knn",
     }, rows_only
-    assert len(q) >= 105
+    assert len(q) >= 107
 
 
 def test_partitioned_search_is_map_side_plus_takeordered(spark):
@@ -135,3 +135,38 @@ def test_dv_read_uses_broadcast_join(spark, tmp_path):
     plan = physical_plan(c.df())
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q7_broadcasts_both_role_dims(spark):
+    """Q7: both nation-role dims broadcast; the fact table never
+    shuffles except for the final group-by."""
+    from fastpyvectordb_spark.suite.tpch2 import join_volume_shipping_q7
+
+    rep = plan_report(join_volume_shipping_q7(spark, SF))
+    assert rep.broadcast_joins >= 2, rep.summary()
+    assert rep.cartesian_products == 0
+
+
+def test_q19_pushes_implied_predicates(spark):
+    """Q19: the extracted single-side bounds must reach both parquet
+    scans even though the full predicate is an OR across sides."""
+    from fastpyvectordb_spark.suite.tpch2 import agg_disjunctive_parts_q19
+
+    df = agg_disjunctive_parts_q19(spark, SF)
+    rep = assert_scale_safe(df, expect_pushdown=True)
+    assert any("l_quantity" in p for p in rep.pushed_filters), rep.pushed_filters
+    assert any("p_brand" in p for p in rep.pushed_filters), rep.pushed_filters
+    assert rep.broadcast_joins >= 1, rep.summary()
+
+
+def test_funnel_is_single_scan(spark):
+    """The funnel plan reads the corpus once: a single aggregate, no
+    join, no per-stage re-scan."""
+    from fastpyvectordb_spark.suite.textanalysis import pipeline_filter_funnel
+
+    rep = plan_report(pipeline_filter_funnel(spark, SF))
+    assert rep.broadcast_joins == 0 and rep.sortmerge_joins == 0, rep.summary()
+    from fastpyvectordb_spark.plans.advisor import physical_plan
+
+    plan = physical_plan(pipeline_filter_funnel(spark, SF))
+    assert plan.count("FileScan") == 1, plan
