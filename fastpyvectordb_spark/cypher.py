@@ -28,10 +28,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _NODE_RE = re.compile(r"\(\s*(\w+)\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)")
-_REL_RE = re.compile(
-    r"\(\s*(\w+)\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)\s*"
-    r"-\s*\[\s*:\s*(\w+)\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*->\s*"
-    r"\(\s*(\w+)\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)"
+# relationship segment between two nodes in a path pattern:
+#   forward  -[:TYPE]->  or var-length  -[:TYPE*lo..hi]->
+#   reverse  <-[:TYPE]-
+_REL_SEG_RE = re.compile(
+    r"\s*(?:"
+    r"-\s*\[\s*:\s*(\w+)\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*->"
+    r"|<-\s*\[\s*:\s*(\w+)\s*\]\s*-"
+    r")\s*"
 )
 _WHERE_RE = re.compile(
     r"(\w+)\.(\w+)\s*(=|!=|<>|>=|<=|>|<)\s*('(?:[^']*)'|\"(?:[^\"]*)\"|-?\d+(?:\.\d+)?)"
@@ -79,45 +83,70 @@ class CypherCompiler:
         return df.select(*cols)
 
     def _match(self, pattern: str) -> CypherPlan:
-        rel = _REL_RE.search(pattern)
-        if rel:
-            (av, al, ap, etype, lo, hi, bv, bl, bp) = rel.groups()
-            a = self._bind_node(av, al, _parse_props(ap))
+        """Compile a path pattern ``(a)-[:X]->(b)<-[:Y]-(c)…`` to a
+        left-deep join chain. Each segment joins the edge table (role-
+        swapped for reverse arrows); var-length forward segments reuse
+        the DataFrame-seeded iterative traversal (no driver collect —
+        a loose left pattern at 100× would OOM a collected seed list).
+        """
+        s = pattern.strip()
+        node = _NODE_RE.match(s)
+        if not node:
+            raise ValueError(f"cannot parse MATCH pattern: {pattern!r}")
+        av, al, ap = node.groups()
+        variables = [av]
+        df = self._bind_node(av, al, _parse_props(ap))
+        pos = node.end()
+        seg = 0
+        while pos < len(s):
+            rel = _REL_SEG_RE.match(s, pos)
+            if not rel:
+                raise ValueError(
+                    f"cannot parse relationship at {s[pos:]!r} in {pattern!r}"
+                )
+            fwd_type, lo, hi, rev_type = rel.groups()
+            node = _NODE_RE.match(s, rel.end())
+            if not node:
+                raise ValueError(
+                    f"cannot parse node at {s[rel.end():]!r} in {pattern!r}"
+                )
+            bv, bl, bp = node.groups()
+            if bv in variables:
+                raise ValueError(
+                    f"variable {bv!r} bound twice (cycles unsupported)"
+                )
+            pos = node.end()
             b = self._bind_node(bv, bl, _parse_props(bp))
-            if lo is None:
+            if rev_type is not None or lo is None:
+                etype = rev_type or fwd_type
+                src, dst = ("dst", "src") if rev_type else ("src", "dst")
                 hop = self.edges.filter(F.col("type") == etype).select(
-                    F.col("src").alias(f"{av}__id_j"),
-                    F.col("dst").alias(f"{bv}__id_j"),
+                    F.col(src).alias(f"_l{seg}"),
+                    F.col(dst).alias(f"_r{seg}"),
                 )
                 df = (
-                    a.join(hop, F.col(f"{av}__id") == F.col(f"{av}__id_j"))
-                    .join(b, F.col(f"{bv}__id_j") == F.col(f"{bv}__id"))
-                    .drop(f"{av}__id_j", f"{bv}__id_j")
+                    df.join(hop, F.col(f"{av}__id") == F.col(f"_l{seg}"))
+                    .join(b, F.col(f"_r{seg}") == F.col(f"{bv}__id"))
+                    .drop(f"_l{seg}", f"_r{seg}")
                 )
             else:
-                # DataFrame-seeded traversal: the left pattern's ids
-                # stay distributed (a loose pattern at 100× would OOM a
-                # driver-side collect — the round-1 implementation did
-                # exactly that).
                 from fastpyvectordb_spark.operators.graph import traverse_df
 
                 paths = traverse_df(
                     self.edges,
-                    a.select(F.col(f"{av}__id").alias("start_id")),
+                    df.select(F.col(f"{av}__id").alias("start_id")).distinct(),
                     max_depth=int(hi),
-                    edge_type=etype,
+                    edge_type=fwd_type,
                 ).filter(F.col("depth") >= int(lo))
                 df = (
-                    a.join(paths, F.col(f"{av}__id") == paths.start_id)
+                    df.join(paths, F.col(f"{av}__id") == paths.start_id)
                     .join(b, paths.end_id == F.col(f"{bv}__id"))
-                    .drop("start_id", "end_id")
+                    .drop("start_id", "end_id", "depth", "path")
                 )
-            return CypherPlan(df, [av, bv])
-        node = _NODE_RE.search(pattern)
-        if not node:
-            raise ValueError(f"cannot parse MATCH pattern: {pattern!r}")
-        var, label, props = node.groups()
-        return CypherPlan(self._bind_node(var, label, _parse_props(props)), [var])
+            variables.append(bv)
+            av = bv
+            seg += 1
+        return CypherPlan(df, variables)
 
     # -- query --------------------------------------------------------
 

@@ -47,6 +47,7 @@ _PRIORITY = [
     "join_volume_shipping_q7", "join_top_supplier_q15",
     "join_small_qty_orders_q17", "agg_disjunctive_parts_q19",
     "pipeline_pack_sequences", "pipeline_filter_funnel",
+    "cypher_region_chain_counts",
     "ann_partitioned_knn", "ann_nsw_knn", "dedup_decontaminate",
     "text_repetition_filter", "pipeline_stratified_counts",
     "pipeline_token_budget",

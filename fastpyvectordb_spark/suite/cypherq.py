@@ -81,3 +81,32 @@ def cypher_nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
         "RETURN n.name, count(c) ORDER BY count(c) DESC, n.name LIMIT 10",
     )
+
+
+# ---------------------------------------------------------------------------
+# Path-chain pattern: three nodes, two hops, WHERE + implicit grouping
+# — proves the multi-segment compiler (left-deep join chain), not just
+# single-relationship matches.
+# ---------------------------------------------------------------------------
+
+_CY_CHAIN_ORACLE = """
+SELECT r.r_name AS "r.name",
+       CAST(count(*) AS BIGINT) AS "count(c)"
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_acctbal > 5000.0
+GROUP BY r.r_name
+ORDER BY "r.name"
+"""
+
+
+@register("cypher_region_chain_counts", _CY_CHAIN_ORACLE)
+def cypher_region_chain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = build_nodes(spark, sf_dir), build_edges(spark, sf_dir)
+    return cypher_query(
+        nodes,
+        edges,
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+        "WHERE c.acctbal > 5000.0 RETURN r.name, count(c) ORDER BY r.name",
+    )

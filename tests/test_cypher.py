@@ -17,6 +17,8 @@ def graph(spark):
             ("p3", ["Person"], "Carol", 35),
             ("c1", ["Company"], "Acme", None),
             ("c2", ["Company"], "Globex", None),
+            ("t1", ["City"], "Springfield", None),
+            ("t2", ["City"], "Shelbyville", None),
         ],
         "id string, labels array<string>, name string, age int",
     )
@@ -27,6 +29,8 @@ def graph(spark):
             ("e3", "p3", "c2", "WORKS_AT"),
             ("e4", "p1", "p2", "KNOWS"),
             ("e5", "p2", "p3", "KNOWS"),
+            ("e6", "c1", "t1", "BASED_IN"),
+            ("e7", "c2", "t2", "BASED_IN"),
         ],
         "id string, src string, dst string, type string",
     )
@@ -145,4 +149,54 @@ def test_cypher_order_by_requires_returned_item(spark, graph):
         cypher_query(
             nodes, edges,
             "MATCH (p:Person) RETURN p.name ORDER BY p.age",
+        )
+
+
+def test_cypher_chain_pattern(spark, graph):
+    nodes, edges = graph
+    rows = cypher_query(
+        nodes, edges,
+        "MATCH (p:Person)-[:WORKS_AT]->(c:Company)-[:BASED_IN]->(ct:City) "
+        "RETURN p.name, c.name, ct.name ORDER BY p.name",
+    ).collect()
+    assert [(r["p.name"], r["c.name"], r["ct.name"]) for r in rows] == [
+        ("Alice", "Acme", "Springfield"),
+        ("Bob", "Acme", "Springfield"),
+        ("Carol", "Globex", "Shelbyville"),
+    ]
+
+
+def test_cypher_reverse_direction(spark, graph):
+    nodes, edges = graph
+    fwd = cypher_query(
+        nodes, edges,
+        "MATCH (p:Person)-[:WORKS_AT]->(c:Company) RETURN p.name, c.name",
+    ).collect()
+    rev = cypher_query(
+        nodes, edges,
+        "MATCH (c:Company)<-[:WORKS_AT]-(p:Person) RETURN p.name, c.name",
+    ).collect()
+    key = lambda r: (r["p.name"], r["c.name"])
+    assert sorted(map(key, fwd)) == sorted(map(key, rev))
+
+
+def test_cypher_chain_with_varlength_segment(spark, graph):
+    nodes, edges = graph
+    # var-length KNOWS then a single WORKS_AT hop off the endpoint
+    rows = cypher_query(
+        nodes, edges,
+        "MATCH (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(b)-[:WORKS_AT]->(c) "
+        "RETURN b.name, c.name ORDER BY b.name",
+    ).collect()
+    assert all(r["c.name"] in ("Acme", "Globex") for r in rows)
+    assert len(rows) >= 1
+
+
+def test_cypher_rejects_cyclic_rebinding(spark, graph):
+    nodes, edges = graph
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="twice"):
+        cypher_query(
+            nodes, edges,
+            "MATCH (a:Person)-[:KNOWS]->(a) RETURN a",
         )
