@@ -48,6 +48,7 @@ _PRIORITY = [
     "join_small_qty_orders_q17", "agg_disjunctive_parts_q19",
     "pipeline_pack_sequences", "pipeline_filter_funnel",
     "cypher_region_chain_counts",
+    "events_retention_cohorts", "events_conversion_funnel",
     "ann_partitioned_knn", "ann_nsw_knn", "dedup_decontaminate",
     "text_repetition_filter", "pipeline_stratified_counts",
     "pipeline_token_budget",

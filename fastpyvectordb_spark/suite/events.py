@@ -117,3 +117,125 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window state op)."""
     ev = load_table(spark, sf_dir, "events")
     return sessionize(ev, gap_minutes=30).orderBy("user_id", "session_id")
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-activity week, counted in
+# every subsequent week they return — the classic product-analytics
+# triangle. Two keyed aggregations + one co-partitioned join on
+# user_id (first-seen is a grouped agg on the same key the join uses,
+# so at 100 TB it is a single shuffle lineage, no broadcast needed).
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_trunc('week', e.ts) AS event_week
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', cohort_week, event_week) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY cohort_week, event_week
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("events_retention_cohorts", _RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("event_week"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "event_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff("event_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential conversion funnel: signup → first view AFTER signup →
+# first click AFTER that view → first purchase AFTER that click.
+# Strict temporal ordering per user (not mere set membership): each
+# stage is a conditional min over events later than the previous
+# stage's timestamp — all equi-joins on user_id, one shuffle key.
+# ---------------------------------------------------------------------------
+
+_SEQ_FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, min(e.ts) AS t1 FROM events e
+  JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND e.ts > s.t0 GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase
+"""
+
+
+@register("events_conversion_funnel", _SEQ_FUNNEL_ORACLE)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, prev_t: str, out_t: str):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    v = first_after(s, "view", "t0", "t1")
+    c = first_after(v, "click", "t1", "t2")
+    p = first_after(c, "purchase", "t2", "t3")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in ((s, "n_signup"), (v, "n_view"), (c, "n_click"), (p, "n_purchase"))
+    ]
+    out = counts[0]
+    for nxt in counts[1:]:
+        out = out.crossJoin(nxt)
+    return out
