@@ -298,15 +298,18 @@ class Collection:
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, version)
         df = df.withColumn("_seq", F.lit(self._seq_next()).cast("long"))
-        (
-            df.withColumn("_bucket", self._bucket())
+        d = df.withColumn("_bucket", self._bucket()).repartition(
             # co-locate each bucket in one task: without this every
             # task writes to every bucket dir (tasks × buckets files)
-            .repartition(self.config.n_buckets, "_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(vdir)
+            self.config.n_buckets,
+            "_bucket",
         )
+        if "_zorder" in df.columns:
+            # optimize(zorder_by=…): Morton-sort rows inside each
+            # bucket so row-group stats stay tight on the z-columns
+            d = d.sortWithinPartitions("_bucket", "_zorder").drop("_zorder")
+            df = df.drop("_zorder")
+        d.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
         self._prime_schema(vdir, df, base=None)
         self._finish_commit(version, op)
 
@@ -658,6 +661,7 @@ class Collection:
         self,
         target_partitions: int | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """Compact the current snapshot (Delta ``OPTIMIZE``): rewrite
         the table into ``target_partitions`` files. Default target is
@@ -666,7 +670,13 @@ class Collection:
         compacts to ~800K right-sized files, not one. Small-file
         pressure is the classic failure mode of append-heavy tables at
         scale; this is the maintenance job that fixes it. Committed as
-        a new version — readers and time travel are unaffected."""
+        a new version — readers and time travel are unaffected.
+
+        ``zorder_by`` additionally clusters the rewrite on the Morton
+        interleave of the named metadata columns (Delta ``ZORDER BY``):
+        each output file then covers a compact hyper-rectangle of the
+        key space, so min/max file stats prune multi-column range
+        filters (functions/zorder.py)."""
         if target_partitions is None:
             p = self._data_path()
             on_disk = 0
@@ -678,9 +688,20 @@ class Collection:
                         if fn.endswith(".parquet")
                     )
             target_partitions = max(1, -(-on_disk // target_file_bytes))
-        self._commit(
-            self.df().coalesce(target_partitions), op="optimize"
-        )
+        if zorder_by:
+            # the commit layout is bucket-partitioned (DML pruning), so
+            # Z-clustering happens WITHIN each bucket: _commit sorts
+            # bucket tasks on this key before writing, giving tight
+            # parquet row-group min/max stats on every z-column
+            # (row-group-level skipping; file-level pruning stays with
+            # the _bucket dirs)
+            from fastpyvectordb_spark.functions.zorder import zorder_key
+
+            out = self.df()
+            out = out.withColumn("_zorder", zorder_key(out, zorder_by))
+        else:
+            out = self.df().coalesce(target_partitions)
+        self._commit(out, op="optimize")
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop snapshot dirs older than the last ``keep_last`` history
