@@ -30,6 +30,15 @@ from fastpyvectordb_spark.operators.knn import knn as knn_op
 
 _POINTER = "_current"
 
+# Parquet bloom filters on the id column: point lookups (get /
+# id-list delete) first prune to hash buckets, then the id equality
+# predicate skips row groups whose bloom says "definitely absent" —
+# at 128 MB files that's most row groups of most files.
+_BLOOM_OPTS = {
+    "parquet.bloom.filter.enabled#id": "true",
+    "parquet.bloom.filter.expected.ndv#id": "100000",
+}
+
 
 @dataclass
 class CollectionConfig:
@@ -309,7 +318,9 @@ class Collection:
             # bucket so row-group stats stay tight on the z-columns
             d = d.sortWithinPartitions("_bucket", "_zorder").drop("_zorder")
             df = df.drop("_zorder")
-        d.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+        d.write.options(**_BLOOM_OPTS).mode("overwrite").partitionBy(
+            "_bucket"
+        ).parquet(vdir)
         self._prime_schema(vdir, df, base=None)
         self._finish_commit(version, op)
 
@@ -367,7 +378,8 @@ class Collection:
         (
             changed.withColumn("_bucket", self._bucket())
             .repartition(max(1, len(touched_set)), "_bucket")
-            .write.mode("append")
+            .write.options(**_BLOOM_OPTS)
+            .mode("append")
             .partitionBy("_bucket")
             .parquet(vdir)
         )
@@ -443,7 +455,9 @@ class Collection:
                 except ImportError:
                     obs = None
             try:
-                out.write.mode("append").partitionBy("_bucket").parquet(vdir)
+                out.write.options(**_BLOOM_OPTS).mode("append").partitionBy(
+                    "_bucket"
+                ).parquet(vdir)
             except Exception as ex:
                 import re as _re
 
@@ -1066,6 +1080,50 @@ class Collection:
 
     def count(self) -> int:
         return self.df().count()
+
+    def files(self) -> DataFrame:
+        """Snapshot file inventory (Iceberg ``files`` / Delta
+        ``DESCRIBE DETAIL``): one row per live data file — path,
+        bucket, bytes, footer row count and row-group count. The
+        listing is one filesystem walk on the driver (what a manifest
+        read costs); footers are opened EXECUTOR-side via mapInPandas,
+        so a million-file table fans the footer reads out instead of
+        funnelling them through the driver."""
+        cur = self._data_path()
+        rows = []
+        if cur and os.path.isdir(cur):
+            for root, _dirs, fns in os.walk(cur):
+                seg = os.path.basename(root)
+                bucket = (
+                    int(seg.split("=", 1)[1])
+                    if seg.startswith("_bucket=")
+                    else -1
+                )
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        p = os.path.join(root, fn)
+                        rows.append((p, bucket, os.path.getsize(p)))
+        listing_schema = "path string, bucket int, n_bytes long"
+        out_schema = (
+            listing_schema + ", n_rows long, n_row_groups int"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], out_schema)
+        listing = self.spark.createDataFrame(rows, listing_schema)
+
+        def read_footers(batches):
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                metas = [pq.ParquetFile(p).metadata for p in pdf["path"]]
+                pdf = pdf.copy()
+                pdf["n_rows"] = [m.num_rows for m in metas]
+                pdf["n_row_groups"] = [m.num_row_groups for m in metas]
+                yield pdf
+
+        return listing.repartition(
+            min(len(rows), 32)
+        ).mapInPandas(read_footers, schema=out_schema)
 
     def list_ids(self, limit: int = 100, offset: int = 0) -> list[str]:
         """D8: paged id listing (deterministic order by id)."""

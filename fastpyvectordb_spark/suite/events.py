@@ -239,3 +239,65 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in counts[1:]:
         out = out.crossJoin(nxt)
     return out
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling: per-hour open/high/low/close over the value
+# stream — the time-series rollup shape (open/close are picked by a
+# rank window with an explicit (ts, event_id) tie-break so both
+# engines choose identical rows; money stays integer cents).
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT hour_start,
+       CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY hour_start ORDER BY hour_start
+"""
+
+
+@register("events_ohlc_hourly", _OHLC_ORACLE)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("hour_start").orderBy("ts", "event_id")
+    wd = Window.partitionBy("hour_start").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("hour_start")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias(
+                "open_cents"
+            ),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias(
+                "close_cents"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("hour_start")
+    )

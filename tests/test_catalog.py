@@ -405,3 +405,42 @@ def test_fast_delete_skips_verification(spark, db):
     # killed id can come back (fresh _seq postdates the kill)
     c.insert_batch(_batch(spark, [("v1", [9.0] * 4, "A")]))
     assert c.count() == 9
+
+
+def test_files_metadata_table(spark, tmp_path):
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(
+        spark, str(tmp_path / "filesmeta"),
+        CollectionConfig(dimensions=2, n_buckets=4),
+    )
+    assert c.files().count() == 0  # empty collection
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"f{i}", [float(i), 1.0]) for i in range(200)],
+            "id string, embedding array<float>",
+        )
+    )
+    inv = c.files().collect()
+    assert inv and all(r["n_bytes"] > 0 for r in inv)
+    assert sum(r["n_rows"] for r in inv) == 200
+    assert {r["bucket"] for r in inv} <= set(range(4))
+    assert all(r["n_row_groups"] >= 1 for r in inv)
+
+
+def test_bloom_filter_option_grows_files(spark, tmp_path):
+    """The id bloom filter must actually be written: same rows with
+    the option produce strictly larger parquet files than without."""
+    import glob, os
+    from fastpyvectordb_spark.catalog import _BLOOM_OPTS
+
+    df = spark.createDataFrame(
+        [(f"someid-{i:06d}",) for i in range(20000)], "id string"
+    ).coalesce(1)
+    p1, p2 = str(tmp_path / "nb"), str(tmp_path / "wb")
+    df.write.parquet(p1)
+    df.write.options(**_BLOOM_OPTS).parquet(p2)
+    size = lambda p: sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+    )
+    assert size(p2) > size(p1)
