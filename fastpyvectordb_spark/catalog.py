@@ -30,6 +30,11 @@ from fastpyvectordb_spark.operators.knn import knn as knn_op
 
 _POINTER = "_current"
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed between this op's snapshot read and
+    its pointer flip (optimistic concurrency). Re-read and retry."""
+
+
 # Parquet bloom filters on the id column: point lookups (get /
 # id-list delete) first prune to hash buckets, then the id equality
 # predicate skips row groups whose bloom says "definitely absent" —
@@ -290,20 +295,88 @@ class Collection:
         col = F.col("id") if id_col is None else id_col
         return F.pmod(F.xxhash64(col), F.lit(self.config.n_buckets))
 
-    def _finish_commit(self, version: str, op: str) -> None:
+    def _commit_lock(self, timeout: float = 30.0, stale: float = 300.0):
+        """Exclusive pointer-flip lock (``O_CREAT|O_EXCL`` — atomic on
+        POSIX and NFS v3+). Held only for the check-and-flip, never for
+        data writes, so writers still build snapshots fully in
+        parallel. A lock older than ``stale`` seconds is treated as
+        left by a dead writer and broken."""
+        import contextlib
         import time
 
-        with open(os.path.join(self.path, _POINTER), "w") as f:
-            f.write(version)
-        with open(os.path.join(self.path, "_versions"), "a") as f:
-            f.write(json.dumps({"version": version, "op": op,
-                                "ts": time.time()}) + "\n")
+        lockp = os.path.join(self.path, "_commit.lock")
+
+        @contextlib.contextmanager
+        def _held():
+            start = time.time()
+            while True:
+                try:
+                    fd = os.open(lockp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(os.getpid()).encode())
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(lockp) > stale:
+                            os.unlink(lockp)
+                            continue
+                    except OSError:
+                        continue  # holder released between stat calls
+                    if time.time() - start > timeout:
+                        raise TimeoutError(
+                            f"commit lock busy for {timeout}s: {lockp}"
+                        )
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                try:
+                    os.unlink(lockp)
+                except OSError:
+                    pass
+
+        return _held()
+
+    def _finish_commit(
+        self, version: str, op: str, base: str | None = None
+    ) -> None:
+        """Atomically point the collection at ``version``.
+
+        ``base`` is the snapshot version the commit was BUILT against
+        (optimistic concurrency, Delta-style): if another writer
+        flipped the pointer since, this commit's hard links and kill
+        files describe a stale base — the orphaned version dir is
+        removed and :class:`CommitConflictError` raised so the caller
+        can re-read and retry. Conflict detection is coarse (any
+        intervening commit conflicts); at 100 TB the lock window is
+        the pointer flip only — milliseconds — not the data write."""
+        import time
+
+        with self._commit_lock():
+            if base is not None:
+                cur = self._current_version()
+                if cur is not None and cur != base:
+                    import shutil
+
+                    shutil.rmtree(
+                        os.path.join(self.path, version), ignore_errors=True
+                    )
+                    raise CommitConflictError(
+                        f"collection advanced from {base} to {cur} while "
+                        f"this {op} was building; re-read and retry"
+                    )
+            with open(os.path.join(self.path, _POINTER), "w") as f:
+                f.write(version)
+            with open(os.path.join(self.path, "_versions"), "a") as f:
+                f.write(json.dumps({"version": version, "op": op,
+                                    "ts": time.time()}) + "\n")
 
     def _commit(self, df: DataFrame, op: str = "commit") -> None:
         """Full-snapshot commit, partitioned by id-hash bucket so later
         DML can rewrite only touched buckets (Delta's file pruning).
         A full rewrite contains only live rows, so no deletion vectors
         carry over — this is also the DV compaction point."""
+        base = self._current_version()
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, version)
         df = df.withColumn("_seq", F.lit(self._seq_next()).cast("long"))
@@ -322,7 +395,7 @@ class Collection:
             "_bucket"
         ).parquet(vdir)
         self._prime_schema(vdir, df, base=None)
-        self._finish_commit(version, op)
+        self._finish_commit(version, op, base=base)
 
     def _snapshot_bucketed(self) -> bool:
         """True when the current snapshot has ``_bucket=`` partition
@@ -384,7 +457,7 @@ class Collection:
             .parquet(vdir)
         )
         self._prime_schema(vdir, changed, base=cur)
-        self._finish_commit(version, op)
+        self._finish_commit(version, op, base=os.path.basename(cur))
 
     def _commit_append(
         self,
@@ -470,7 +543,7 @@ class Collection:
             self._prime_schema(vdir, batch, base=cur)
         elif cur in self._schema_cache:
             self._schema_cache[vdir] = self._schema_cache[cur]
-        self._finish_commit(version, op)
+        self._finish_commit(version, op, base=os.path.basename(cur))
         return n_out
 
     def _commit_kill(self, doomed: DataFrame, op: str, event_type: str = "delete") -> bool:
@@ -547,7 +620,7 @@ class Collection:
             return False
         if cur in self._schema_cache:
             self._schema_cache[vdir] = self._schema_cache[cur]
-        self._finish_commit(version, op)
+        self._finish_commit(version, op, base=os.path.basename(cur))
         return True
 
     def _wrap_side_effects(
@@ -987,7 +1060,9 @@ class Collection:
             self._write_kills(vdir, id_list, self._seq_next())
             if cur_p in self._schema_cache:
                 self._schema_cache[vdir] = self._schema_cache[cur_p]
-            self._finish_commit(version, op="delete")
+            self._finish_commit(
+                version, op="delete", base=os.path.basename(cur_p)
+            )
             self._emit_ids("delete", id_list)
             return
         cond = None

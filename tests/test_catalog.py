@@ -444,3 +444,80 @@ def test_bloom_filter_option_grows_files(spark, tmp_path):
         os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
     )
     assert size(p2) > size(p1)
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency: a commit built against a stale base is
+    rejected at the pointer flip and its orphan version dir removed."""
+    import os
+    import pytest
+    from fastpyvectordb_spark.catalog import (
+        Collection, CollectionConfig, CommitConflictError,
+    )
+
+    c = Collection(
+        spark, str(tmp_path / "occ"), CollectionConfig(dimensions=2, n_buckets=4)
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"a{i}", [1.0, 0.0]) for i in range(10)],
+            "id string, embedding array<float>",
+        )
+    )
+    base_v = c._current_version()
+    # writer B lands a commit first
+    c.insert_batch(
+        spark.createDataFrame(
+            [("b0", [0.0, 1.0])], "id string, embedding array<float>"
+        )
+    )
+    # writer A (built against base_v) must now conflict
+    orphan = os.path.join(c.path, "v_orphan000000")
+    os.makedirs(orphan)
+    with pytest.raises(CommitConflictError, match="advanced"):
+        c._finish_commit("v_orphan000000", "upsert", base=base_v)
+    assert not os.path.exists(orphan)
+    assert c.count() == 11  # B's commit intact, pointer untouched
+
+
+def test_commit_lock_times_out_then_breaks_stale(spark, tmp_path):
+    import os
+    import pytest
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(
+        spark, str(tmp_path / "lock"), CollectionConfig(dimensions=2, n_buckets=4)
+    )
+    lockp = os.path.join(c.path, "_commit.lock")
+    with open(lockp, "w") as f:
+        f.write("424242")
+    with pytest.raises(TimeoutError, match="commit lock"):
+        with c._commit_lock(timeout=0.3):
+            pass
+    # a stale holder (old mtime) is broken instead
+    os.utime(lockp, (0, 0))
+    with c._commit_lock(timeout=0.3):
+        assert True
+    assert not os.path.exists(lockp)
+
+
+def test_sequential_dml_unaffected_by_occ(spark, tmp_path):
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(
+        spark, str(tmp_path / "seq"), CollectionConfig(dimensions=2, n_buckets=4)
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"s{i}", [1.0, float(i)]) for i in range(20)],
+            "id string, embedding array<float>",
+        )
+    )
+    c.upsert(
+        spark.createDataFrame(
+            [("s0", [9.0, 9.0]), ("s99", [8.0, 8.0])],
+            "id string, embedding array<float>",
+        )
+    )
+    c.delete(ids=["s1"])
+    assert c.count() == 20  # 20 + 1 new - 1 deleted
