@@ -49,7 +49,7 @@ _PRIORITY = [
     "pipeline_pack_sequences", "pipeline_filter_funnel",
     "cypher_region_chain_counts",
     "events_retention_cohorts", "events_conversion_funnel",
-    "events_ohlc_hourly",
+    "events_ohlc_hourly", "events_transition_bigrams",
     "ann_partitioned_knn", "ann_nsw_knn", "dedup_decontaminate",
     "text_repetition_filter", "pipeline_stratified_counts",
     "pipeline_token_budget",

@@ -301,3 +301,40 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition bigrams: LAG over per-user time order — the Markov
+# transition counts behind "what do users do next" analyses.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY n DESC, prev_type, next_type
+LIMIT 15
+"""
+
+
+@register("events_transition_bigrams", _BIGRAM_ORACLE)
+def events_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "next_type")
+        .limit(15)
+    )

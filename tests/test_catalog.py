@@ -521,3 +521,30 @@ def test_sequential_dml_unaffected_by_occ(spark, tmp_path):
     )
     c.delete(ids=["s1"])
     assert c.count() == 20  # 20 + 1 new - 1 deleted
+
+
+def test_schema_evolution_new_metadata_column(spark, tmp_path):
+    """Adding a metadata column in a later batch must merge on read:
+    old rows read it as NULL (the F7 missing-field contract), new rows
+    carry values — no rewrite of the old buckets."""
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(
+        spark, str(tmp_path / "evo"), CollectionConfig(dimensions=2, n_buckets=4)
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"old{i}", [1.0, 0.0]) for i in range(5)],
+            "id string, embedding array<float>",
+        )
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"new{i}", [0.0, 1.0], "web") for i in range(3)],
+            "id string, embedding array<float>, channel string",
+        )
+    )
+    rows = {r["id"]: r.asDict() for r in c.df().collect()}
+    assert len(rows) == 8
+    assert rows["new0"]["channel"] == "web"
+    assert rows["old0"]["channel"] is None
