@@ -612,3 +612,58 @@ def funnel_counts(
         .select("e.*")
         .withColumn("n_dropped", F.col("n_in") - F.col("n_out"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG ingestion chunking: fixed-size character windows with overlap.
+# Pure Catalyst (sequence → transform → posexplode) — no UDF, fully
+# parallel per document; the op every embed-and-index pipeline runs
+# first. (The reference embeds whole documents — chunking is a
+# north-star LLM-pipeline add.)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into windows of ``chunk_chars`` characters
+    whose starts advance by ``chunk_chars - overlap``. Returns
+    (id, chunk_idx, start_char, chunk_text). Short documents yield one
+    chunk; empty ones yield none. The final window may be shorter —
+    never empty — and no window starts past the end."""
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_chars, got {overlap}/{chunk_chars}"
+        )
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    n = F.length(t)
+    # start offsets: 0, step, 2*step, … while start < n
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0),
+            F.floor((n - F.lit(1)) / step).cast("int"),
+        ),
+        F.lit(1),
+    )
+    chunks = F.when(n > 0, F.transform(starts, lambda i: i * step))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(chunks).alias("chunk_idx", "start_char"),
+            t.alias("_t"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("start_char").cast("long").alias("start_char"),
+            F.substring(
+                F.col("_t"), F.col("start_char") + 1, chunk_chars
+            ).alias("chunk_text"),
+        )
+    )

@@ -50,6 +50,7 @@ _PRIORITY = [
     "cypher_region_chain_counts",
     "events_retention_cohorts", "events_conversion_funnel",
     "events_ohlc_hourly", "events_transition_bigrams",
+    "pipeline_chunk_documents",
     "ann_partitioned_knn", "ann_nsw_knn", "dedup_decontaminate",
     "text_repetition_filter", "pipeline_stratified_counts",
     "pipeline_token_budget",

@@ -610,3 +610,29 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.funnel_counts(docs, stages).withColumn(
         "stage_idx", F.col("stage_idx").cast("int")
     ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: fixed 512-char windows, 64-char overlap (step 448).
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+SELECT d.doc_id,
+       CAST(g.k AS INT) AS chunk_idx,
+       CAST(g.k * 448 AS BIGINT) AS start_char,
+       substring(d.text, CAST(g.k * 448 + 1 AS INT), 512) AS chunk_text
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(
+                0, CAST(floor((length(d.text) - 1) / 448.0) AS BIGINT)))
+              AS k) g
+WHERE length(d.text) > 0
+ORDER BY d.doc_id, chunk_idx
+"""
+
+
+@register("pipeline_chunk_documents", _CHUNK_ORACLE)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents(
+        docs, chunk_chars=512, overlap=64
+    ).orderBy("doc_id", "chunk_idx")

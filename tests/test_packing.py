@@ -134,3 +134,44 @@ def test_funnel_counts_null_predicate_drops(spark):
 def test_funnel_counts_requires_stages(spark, toks):
     with pytest.raises(ValueError, match="stage"):
         funnel_counts(toks, [])
+
+
+def test_chunk_documents_edges(spark):
+    from fastpyvectordb_spark.operators.textanalysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 1000),  # 3 chunks at 512/64 (starts 0, 448, 896)
+            (2, "short"),     # 1 chunk
+            (3, ""),          # no chunks
+            (4, "x" * 448),   # exactly one step: 1 chunk
+            (5, "y" * 449),   # one char past: 2 chunks, last 1 char
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_chars=512, overlap=64)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"])
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc.get(1, [])) == 3
+    assert [r["start_char"] for r in by_doc[1]] == [0, 448, 896]
+    assert len(by_doc[1][2]["chunk_text"]) == 1000 - 896
+    assert len(by_doc.get(2, [])) == 1
+    assert 3 not in by_doc
+    assert len(by_doc.get(4, [])) == 1
+    assert len(by_doc.get(5, [])) == 2
+    assert by_doc[5][1]["chunk_text"] == "y"
+    # overlap property: consecutive chunks share `overlap` chars
+    assert by_doc[1][0]["chunk_text"][448:] == by_doc[1][1]["chunk_text"][:64]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from fastpyvectordb_spark.operators.textanalysis import chunk_documents
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_chars=100, overlap=100)
