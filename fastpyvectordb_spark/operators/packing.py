@@ -77,7 +77,15 @@ def global_prefix_sum(
             acc += totals[pid] or 0
         b_offsets = spark.sparkContext.broadcast(offsets)
 
-        schema = ranged.drop("_pid").schema.add(out_col, "long")
+        # prefix-sum dtype follows the value column: integral → long,
+        # fractional → double (a long schema would make Arrow reject
+        # float cumsums)
+        vt = dict(df.dtypes)[value_col]
+        sum_type = (
+            "double" if vt in ("float", "double") or vt.startswith("decimal")
+            else "long"
+        )
+        schema = ranged.drop("_pid").schema.add(out_col, sum_type)
         cols = [f.name for f in schema.fields]
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -88,7 +96,7 @@ def global_prefix_sum(
                 vals = pdf[value_col].fillna(0).to_numpy()
                 out = pdf.drop(columns=["_pid"]).copy()
                 out[out_col] = vals.cumsum() - vals + run
-                run += int(vals.sum())
+                run += vals.sum().item()
                 yield out[cols]
 
         return ranged.mapInPandas(scan, schema=schema)

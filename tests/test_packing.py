@@ -175,3 +175,16 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_chars=100, overlap=100)
+
+
+def test_global_prefix_sum_double_values(spark):
+    rows = [(i, float(i) * 0.5) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(
+        global_prefix_sum(df, "doc_id", "w", num_partitions=5).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    acc = 0.0
+    for r in got:
+        assert r["prefix_sum"] == pytest.approx(acc)
+        acc += r["w"]
