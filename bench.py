@@ -804,6 +804,24 @@ def main() -> None:
         n_docs / timings["q_text_word_entropy"], 1
     )
 
+    @bench("q_rag_chunk_embed")
+    def _():
+        # RAG ingestion front half: chunk every doc, mock-embed every
+        # chunk (Arrow-batched pandas_udf — the provider-call shape)
+        from fastpyvectordb_spark.embeddings import embed_column
+        from fastpyvectordb_spark.operators.textanalysis import (
+            chunk_documents,
+        )
+
+        chunks = chunk_documents(docs, chunk_chars=512, overlap=64)
+        embed_column(chunks, "chunk_text", dimensions=64).select(
+            F.sum(F.size("embedding"))
+        ).collect()
+
+    extras["rag_chunk_embed_docs_per_sec"] = round(
+        n_docs / timings["q_rag_chunk_embed"], 1
+    )
+
     # -- analytics ----------------------------------------------------
     @bench("q_pricing_summary")
     def _():
