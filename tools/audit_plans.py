@@ -32,6 +32,12 @@ EXPECTED_SMJ = {
     "hybrid_search_alpha05",
     "hybrid_search_alpha08",
     "hybrid_search_batch",
+    # large-large self-joins where no side is broadcastable at scale:
+    # PageRank's ranks ⋈ edges per iteration, triangle counting's
+    # edges ⋈ edges two-hop enumeration — SMJ is the CORRECT physical
+    # choice there (both are the GraphX/production shapes).
+    "graph_pagerank_top20",
+    "graph_triangles_topk",
 }
 EXPECTED_DEEP = {
     "graph_traverse",
@@ -39,6 +45,12 @@ EXPECTED_DEEP = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "hybrid_search_batch",
+    # iterative / staged by construction: triangle enumeration expands
+    # the canonical two-join plan; the conversion funnel is four
+    # sequential stage-joins (rows shrink monotonically stage to
+    # stage, all keyed on user_id) plus one-row count attaches.
+    "graph_triangles_topk",
+    "events_conversion_funnel",
 }
 DEEP_THRESHOLD = 12
 
