@@ -965,15 +965,18 @@ class Collection:
             raise ValueError(f"duplicate id in batch: {dup_id!r}")
         if n == 0:
             return 0
-        dup = (
-            self._bucket_rows(touched)
-            .select("id")
-            .join(batch.select("id"), "id", "inner")
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(f"duplicate id {dup[0]['id']!r}")
+        cur = self._data_path()
+        if cur is not None and self._has_parquet(cur):
+            dup = (
+                self._bucket_rows(touched)
+                .select("id")
+                .join(batch.select("id"), "id", "inner")
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(f"duplicate id {dup[0]['id']!r}")
+        # empty collection: nothing to collide with — skip the dup job
         self._commit_append(batch, op="insert", n_rows=n)
         self._emit("batch_insert" if n > 1 else "insert", batch.select("id"))
         return n
