@@ -953,33 +953,44 @@ class Collection:
         dups + count + touched buckets), one bucket-PRUNED semi-join dup
         check against the current snapshot, then an append-only commit
         that never reads existing data — 3 scans of O(batch) instead of
-        round 1's 5 scans (two of them O(table))."""
-        batch = self._validate(batch)
-        n, touched, dup_id, bad = self._batch_stats(batch)
-        if bad is not None:
-            raise ValueError(
-                f"dimension mismatch: expected {self.config.dimensions}, "
-                f"got {bad['sz']} for id {bad['id']!r}"
+        round 1's 5 scans (two of them O(table)). The validated batch
+        is PERSISTED across those scans: the stats job materializes it
+        once and the dup probe / commit write / CDC emit reuse the
+        cached rows — upstream lineage (an embedding UDF, a rand
+        column) is computed exactly once, which is also a correctness
+        requirement for nondeterministic lineage (the CDC events must
+        record the ids that were written, not a re-roll)."""
+        batch = self._validate(batch).persist()
+        try:
+            n, touched, dup_id, bad = self._batch_stats(batch)
+            if bad is not None:
+                raise ValueError(
+                    f"dimension mismatch: expected {self.config.dimensions}, "
+                    f"got {bad['sz']} for id {bad['id']!r}"
+                )
+            if dup_id is not None:
+                raise ValueError(f"duplicate id in batch: {dup_id!r}")
+            if n == 0:
+                return 0
+            cur = self._data_path()
+            if cur is not None and self._has_parquet(cur):
+                dup = (
+                    self._bucket_rows(touched)
+                    .select("id")
+                    .join(batch.select("id"), "id", "inner")
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(f"duplicate id {dup[0]['id']!r}")
+            # empty collection: nothing to collide with — skip the dup job
+            self._commit_append(batch, op="insert", n_rows=n)
+            self._emit(
+                "batch_insert" if n > 1 else "insert", batch.select("id")
             )
-        if dup_id is not None:
-            raise ValueError(f"duplicate id in batch: {dup_id!r}")
-        if n == 0:
-            return 0
-        cur = self._data_path()
-        if cur is not None and self._has_parquet(cur):
-            dup = (
-                self._bucket_rows(touched)
-                .select("id")
-                .join(batch.select("id"), "id", "inner")
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise ValueError(f"duplicate id {dup[0]['id']!r}")
-        # empty collection: nothing to collide with — skip the dup job
-        self._commit_append(batch, op="insert", n_rows=n)
-        self._emit("batch_insert" if n > 1 else "insert", batch.select("id"))
-        return n
+            return n
+        finally:
+            batch.unpersist()
 
     def upsert(self, batch: DataFrame) -> int:
         """D3: MERGE WHEN MATCHED UPDATE, deletion-vector style: one
