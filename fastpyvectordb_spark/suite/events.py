@@ -338,3 +338,62 @@ def events_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "prev_type", "next_type")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user outlier counts: 2.5σ rule with INTEGER-EXACT variance
+# arithmetic — (n·x − s)²·4·(n−1) > 25·n·(n·ssq − s²) over cents, so
+# both engines compare identical quantities (no stddev_samp drift;
+# the one double cast happens on exact integers with pinned parens).
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+stats AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS ssq
+  FROM c GROUP BY user_id
+)
+SELECT c.user_id,
+       stats.n AS n_events,
+       CAST(count(*) FILTER (WHERE
+         (CAST(stats.n * c.cents - stats.s AS DOUBLE)
+          * CAST(stats.n * c.cents - stats.s AS DOUBLE))
+         * CAST(4 * (stats.n - 1) AS DOUBLE)
+         > CAST(25 * stats.n AS DOUBLE)
+           * CAST(stats.n * stats.ssq - stats.s * stats.s AS DOUBLE)
+       ) AS BIGINT) AS n_outliers
+FROM c JOIN stats ON c.user_id = stats.user_id
+WHERE stats.n > 1
+GROUP BY c.user_id, stats.n
+ORDER BY c.user_id
+"""
+
+
+@register("events_user_outlier_counts", _ZSCORE_ORACLE)
+def events_user_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ssq"),
+    )
+    j = ev.join(stats, "user_id").filter(F.col("n") > 1)
+    dev = (F.col("n") * F.col("cents") - F.col("s")).cast("double")
+    lhs = dev * dev * (4 * (F.col("n") - 1)).cast("double")
+    rhs = (25 * F.col("n")).cast("double") * (
+        F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    ).cast("double")
+    return (
+        j.groupBy("user_id", F.col("n").alias("n_events"))
+        .agg(F.sum((lhs > rhs).cast("long")).alias("n_outliers"))
+        .orderBy("user_id")
+    )

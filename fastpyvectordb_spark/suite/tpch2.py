@@ -265,3 +265,52 @@ def agg_disjunctive_parts_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q3: shipping priority — segment-filtered unshipped revenue top-10.
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       CAST(SUM({_CENTS_SQL}) AS BIGINT) AS revenue_cents,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND l.l_shipdate  > TIMESTAMP '1996-07-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("join_shipping_priority_q3", _Q3_ORACLE)
+def join_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: both filters push to their scans, the segment dim
+    broadcasts, lineitem shuffles once for the group-by."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_cents"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
