@@ -51,7 +51,7 @@ _PRIORITY = [
     "events_retention_cohorts", "events_conversion_funnel",
     "events_ohlc_hourly", "events_transition_bigrams",
     "pipeline_chunk_documents", "join_shipping_priority_q3",
-    "events_user_outlier_counts",
+    "events_user_outlier_counts", "codec_int8_roundtrip_error",
     "ann_partitioned_knn", "ann_nsw_knn", "dedup_decontaminate",
     "text_repetition_filter", "pipeline_stratified_counts",
     "pipeline_token_budget",

@@ -317,3 +317,68 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = Q.pq_encode(emb, codebooks, M_SUB, DIMS)
     return Q.pq_adc_search(codes, codebooks, qvec, M_SUB, k=K)
+
+
+# ---------------------------------------------------------------------------
+# S7 codec fidelity: int8 symmetric roundtrip error per vector —
+# encode (per-vector absmax/127 scale), decode, max |err|. Every op is
+# an identical IEEE double expression tree in both engines (greatest-
+# fold absmax is order-independent; round(x, 0) is half-away-from-zero
+# in Spark AND DuckDB), so values hash-match at ROUND 6.
+# ---------------------------------------------------------------------------
+
+_INT8_ERR_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS absmax
+  FROM embeddings
+),
+s AS (
+  SELECT e.vec_id,
+         CASE WHEN e.absmax = 0 THEN 1.0 ELSE e.absmax / 127.0 END AS scale,
+         m.embedding
+  FROM e JOIN embeddings m ON e.vec_id = m.vec_id
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       ROUND(list_max(list_transform(embedding,
+         x -> abs(CAST(x AS DOUBLE)
+                  - round(CAST(x AS DOUBLE) / scale, 0) * scale))), 6)
+         AS max_abs_err
+FROM s
+ORDER BY vec_id
+"""
+
+
+@register("codec_int8_roundtrip_error", _INT8_ERR_ORACLE)
+def codec_int8_roundtrip_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(absmax == 0, F.lit(1.0)).otherwise(absmax / 127.0)
+    # the working column is NOT named "scale": aliasing the rounded
+    # display value to the same name lets Catalyst's project-collapse
+    # substitute the rounded scale into the error expression
+    err = F.array_max(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(
+                x.cast("double")
+                - F.round(x.cast("double") / F.col("_scale"), 0)
+                * F.col("_scale")
+            ),
+        )
+    )
+    return (
+        emb.withColumn("_scale", scale)
+        .select(
+            "vec_id",
+            F.round("_scale", 6).alias("scale"),
+            F.round(err, 6).alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
+    )

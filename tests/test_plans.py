@@ -95,7 +95,7 @@ def test_suite_registration_contract():
         "ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn", "ann_partitioned_knn",
         "ann_nsw_knn",
     }, rows_only
-    assert len(q) >= 115
+    assert len(q) >= 116
 
 
 def test_partitioned_search_is_map_side_plus_takeordered(spark):
