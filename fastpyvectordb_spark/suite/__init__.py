@@ -39,6 +39,9 @@ def register(name: str, oracle: str | None = None):
 # (tools/selfcheck.py, VERDICT r1).
 _PRIORITY = [
     # new in round 2 — never driver-checked
+    "join_min_cost_supplier_q2", "agg_product_profit_q9",
+    "agg_important_parts_q11", "agg_supplier_part_counts_q16",
+    "join_promotion_suppliers_q20", "join_waiting_suppliers_q21",
     "dedup_substring_spans", "text_word_entropy",
     "cluster_centroid_profile", "join_local_supplier_volume",
     "agg_nation_market_share", "join_sales_opportunity",
@@ -115,6 +118,7 @@ def _load_all() -> None:
         "cypherq",
         "joins",
         "tpch2",
+        "tpch3",
     ):
         try:
             __import__(f"fastpyvectordb_spark.suite.{optional}")
