@@ -1,36 +1,22 @@
-"""Real WebSocket transport for the event bus (S10).
+"""Minimal RFC 6455 WebSocket broadcast server (stdlib only).
 
-Round-1 verdict called the HTTP-POST push sink "semantics covered,
-transport not" — this module closes that: an RFC 6455 WebSocket server
-built on the Python stdlib only (``socket`` + ``hashlib`` + ``base64``;
-no external websocket lib exists in this sandbox), mirroring the
-reference's ConnectionManager semantics (``realtime.py:133-215``):
+Closes the reference's S10 transport gap (``realtime.py:184-215``:
+live-socket event broadcast with a last-N ring buffer replayed to late
+joiners). Round 1 shipped the *semantics* (per-subscriber predicate
+push + ``replay_last_n``) over an injected HTTP POST; this module adds
+the actual WebSocket wire protocol so a browser/`websockets` client can
+connect: HTTP upgrade handshake (Sec-WebSocket-Accept =
+b64(sha1(key + GUID))), server→client unmasked text frames with
+7/16/64-bit length encoding, masked client→server frame parsing,
+ping/pong and close handling.
 
-- clients connect to ``/ws/{collection}`` (``realtime.py:18-26``);
-  ``*`` subscribes to every collection,
-- a last-``history_size`` ring buffer is replayed to late joiners whose
-  subscription matches (``realtime.py:154-158``, default 100 events),
-- ``broadcast(event)`` appends to the ring and pushes the JSON frame to
-  every matching live socket; dead sockets are reaped on send failure
-  (``realtime.py:184-215``),
-- a client may send a JSON text frame ``{"event_types": [...],
-  "user_ids": [...]}`` at any time to narrow its subscription
-  (``realtime.py:171-178`` update_subscription).
+Spark integration: :func:`websocket_sink` returns a ``foreachBatch``
+handler that broadcasts each micro-batch's rows as JSON text frames —
+the same driver-side fan-out shape as ``push_to_subscribers`` (batches
+are micro-batch-sized; the transport is not a data-plane sink).
 
-Spark side: ``websocket_sink(server)`` returns a ``foreachBatch``
-callable — each micro-batch's rows are collected ON THE DRIVER (bounded
-by micro-batch cadence, same argument as ``push_to_subscribers``) and
-fanned out to sockets. Fan-out is a driver concern by design: executor
-tasks are stateless/retried, so holding live TCP connections in them
-would duplicate or drop frames on task retry; the driver is the one
-stable process in a Spark job. The Spark plan still does the heavy
-lifting (filter/project before the sink).
-
-The frame codec implements the subset a broadcast bus needs: FIN text
-frames (server→client unmasked, client→server masked per the RFC),
-close (0x8) and ping→pong (0x9→0xA). No fragmentation (every payload
-fits one frame), no extensions, no TLS — this is the reference's
-feature level (plain ``ws://``).
+No third-party deps; the test suite drives it with a raw-socket client
+implementing the same framing.
 """
 
 from __future__ import annotations
@@ -41,287 +27,294 @@ import json
 import socket
 import struct
 import threading
+from collections import deque
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 
-def accept_key(client_key: str) -> str:
-    """Sec-WebSocket-Accept for a Sec-WebSocket-Key (RFC 6455 §4.2.2)."""
-    digest = hashlib.sha1((client_key + _WS_GUID).encode()).digest()
-    return base64.b64encode(digest).decode()
+class Subscription:
+    """The reference's Subscription model (``realtime.py:133-178``):
+    ``None`` means wildcard; an event matches when collection,
+    event_type and user_id all pass. Clients pick a collection via the
+    connect path ``/ws/{collection}`` and may narrow event_types /
+    user_ids with an in-band JSON text frame at any time."""
 
-
-def encode_text_frame(payload: str, mask: bool = False) -> bytes:
-    """Encode a single FIN text frame. ``mask=True`` produces a
-    client→server frame (the RFC requires clients to mask)."""
-    data = payload.encode("utf-8")
-    head = bytearray([0x81])  # FIN + opcode text
-    n = len(data)
-    mask_bit = 0x80 if mask else 0
-    if n < 126:
-        head.append(mask_bit | n)
-    elif n < 1 << 16:
-        head.append(mask_bit | 126)
-        head += struct.pack(">H", n)
-    else:
-        head.append(mask_bit | 127)
-        head += struct.pack(">Q", n)
-    if mask:
-        key = struct.pack(">I", 0x1234ABCD)  # deterministic; RFC allows any
-        head += key
-        data = bytes(b ^ key[i % 4] for i, b in enumerate(data))
-    return bytes(head) + data
-
-
-def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("socket closed mid-frame")
-        buf += chunk
-    return buf
-
-
-def read_frame(sock: socket.socket) -> tuple[int, bytes]:
-    """Read one frame → (opcode, payload). Unmasks if masked."""
-    b0, b1 = _recv_exact(sock, 2)
-    opcode = b0 & 0x0F
-    masked = bool(b1 & 0x80)
-    n = b1 & 0x7F
-    if n == 126:
-        (n,) = struct.unpack(">H", _recv_exact(sock, 2))
-    elif n == 127:
-        (n,) = struct.unpack(">Q", _recv_exact(sock, 8))
-    key = _recv_exact(sock, 4) if masked else b""
-    data = _recv_exact(sock, n) if n else b""
-    if masked:
-        data = bytes(b ^ key[i % 4] for i, b in enumerate(data))
-    return opcode, data
-
-
-class _Subscription:
-    """The reference's Subscription.matches (realtime.py): None means
-    wildcard; an event matches when collection, event_type and user_id
-    all pass."""
-
-    def __init__(self, collection: str = "*",
-                 event_types=None, user_ids=None):
+    def __init__(self, collection: str = "*", event_types=None, user_ids=None):
         self.collection = collection
         self.event_types = set(event_types) if event_types is not None else None
         self.user_ids = set(user_ids) if user_ids is not None else None
 
     def matches(self, event: dict) -> bool:
         if self.collection != "*" and event.get("collection", "*") not in (
-            self.collection, "*"
+            self.collection,
+            "*",
         ):
             return False
-        if self.event_types is not None and event.get("event_type") not in self.event_types:
+        # websocket_sink wraps rows as {"batch_id", "event": row} —
+        # type/user live one level down there
+        row = event.get("event", event) if isinstance(event.get("event"), dict) else event
+        if (
+            self.event_types is not None
+            and row.get("event_type") not in self.event_types
+        ):
             return False
-        if self.user_ids is not None and event.get("user_id") not in self.user_ids:
+        if self.user_ids is not None and row.get("user_id") not in self.user_ids:
             return False
         return True
 
 
-class WebSocketEventServer:
-    """Threaded ws:// broadcast server with ring-buffer history.
+def _accept_key(key: str) -> str:
+    return base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode()).digest()
+    ).decode()
 
-    ``start()`` binds (port 0 → ephemeral, read ``.port``) and serves in
-    daemon threads; ``broadcast(event_dict)`` pushes to matching live
-    sockets and records history; ``stop()`` closes everything.
-    """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 history_size: int = 100):
-        self.host, self.port = host, port
-        self.history_size = history_size
-        self._history: list[dict] = []
-        self._clients: dict[socket.socket, _Subscription] = {}
-        self._lock = threading.Lock()
-        self._srv: socket.socket | None = None
-        self._accept_thread: threading.Thread | None = None
-        self._running = False
+def encode_text_frame(payload: str) -> bytes:
+    """Server→client text frame (FIN, opcode 0x1, unmasked)."""
+    data = payload.encode("utf-8")
+    n = len(data)
+    if n < 126:
+        header = struct.pack("!BB", 0x81, n)
+    elif n < 2**16:
+        header = struct.pack("!BBH", 0x81, 126, n)
+    else:
+        header = struct.pack("!BBQ", 0x81, 127, n)
+    return header + data
 
-    # -- lifecycle ----------------------------------------------------
-    def start(self) -> "WebSocketEventServer":
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("socket closed")
+        buf += chunk
+    return buf
+
+
+def decode_frame(sock: socket.socket) -> tuple[int, bytes]:
+    """Read one (client→server, masked) frame → (opcode, payload)."""
+    b0, b1 = _read_exact(sock, 2)
+    opcode = b0 & 0x0F
+    masked = b1 & 0x80
+    n = b1 & 0x7F
+    if n == 126:
+        (n,) = struct.unpack("!H", _read_exact(sock, 2))
+    elif n == 127:
+        (n,) = struct.unpack("!Q", _read_exact(sock, 8))
+    mask = _read_exact(sock, 4) if masked else b"\x00" * 4
+    data = bytearray(_read_exact(sock, n))
+    if masked:
+        for i in range(len(data)):
+            data[i] ^= mask[i % 4]
+    return opcode, bytes(data)
+
+
+class WebSocketBroadcaster:
+    """Accept-loop + client registry + last-``history`` ring buffer.
+
+    ``broadcast(obj)`` JSON-encodes and pushes a text frame to every
+    connected client; new clients first receive the ring buffer (the
+    reference's late-joiner replay, ``realtime.py:198-205``)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, history: int = 100):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._srv.bind((self.host, self.port))
-        self.port = self._srv.getsockname()[1]
+        self._srv.bind((host, port))
         self._srv.listen(16)
-        self._running = True
-        self._accept_thread = threading.Thread(target=self._accept_loop,
-                                               daemon=True)
-        self._accept_thread.start()
-        return self
+        self.host, self.port = self._srv.getsockname()
+        self._clients: dict[socket.socket, Subscription] = {}
+        self._ring: deque = deque(maxlen=history)  # (text, event_dict)
+        self._lock = threading.Lock()
+        self._closed = False
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
 
-    def stop(self) -> None:
-        self._running = False
-        with self._lock:
-            for c in list(self._clients):
-                try:
-                    c.close()
-                except OSError:
-                    pass
-            self._clients.clear()
-        if self._srv is not None:
-            try:
-                self._srv.close()
-            except OSError:
-                pass
+    # -- server side --------------------------------------------------
 
-    # -- connection handling -----------------------------------------
     def _accept_loop(self) -> None:
-        while self._running:
+        while not self._closed:
             try:
-                conn, _ = self._srv.accept()
+                conn, _addr = self._srv.accept()
             except OSError:
                 return
-            threading.Thread(target=self._serve_client, args=(conn,),
-                             daemon=True).start()
+            try:
+                collection = self._handshake(conn)
+            except Exception:
+                conn.close()
+                continue
+            sub = Subscription(collection)
+            with self._lock:
+                for text, event in self._ring:  # late-joiner replay
+                    if sub.matches(event):
+                        conn.sendall(encode_text_frame(text))
+                self._clients[conn] = sub
+            threading.Thread(
+                target=self._client_loop, args=(conn,), daemon=True
+            ).start()
 
-    def _handshake(self, conn: socket.socket) -> str | None:
-        """HTTP Upgrade → 101. Returns the collection from the path."""
-        req = b""
-        while b"\r\n\r\n" not in req:
+    def _handshake(self, conn: socket.socket) -> str:
+        """Upgrade → 101; returns the collection from ``/ws/{name}``
+        (any other path = ``*``, the reference's wildcard channel)."""
+        data = b""
+        while b"\r\n\r\n" not in data:
             chunk = conn.recv(4096)
             if not chunk:
-                return None
-            req += chunk
-        head = req.decode("latin-1")
-        lines = head.split("\r\n")
-        path = lines[0].split(" ")[1] if len(lines[0].split(" ")) > 1 else "/"
+                raise ConnectionError("client closed during handshake")
+            data += chunk
+        lines = data.decode("latin1").split("\r\n")
+        parts = lines[0].split(" ")
+        path = parts[1] if len(parts) > 1 else "/"
         headers = {}
-        for ln in lines[1:]:
-            if ": " in ln:
-                k, v = ln.split(": ", 1)
-                headers[k.lower()] = v
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
         key = headers.get("sec-websocket-key")
-        if headers.get("upgrade", "").lower() != "websocket" or not key:
-            conn.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
-            return None
+        if not key or "websocket" not in headers.get("upgrade", "").lower():
+            raise ValueError("not a websocket upgrade request")
         conn.sendall(
             (
                 "HTTP/1.1 101 Switching Protocols\r\n"
-                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
-                f"Sec-WebSocket-Accept: {accept_key(key)}\r\n\r\n"
+                "Upgrade: websocket\r\n"
+                "Connection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
             ).encode()
         )
-        collection = "*"
-        if path.startswith("/ws/"):
-            collection = path[len("/ws/"):] or "*"
-        return collection
+        if path.startswith("/ws/") and len(path) > len("/ws/"):
+            return path[len("/ws/"):]
+        return "*"
 
-    def _serve_client(self, conn: socket.socket) -> None:
-        collection = self._handshake(conn)
-        if collection is None:
-            conn.close()
-            return
-        sub = _Subscription(collection)
-        with self._lock:
-            # late-joiner replay BEFORE registering, so a concurrent
-            # broadcast can't interleave duplicates into the replay
-            for ev in self._history:
-                if sub.matches(ev):
-                    try:
-                        conn.sendall(encode_text_frame(json.dumps(ev)))
-                    except OSError:
-                        conn.close()
-                        return
-            self._clients[conn] = sub
+    def _client_loop(self, conn: socket.socket) -> None:
+        """Consume client frames: answer pings, honor close, apply
+        in-band subscription updates (text frame with JSON
+        ``{"event_types": [...], "user_ids": [...]}`` — the
+        reference's update_subscription, ``realtime.py:171-178``)."""
         try:
-            while self._running:
-                opcode, payload = read_frame(conn)
+            while True:
+                opcode, payload = decode_frame(conn)
                 if opcode == 0x8:  # close
                     break
                 if opcode == 0x9:  # ping → pong
-                    pong = bytes([0x8A, len(payload)]) + payload
-                    conn.sendall(pong)
-                    continue
-                if opcode == 0x1:  # subscription update
+                    conn.sendall(
+                        struct.pack("!BB", 0x8A, len(payload)) + payload
+                    )
+                elif opcode == 0x1:  # subscription update
                     try:
                         upd = json.loads(payload.decode("utf-8"))
                     except ValueError:
                         continue
                     with self._lock:
-                        self._clients[conn] = _Subscription(
-                            upd.get("collection", sub.collection),
-                            upd.get("event_types"),
-                            upd.get("user_ids"),
-                        )
-        except (ConnectionError, OSError):
+                        cur = self._clients.get(conn)
+                        if cur is not None:
+                            self._clients[conn] = Subscription(
+                                upd.get("collection", cur.collection),
+                                upd.get("event_types"),
+                                upd.get("user_ids"),
+                            )
+        except Exception:
             pass
-        finally:
-            with self._lock:
-                self._clients.pop(conn, None)
-            try:
-                conn.close()
-            except OSError:
-                pass
+        with self._lock:
+            self._clients.pop(conn, None)
+        conn.close()
 
-    # -- broadcast ----------------------------------------------------
-    def broadcast(self, event: dict) -> int:
-        """Ring-append + push to matching sockets. Returns #delivered."""
+    # -- producer side ------------------------------------------------
+
+    def broadcast(self, obj) -> int:
+        """Send one JSON message to every matching client; returns
+        #delivered. A plain-string payload has no fields to match on
+        and goes to wildcard subscribers only."""
+        if isinstance(obj, str):
+            text, event = obj, {}
+        else:
+            text, event = json.dumps(obj), obj
+        frame = encode_text_frame(text)
         delivered = 0
         with self._lock:
-            self._history.append(event)
-            if len(self._history) > self.history_size:
-                self._history = self._history[-self.history_size:]
-            frame = encode_text_frame(json.dumps(event, default=str))
+            self._ring.append((text, event))
             dead = []
-            for conn, sub in self._clients.items():
+            for c, sub in self._clients.items():
                 if not sub.matches(event):
                     continue
                 try:
-                    conn.sendall(frame)
+                    c.sendall(frame)
                     delivered += 1
                 except OSError:
-                    dead.append(conn)
-            for conn in dead:
-                self._clients.pop(conn, None)
-                try:
-                    conn.close()
-                except OSError:
-                    pass
+                    dead.append(c)
+            for c in dead:
+                self._clients.pop(c, None)
         return delivered
 
+    def close(self) -> None:
+        self._closed = True
+        try:
+            self._srv.close()
+        finally:
+            with self._lock:
+                for c in self._clients:
+                    try:
+                        c.sendall(struct.pack("!BB", 0x88, 0))
+                        c.close()
+                    except OSError:
+                        pass
+                self._clients.clear()
 
-def websocket_sink(server: WebSocketEventServer, collection: str = "*",
-                   max_rows_per_batch: int = 10_000):
-    """``foreachBatch`` callable pushing each micro-batch over the ws
-    bus. Rows beyond ``max_rows_per_batch`` are dropped WITH a marker
-    event (an overflow batch means a replay/catch-up, where a live
-    push of every historical row is noise — the bounded collect keeps
-    the driver safe, the marker keeps the drop visible)."""
+
+def websocket_sink(broadcaster: WebSocketBroadcaster, max_rows: int = 10_000,
+                   collection: str = "*"):
+    """``foreachBatch`` handler broadcasting each micro-batch's rows as
+    JSON text frames (row dicts, timestamps stringified). Bounded like
+    ``push_to_subscribers``: at most ``max_rows`` rows are pushed per
+    batch, streamed via ``toLocalIterator``; an oversized batch (a
+    replay/catch-up, where live-pushing history is noise) emits one
+    ``_overflow`` marker so the drop is visible, never silent."""
 
     def handle(batch_df, batch_id: int) -> None:
-        rows = batch_df.limit(max_rows_per_batch + 1).collect()
-        overflow = len(rows) > max_rows_per_batch
-        for row in rows[:max_rows_per_batch]:
-            ev = row.asDict()
-            ev.setdefault("collection", collection)
-            server.broadcast(ev)
+        sent = 0
+        overflow = False
+        for row in batch_df.toLocalIterator():
+            if sent >= max_rows:  # a row BEYOND the cap proves a drop
+                overflow = True
+                break
+            d = {
+                k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                for k, v in row.asDict().items()
+            }
+            broadcaster.broadcast(
+                {"batch_id": batch_id, "collection": collection, "event": d}
+            )
+            sent += 1
         if overflow:
-            server.broadcast({
-                "collection": collection, "event_type": "_overflow",
-                "batch_id": batch_id, "dropped_beyond": max_rows_per_batch,
+            broadcaster.broadcast({
+                "batch_id": batch_id,
+                "collection": collection,
+                "event_type": "_overflow",
+                "dropped_beyond": max_rows,
             })
 
     return handle
 
 
-# ---------------------------------------------------------------------------
-# Minimal stdlib client (tests / smoke): handshake + frame read.
-# ---------------------------------------------------------------------------
+# -- test/client helper (masked client→server frames) ------------------
 
-class WebSocketClient:
-    def __init__(self, host: str, port: int, collection: str = "*",
-                 timeout: float = 5.0):
+
+class WSClient:
+    """Buffered raw-socket WebSocket client (tests and simple
+    consumers; production clients use any standard library).
+
+    Buffering matters: the server may send replayed frames in the SAME
+    TCP segment as the 101 handshake response — a client that reads the
+    handshake with a raw recv() silently discards them."""
+
+    def __init__(self, host: str, port: int, timeout: float = 5.0,
+                 collection: str = "*"):
+        path = "/" if collection == "*" else f"/ws/{collection}"
         self.sock = socket.create_connection((host, port), timeout=timeout)
+        self._buf = b""
         key = base64.b64encode(b"0123456789abcdef").decode()
         self.sock.sendall(
             (
-                f"GET /ws/{collection} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+                f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
                 "Upgrade: websocket\r\nConnection: Upgrade\r\n"
                 f"Sec-WebSocket-Key: {key}\r\n"
                 "Sec-WebSocket-Version: 13\r\n\r\n"
@@ -331,29 +324,67 @@ class WebSocketClient:
         while b"\r\n\r\n" not in resp:
             chunk = self.sock.recv(4096)
             if not chunk:
-                raise ConnectionError("handshake failed")
+                raise ConnectionError("no handshake response")
             resp += chunk
-        status = resp.split(b"\r\n", 1)[0].decode("latin-1")
-        if "101" not in status:
-            raise ConnectionError(f"handshake rejected: {status}")
-        expect = accept_key(key)
-        if f"Sec-WebSocket-Accept: {expect}".encode() not in resp:
+        head, _, rest = resp.partition(b"\r\n\r\n")
+        self._buf = rest  # frames that rode along with the handshake
+        status = head.split(b"\r\n", 1)[0]
+        if b"101" not in status:
+            raise ConnectionError(f"handshake failed: {status!r}")
+        if _accept_key(key).encode() not in head:
             raise ConnectionError("bad Sec-WebSocket-Accept")
 
-    def send_json(self, obj: dict) -> None:
-        self.sock.sendall(encode_text_frame(json.dumps(obj), mask=True))
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("socket closed")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
 
-    def recv_json(self) -> dict:
-        while True:
-            opcode, payload = read_frame(self.sock)
-            if opcode == 0x1:
-                return json.loads(payload.decode("utf-8"))
-            if opcode == 0x8:
-                raise ConnectionError("server closed")
+    def recv_text(self) -> str:
+        b0, b1 = self._read_exact(2)
+        opcode = b0 & 0x0F
+        n = b1 & 0x7F
+        if n == 126:
+            (n,) = struct.unpack("!H", self._read_exact(2))
+        elif n == 127:
+            (n,) = struct.unpack("!Q", self._read_exact(8))
+        payload = self._read_exact(n)
+        if opcode != 0x1:
+            raise ValueError(f"unexpected opcode {opcode}")
+        return payload.decode("utf-8")
 
-    def close(self) -> None:
-        try:
-            self.sock.sendall(bytes([0x88, 0x80]) + b"\x00\x00\x00\x00")
-        except OSError:
-            pass
-        self.sock.close()
+    def send_text(self, payload: str) -> None:
+        """Masked client→server text frame (RFC requires the mask);
+        used for in-band subscription updates."""
+        data = bytearray(payload.encode("utf-8"))
+        mask = b"\x37\xfa\x21\x3d"
+        for i in range(len(data)):
+            data[i] ^= mask[i % 4]
+        n = len(data)
+        if n < 126:
+            head = struct.pack("!BB", 0x81, 0x80 | n)
+        elif n < 2**16:
+            head = struct.pack("!BBH", 0x81, 0x80 | 126, n)
+        else:
+            head = struct.pack("!BBQ", 0x81, 0x80 | 127, n)
+        self.sock.sendall(head + mask + bytes(data))
+
+    def send_close(self) -> None:
+        mask = b"\x00\x00\x00\x00"
+        self.sock.sendall(struct.pack("!BB", 0x88, 0x80) + mask)
+
+
+def client_connect(host: str, port: int, timeout: float = 5.0,
+                   collection: str = "*") -> WSClient:
+    return WSClient(host, port, timeout=timeout, collection=collection)
+
+
+def client_recv_text(client: WSClient) -> str:
+    return client.recv_text()
+
+
+def client_send_close(client: WSClient) -> None:
+    client.send_close()

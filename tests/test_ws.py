@@ -1,114 +1,148 @@
-"""RFC 6455 WebSocket bus: handshake, broadcast, ring replay, filters.
+"""Subscription semantics over the RFC 6455 bus (reference
+realtime.py:133-215): per-collection connect paths, in-band
+subscription narrowing, filtered ring replay, and the bounded
+foreachBatch sink's overflow marker.
 
-Pins the reference ConnectionManager semantics (realtime.py:133-215)
-over the real transport: live push to matching sockets, last-N history
-replay for late joiners, in-band subscription narrowing, ping→pong,
-and the bounded foreachBatch sink fed by a real Spark DataFrame.
+(The base transport — handshake, frames, live broadcast, plain-replay,
+ping/pong — is pinned in test_streaming.py; this file covers the
+Subscription layer added on top.)
 """
 
 from __future__ import annotations
 
+import json
 import time
 
 import pytest
 
 from fastpyvectordb_spark.streaming.ws import (
-    WebSocketClient,
-    WebSocketEventServer,
+    Subscription,
+    WebSocketBroadcaster,
+    client_connect,
     websocket_sink,
 )
 
 
 @pytest.fixture()
-def server():
-    srv = WebSocketEventServer(history_size=5).start()
-    yield srv
-    srv.stop()
+def bus():
+    b = WebSocketBroadcaster(history=5)
+    yield b
+    b.close()
 
 
-def _drain_n(client, n, timeout=5.0):
-    out = []
+def _register_barrier(bus, n, timeout=20.0):
+    """Wait until ``n`` clients are registered (the accept loop runs in
+    a thread; registration races the first broadcast otherwise)."""
     deadline = time.time() + timeout
-    client.sock.settimeout(0.5)
-    while len(out) < n and time.time() < deadline:
-        try:
-            out.append(client.recv_json())
-        except (TimeoutError, OSError):
-            continue
-    return out
+    while time.time() < deadline:
+        with bus._lock:
+            if len(bus._clients) >= n:
+                return
+        time.sleep(0.02)
+    raise AssertionError(f"{n} clients never registered")
 
 
-def test_live_broadcast_and_collection_filter(server):
-    a = WebSocketClient("127.0.0.1", server.port, collection="orders")
-    b = WebSocketClient("127.0.0.1", server.port, collection="*")
-    time.sleep(0.2)  # let _serve_client register both
-    server.broadcast({"collection": "orders", "event_type": "insert", "id": 1})
-    server.broadcast({"collection": "other", "event_type": "insert", "id": 2})
-    got_a = _drain_n(a, 1)
-    got_b = _drain_n(b, 2)
-    assert [e["id"] for e in got_a] == [1]  # orders-only socket
-    assert sorted(e["id"] for e in got_b) == [1, 2]  # wildcard socket
-    a.close(); b.close()
+def _read_until(client, pred, limit=30):
+    for _ in range(limit):
+        got = json.loads(client.recv_text())
+        if pred(got):
+            return got
+    raise AssertionError("expected frame never arrived")
 
 
-def test_ring_buffer_replay_late_joiner(server):
-    # 7 events into a size-5 ring: late joiner sees exactly the last 5
-    for i in range(7):
-        server.broadcast({"collection": "c", "event_type": "e", "id": i})
-    late = WebSocketClient("127.0.0.1", server.port, collection="c")
-    got = _drain_n(late, 5)
-    assert [e["id"] for e in got] == [2, 3, 4, 5, 6]
-    late.close()
+def test_subscription_matches_semantics():
+    wild = Subscription("*")
+    typed = Subscription("orders", event_types=["delete"], user_ids=["u1"])
+    assert wild.matches({"collection": "anything", "event_type": "x"})
+    assert wild.matches({})  # plain-string broadcasts
+    assert typed.matches({"collection": "orders", "event_type": "delete",
+                          "user_id": "u1"})
+    assert not typed.matches({"collection": "other", "event_type": "delete",
+                              "user_id": "u1"})
+    assert not typed.matches({"collection": "orders", "event_type": "insert",
+                              "user_id": "u1"})
+    assert not typed.matches({"collection": "orders", "event_type": "delete",
+                              "user_id": "u2"})
+    # sink-wrapped rows: type/user live under "event"
+    assert typed.matches({"collection": "orders",
+                          "event": {"event_type": "delete", "user_id": "u1"}})
 
 
-def test_subscription_update_narrows(server):
-    c = WebSocketClient("127.0.0.1", server.port, collection="*")
-    time.sleep(0.2)
-    c.send_json({"event_types": ["delete"], "user_ids": None})
-    time.sleep(0.2)  # server applies the update
-    server.broadcast({"collection": "c", "event_type": "insert", "id": 1})
-    server.broadcast({"collection": "c", "event_type": "delete", "id": 2})
-    got = _drain_n(c, 1)
-    assert [e["id"] for e in got] == [2]
-    c.close()
+def test_collection_path_filters_broadcasts(bus):
+    a = client_connect(bus.host, bus.port, timeout=30, collection="orders")
+    b = client_connect(bus.host, bus.port, timeout=30)  # wildcard
+    _register_barrier(bus, 2)
+    bus.broadcast({"collection": "orders", "event_type": "insert", "id": 1})
+    bus.broadcast({"collection": "other", "event_type": "insert", "id": 2})
+    bus.broadcast({"collection": "orders", "event_type": "insert", "id": 3})
+    assert _read_until(a, lambda g: g.get("id") == 1)
+    # id=2 must NOT arrive on the orders socket: next frame is id=3
+    nxt = json.loads(a.recv_text())
+    assert nxt["id"] == 3
+    assert _read_until(b, lambda g: g.get("id") == 2)  # wildcard sees all
+    a.send_close(); b.send_close()
 
 
-def test_ping_pong(server):
-    c = WebSocketClient("127.0.0.1", server.port)
-    c.sock.sendall(bytes([0x89, 0x84]) + b"\x00\x00\x00\x00" + b"ping")
-    from fastpyvectordb_spark.streaming.ws import read_frame
-    opcode, payload = read_frame(c.sock)
-    assert opcode == 0xA and payload == b"ping"
-    c.close()
+def test_ring_replay_is_subscription_filtered(bus):
+    for i in range(7):  # history=5 → ring keeps 2..6
+        bus.broadcast({
+            "collection": "orders" if i % 2 == 0 else "other",
+            "event_type": "e", "id": i,
+        })
+    late = client_connect(bus.host, bus.port, timeout=30, collection="orders")
+    # ring = ids 2..6; orders-only = 2, 4, 6
+    got = [json.loads(late.recv_text())["id"] for _ in range(3)]
+    assert got == [2, 4, 6]
+    late.send_close()
 
 
-def test_websocket_sink_foreachbatch(spark, server):
-    cli = WebSocketClient("127.0.0.1", server.port, collection="events")
-    time.sleep(0.2)
-    df = spark.createDataFrame(
-        [(1, "click", 10), (2, "view", 11)],
-        "event_id long, event_type string, user_id long",
-    )
-    sink = websocket_sink(server, collection="events", max_rows_per_batch=10)
-    sink(df, batch_id=0)
-    got = _drain_n(cli, 2)
-    assert sorted(e["event_id"] for e in got) == [1, 2]
-    assert all(e["collection"] == "events" for e in got)
-    cli.close()
+def test_inband_subscription_update_narrows(bus):
+    c = client_connect(bus.host, bus.port, timeout=30)
+    _register_barrier(bus, 1)
+    c.send_text(json.dumps({"event_types": ["delete"]}))
+    # update is applied by the client loop thread; wait for it to land
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        with bus._lock:
+            sub = next(iter(bus._clients.values()), None)
+        if sub is not None and sub.event_types == {"delete"}:
+            break
+        time.sleep(0.02)
+    bus.broadcast({"collection": "c", "event_type": "insert", "id": 1})
+    bus.broadcast({"collection": "c", "event_type": "delete", "id": 2})
+    first = json.loads(c.recv_text())
+    assert first["id"] == 2  # the insert was filtered out server-side
+    c.send_close()
 
 
-def test_websocket_sink_overflow_marker(spark, server):
-    cli = WebSocketClient("127.0.0.1", server.port, collection="events")
-    time.sleep(0.2)
+def test_websocket_sink_overflow_marker(spark, bus):
+    c = client_connect(bus.host, bus.port, timeout=30)
+    _register_barrier(bus, 1)
     df = spark.range(8).selectExpr(
-        "id AS event_id", "'click' AS event_type", "id AS user_id"
+        "id AS event_id", "'click' AS event_type", "CAST(id AS STRING) AS user_id"
     )
-    sink = websocket_sink(server, collection="events", max_rows_per_batch=3)
-    sink(df, batch_id=7)
-    got = _drain_n(cli, 4)
-    types = [e.get("event_type") for e in got]
-    assert types.count("_overflow") == 1
-    marker = next(e for e in got if e["event_type"] == "_overflow")
+    websocket_sink(bus, max_rows=3, collection="events")(df, batch_id=7)
+    rows, marker = [], None
+    for _ in range(10):
+        got = json.loads(c.recv_text())
+        if got.get("event_type") == "_overflow":
+            marker = got
+            break
+        rows.append(got)
+    assert len(rows) == 3 and all(r["collection"] == "events" for r in rows)
+    assert marker is not None
     assert marker["dropped_beyond"] == 3 and marker["batch_id"] == 7
-    assert len([e for e in got if e["event_type"] == "click"]) == 3
-    cli.close()
+    c.send_close()
+
+
+def test_websocket_sink_no_marker_at_exact_cap(spark, bus):
+    c = client_connect(bus.host, bus.port, timeout=30)
+    _register_barrier(bus, 1)
+    df = spark.range(3).selectExpr("id AS event_id", "'click' AS event_type")
+    websocket_sink(bus, max_rows=3)(df, batch_id=1)
+    bus.broadcast({"sentinel": True})
+    seen = [json.loads(c.recv_text()) for _ in range(4)]
+    assert sum(1 for s in seen if "event" in s) == 3
+    assert not any(s.get("event_type") == "_overflow" for s in seen)
+    assert seen[-1].get("sentinel") is True
+    c.send_close()
