@@ -170,3 +170,94 @@ def test_funnel_is_single_scan(spark):
 
     plan = physical_plan(pipeline_filter_funnel(spark, SF))
     assert plan.count("FileScan") == 1, plan
+
+
+def test_q2_groupwise_min_stays_broadcast(spark):
+    """Q2: the decorrelated min-cost join must broadcast every
+    dimension-sized side (region-restricted suppliers, the filtered
+    part dim, the per-part minima) — the fact table shuffles once for
+    the (partkey, suppkey) rollup and never again."""
+    from fastpyvectordb_spark.suite.tpch3 import join_min_cost_supplier_q2
+
+    rep = plan_report(join_min_cost_supplier_q2(spark, SF))
+    assert rep.cartesian_products == 0, rep.summary()
+    assert rep.broadcast_joins >= 2, rep.summary()
+
+
+def test_q9_pushes_like_and_broadcasts_dims(spark):
+    """Q9: the %red% contains-filter reaches the part scan; part and
+    supplier⋈nation are broadcast so lineitem only shuffles for the
+    lineitem⋈orders equi-join and the final group-by."""
+    from fastpyvectordb_spark.suite.tpch3 import agg_product_profit_q9
+
+    df = agg_product_profit_q9(spark, SF)
+    rep = assert_scale_safe(df, expect_pushdown=True)
+    assert any("p_name" in p for p in rep.pushed_filters), rep.pushed_filters
+    assert rep.broadcast_joins >= 2, rep.summary()
+    assert rep.cartesian_products == 0
+
+
+def test_q11_scalar_subquery_is_broadcast_not_collect(spark):
+    """Q11: the global-total threshold is a one-row broadcast cross
+    join (BroadcastNestedLoop), never a driver collect or a shuffled
+    cartesian product."""
+    from fastpyvectordb_spark.plans.advisor import physical_plan
+    from fastpyvectordb_spark.suite.tpch3 import agg_important_parts_q11
+
+    df = agg_important_parts_q11(spark, SF)
+    rep = plan_report(df)
+    assert rep.cartesian_products == 0, rep.summary()
+    assert rep.broadcast_nested_loop >= 1 or rep.broadcast_joins >= 1, (
+        rep.summary()
+    )
+    # both the grouped view and its total come from ONE lineitem scan
+    # shape (the view is not recomputed via a second fact read path
+    # with different filters)
+    plan = physical_plan(df)
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    """Q16: the NOT-IN supplier exclusion must be a broadcast anti
+    join; the attribute-triple residuals reach the part scan."""
+    from fastpyvectordb_spark.plans.advisor import physical_plan
+    from fastpyvectordb_spark.suite.tpch3 import agg_supplier_part_counts_q16
+
+    df = agg_supplier_part_counts_q16(spark, SF)
+    rep = assert_scale_safe(df, expect_pushdown=True)
+    # the part-scan PushedFilters line is wider than Spark's toString
+    # truncation, so rep.pushed_filters misses it — assert on the raw
+    # plan text instead
+    plan = physical_plan(df)
+    assert "Not(EqualTo(p_brand" in plan, plan
+    assert rep.broadcast_joins >= 1, rep.summary()
+    assert rep.cartesian_products == 0
+
+
+def test_q20_prefix_like_pushes_to_scan(spark):
+    """Q20: the small% prefix filter becomes a StartsWith pushed to
+    the part scan; the one-pass conditional aggregate means lineitem
+    is read exactly once."""
+    from fastpyvectordb_spark.plans.advisor import physical_plan
+    from fastpyvectordb_spark.suite.tpch3 import join_promotion_suppliers_q20
+
+    df = join_promotion_suppliers_q20(spark, SF)
+    rep = assert_scale_safe(df, expect_pushdown=True)
+    assert any("p_name" in p for p in rep.pushed_filters), rep.pushed_filters
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") <= 1, "fact table scanned twice"
+
+
+def test_q21_single_fact_shuffle(spark):
+    """Q21: the EXISTS/NOT-EXISTS decorrelation must NOT self-join
+    lineitem — one fact scan, one shuffle on l_orderkey, then
+    dimension-sized joins only."""
+    from fastpyvectordb_spark.plans.advisor import physical_plan
+    from fastpyvectordb_spark.suite.tpch3 import join_waiting_suppliers_q21
+
+    df = join_waiting_suppliers_q21(spark, SF)
+    rep = plan_report(df)
+    assert rep.cartesian_products == 0, rep.summary()
+    assert rep.broadcast_joins >= 1, rep.summary()
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") <= 1, "fact table scanned twice"
