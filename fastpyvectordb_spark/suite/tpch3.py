@@ -29,7 +29,7 @@ integer comparisons, so every engine computes bit-identical answers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fastpyvectordb_spark.suite import register
@@ -80,10 +80,13 @@ def join_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-cost supplier per part (TPC-H Q2 shape; lineitem stands in
     for partsupp — reference has no join operator at all, SURVEY
     §2.11). The correlated ``cost = (SELECT min ...)`` subquery is
-    decorrelated into a grouped-min + equality join back on
-    (partkey, min_cost) — one lineitem shuffle on (partkey, suppkey),
-    then dimension-sized broadcasts; at 100 TB the groupwise-min never
-    re-shuffles the fact table."""
+    decorrelated as a WINDOW MIN over partkey + equality filter — the
+    grouped-min-plus-join-back formulation sort-merge-joins two
+    derivatives of the same aggregate (13-exchange plan, flagged by
+    the plan audit); the window does it in one extra hash exchange on
+    partkey and no self-join. At 100 TB: one fact shuffle for the
+    (partkey, suppkey) rollup, one partkey shuffle for the window,
+    dimension broadcasts everywhere else."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -103,15 +106,10 @@ def join_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cost_cents")
     )
     eligible = ps.join(region_supp, ps.suppkey == F.col("s_suppkey"))
-    best = eligible.groupBy("partkey").agg(
-        F.min("cost_cents").alias("min_cost_cents")
-    ).withColumnRenamed("partkey", "b_partkey")
+    w = Window.partitionBy("partkey")
     return (
-        eligible.join(
-            best,
-            (F.col("partkey") == F.col("b_partkey"))
-            & (F.col("cost_cents") == F.col("min_cost_cents")),
-        )
+        eligible.withColumn("min_cost_cents", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("min_cost_cents"))
         .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
         .select("p_partkey", "s_suppkey", "s_name", "min_cost_cents")
         .orderBy("p_partkey", "s_suppkey")

@@ -173,15 +173,16 @@ def test_funnel_is_single_scan(spark):
 
 
 def test_q2_groupwise_min_stays_broadcast(spark):
-    """Q2: the decorrelated min-cost join must broadcast every
-    dimension-sized side (region-restricted suppliers, the filtered
-    part dim, the per-part minima) — the fact table shuffles once for
-    the (partkey, suppkey) rollup and never again."""
+    """Q2: the groupwise min is a WINDOW over partkey, not a self-join
+    of the aggregate (which sort-merge-joined two derivatives of the
+    same rollup); dims broadcast, fact shuffles are the rollup + the
+    window repartition only."""
     from fastpyvectordb_spark.suite.tpch3 import join_min_cost_supplier_q2
 
     rep = plan_report(join_min_cost_supplier_q2(spark, SF))
     assert rep.cartesian_products == 0, rep.summary()
     assert rep.broadcast_joins >= 2, rep.summary()
+    assert rep.sortmerge_joins == 0, rep.summary()
 
 
 def test_q9_pushes_like_and_broadcasts_dims(spark):
