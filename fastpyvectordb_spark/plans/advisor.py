@@ -22,7 +22,22 @@ from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Executed-plan text with the metadata truncation raised: the
+    default ``spark.sql.maxMetadataStringLength`` (100) cuts long
+    ``PushedFilters: [...]`` lists mid-bracket, which would make the
+    report's regex silently DROP that scan — a false pushdown-missing
+    signal on exactly the filter-rich scans the audit cares about."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "2000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 @dataclass

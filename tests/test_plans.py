@@ -226,9 +226,9 @@ def test_q16_exclusion_is_broadcast_anti_join(spark):
 
     df = agg_supplier_part_counts_q16(spark, SF)
     rep = assert_scale_safe(df, expect_pushdown=True)
-    # the part-scan PushedFilters line is wider than Spark's toString
-    # truncation, so rep.pushed_filters misses it — assert on the raw
-    # plan text instead
+    assert any("p_brand" in p and "p_size" in p for p in rep.pushed_filters), (
+        rep.pushed_filters
+    )
     plan = physical_plan(df)
     assert "Not(EqualTo(p_brand" in plan, plan
     assert rep.broadcast_joins >= 1, rep.summary()
