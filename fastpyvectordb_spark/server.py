@@ -22,6 +22,7 @@ import re
 import threading
 import time
 import urllib.parse
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from fastpyvectordb_spark.catalog import VectorDB
@@ -198,15 +199,20 @@ class _Handler(BaseHTTPRequestHandler):
     def insert_vector(self, name: str):
         b = self._body()
         c = self._collection(name)
+        # id optional, as in the reference API (server.py:50-52: the
+        # collection generates one) — return whichever was used
+        vid = b.get("id") or uuid.uuid4().hex
         with self.lock:
-            c.insert(b["vector"], b["id"], b.get("metadata"))
-        self._send(200, {"id": b["id"], "success": True})
+            c.insert(b["vector"], vid, b.get("metadata"))
+        self._send(200, {"id": vid, "success": True})
 
     def insert_batch(self, name: str):
         b = self._body()
         c = self._collection(name)
-        ids = b["ids"]
-        metas = b.get("metadatas") or [{}] * len(ids)
+        ids = b.get("ids") or [uuid.uuid4().hex for _ in b["vectors"]]
+        # reference batch payloads say "metadata" (server.py:56-59);
+        # accept the legacy "metadatas" spelling too
+        metas = b.get("metadata") or b.get("metadatas") or [{}] * len(ids)
         rows = [
             {"id": i, "embedding": [float(x) for x in v], **(m or {})}
             for i, v, m in zip(ids, b["vectors"], metas)
@@ -239,19 +245,20 @@ class _Handler(BaseHTTPRequestHandler):
 
     def get_vector(self, name: str, vec_id: str):
         c = self._collection(name)
+        # honor ?include_vector= as the reference server does
+        # (server.py:316-330) — FastAPI parses "true"/"1"; mirror that
+        want_vec = self.query.get("include_vector", "false").lower() in (
+            "true", "1", "yes",
+        )
         rows = c.get([vec_id], include_vector=True).collect()
         if not rows:
             self._send(404, {"detail": f"id {vec_id!r} not found"})
             return
         row = rows[0].asDict()
-        self._send(
-            200,
-            {
-                "id": row["id"],
-                "metadata": _meta(row),
-                "vector": [float(x) for x in row["embedding"]],
-            },
-        )
+        payload = {"id": row["id"], "metadata": _meta(row)}
+        if want_vec:
+            payload["vector"] = [float(x) for x in row["embedding"]]
+        self._send(200, payload)
 
     def delete_vector(self, name: str, vec_id: str):
         c = self._collection(name)
@@ -260,15 +267,35 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, {"deleted": vec_id, "success": True})
 
     def _run_search(self, c, vector, k, where, include_vectors):
+        # the kNN plan prunes to (id, dist) — the right scan shape; the
+        # response's metadata/vector enrichment is a k-row lookup by id
+        # afterwards (reference server.py:374-390 returns metadata per
+        # hit and vectors on request)
         rows = [r.asDict() for r in c.search(vector, k=k, where=where).collect()]
+        detail: dict = {}
+        if rows:
+            detail = {
+                d["id"]: d
+                for d in (
+                    x.asDict()
+                    for x in c.get(
+                        [r["id"] for r in rows], include_vector=True
+                    ).collect()
+                )
+            }
         return [
             {
                 "id": r["id"],
                 "score": float(r["dist"]),
-                "metadata": _meta({k2: v for k2, v in r.items() if k2 != "dist"}),
+                "metadata": _meta(detail.get(r["id"], {})),
                 **(
-                    {"vector": [float(x) for x in r["embedding"]]}
-                    if include_vectors and "embedding" in r
+                    {
+                        "vector": [
+                            float(x)
+                            for x in detail[r["id"]]["embedding"]
+                        ]
+                    }
+                    if include_vectors and r["id"] in detail
                     else {}
                 ),
             }

@@ -74,7 +74,7 @@ def test_rest_lifecycle(api):
     )
     assert status == 400
 
-    status, r = _req(api, "GET", "/collections/docs/vectors/a")
+    status, r = _req(api, "GET", "/collections/docs/vectors/a?include_vector=true")
     assert status == 200 and r["metadata"] == {"tag": "x"}
     assert r["vector"] == [0.0, 0.0, 0.0, 1.0]
 
@@ -105,7 +105,7 @@ def test_rest_lifecycle(api):
         {"id": "d", "vector": [0, 1, 0, 0], "metadata": {"tag": "z"}},
     )
     assert status == 200
-    status, r = _req(api, "GET", "/collections/docs/vectors/d")
+    status, r = _req(api, "GET", "/collections/docs/vectors/d?include_vector=true")
     assert r["vector"] == [0.0, 1.0, 0.0, 0.0] and r["metadata"] == {"tag": "z"}
 
     status, r = _req(api, "GET", "/collections/docs/ids?limit=2&offset=1")
@@ -146,7 +146,7 @@ def test_rest_texts_and_embeddings(api):
     # the same text must equal the stored vector
     status, e = _req(api, "POST", "/embeddings/embed", {"text": "hello world"})
     assert status == 200 and len(e["embedding"]) == 384
-    status, v = _req(api, "GET", "/collections/texts/vectors/t1")
+    status, v = _req(api, "GET", "/collections/texts/vectors/t1?include_vector=true")
     assert "_document" not in v["metadata"]  # internal keys stripped
     import numpy as np
 
