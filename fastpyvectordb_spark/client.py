@@ -247,8 +247,13 @@ class VectorDBClient:
         )["ids"]
 
     def graph_query(self, cypher: str) -> list[dict]:
+        """Rows as dicts — the server sends ``{"columns", "rows"}``
+        (positional lists); zip them back together here."""
         js = self._ok("POST", "/graph/query", {"query": cypher})
-        return js if isinstance(js, list) else js.get("rows", js)
+        if isinstance(js, list):
+            return js
+        cols = js.get("columns", [])
+        return [dict(zip(cols, row)) for row in js.get("rows", [])]
 
     def embed(self, text: str) -> list[float]:
         return self._ok("POST", "/embeddings/embed", {"text": text})["embedding"]

@@ -322,13 +322,35 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def search_batch(self, name: str):
+        # ONE kNN job for all queries (K2, catalog.search_batch) plus
+        # ONE enrichment lookup across every hit — not 2 jobs per
+        # vector as a per-query _run_search loop would cost
         b = self._body()
         c = self._collection(name)
         t0 = time.perf_counter()
-        out = [
-            self._run_search(c, v, int(b.get("k", 10)), b.get("filter"), False)
-            for v in b["vectors"]
+        vectors = b["vectors"]
+        rows = [
+            r.asDict()
+            for r in c.search_batch(
+                vectors, k=int(b.get("k", 10)), where=b.get("filter")
+            ).collect()
         ]
+        detail: dict = {}
+        hit_ids = sorted({r["id"] for r in rows})
+        if hit_ids:
+            detail = {
+                d["id"]: d
+                for d in (x.asDict() for x in c.get(hit_ids).collect())
+            }
+        out: list[list] = [[] for _ in vectors]
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            out[int(r["query_id"])].append(
+                {
+                    "id": r["id"],
+                    "score": float(r["dist"]),
+                    "metadata": _meta(detail.get(r["id"], {})),
+                }
+            )
         self._send(
             200,
             {
@@ -364,7 +386,9 @@ class _Handler(BaseHTTPRequestHandler):
         c = self._collection(name)
         texts = b["texts"]
         ids = b.get("ids") or [f"text_{i}" for i in range(len(texts))]
-        metas = b.get("metadatas") or [{}] * len(texts)
+        # same dual spelling as insert_batch: the reference client says
+        # "metadata" — dropping it silently loses user data
+        metas = b.get("metadata") or b.get("metadatas") or [{}] * len(texts)
         vecs = mock_embed_batch(pd.Series(texts), c.config.dimensions)
         rows = [
             {"id": i, "embedding": v, "_document": t, **(m or {})}

@@ -142,11 +142,20 @@ def read_documents_csv(
 
 
 def split_corrupt(df: "DataFrame") -> tuple["DataFrame", "DataFrame"]:
-    """(clean_rows_without_quarantine_col, corrupt_rows). Cache the
-    input before splitting if both sides are consumed — otherwise the
-    source is read twice."""
+    """(clean_rows_without_quarantine_col, corrupt_rows).
+
+    The input is cached here out of necessity, not convenience: Spark
+    refuses any query whose scan would reference ONLY the internal
+    corrupt-record column (``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    RECORD_COLUMN`` — both branches here trip it on a raw reader
+    plan), and its documented remedy is to materialize the parsed
+    rows first. Call ``.unpersist()`` on the returned ``clean`` frame
+    when done. For a corpus too large to cache, skip this helper and
+    run two independent reads instead (PERMISSIVE for the data,
+    ``badRecordsPath`` for the quarantine)."""
     from pyspark.sql import functions as F
 
+    df = df.cache()
     clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
         "_corrupt_record"
@@ -173,14 +182,63 @@ def _ingest_rows(
     def flush(chunk: list[dict]) -> None:
         if not chunk:
             return
-        # union of metadata keys in this chunk → consistent row shape
+        from pyspark.sql.types import (
+            ArrayType,
+            BooleanType,
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        # explicit schema — inference would raise on a metadata key
+        # whose values are all-None within this chunk; type each key
+        # from its first non-None value (bool before int: bool IS an
+        # int in Python), stringify non-scalars, default all-None to
+        # string
         keys = sorted({k for r in chunk for k in r} - {"id", "embedding"})
+
+        def key_type(k):
+            for r in chunk:
+                v = r.get(k)
+                if v is None:
+                    continue
+                if isinstance(v, bool):
+                    return BooleanType(), None
+                if isinstance(v, int):
+                    return LongType(), None
+                if isinstance(v, float):
+                    return DoubleType(), None
+                if isinstance(v, str):
+                    return StringType(), None
+                return StringType(), json.dumps  # list/dict → JSON text
+            return StringType(), None
+
+        typed = {k: key_type(k) for k in keys}
+        schema = StructType(
+            [
+                StructField("id", StringType()),
+                StructField("embedding", ArrayType(DoubleType())),
+                *[StructField(k, t) for k, (t, _) in typed.items()],
+            ]
+        )
         shaped = [
-            {"id": r["id"], "embedding": r["embedding"],
-             **{k: r.get(k) for k in keys}}
+            {
+                "id": r["id"],
+                "embedding": r["embedding"],
+                **{
+                    k: (
+                        conv(r[k])
+                        if conv is not None and r.get(k) is not None
+                        else r.get(k)
+                    )
+                    for k, (_, conv) in typed.items()
+                },
+            }
             for r in chunk
         ]
-        batch = db.spark.createDataFrame(shaped).withColumn(
+        batch = db.spark.createDataFrame(shaped, schema).withColumn(
             "embedding", F.col("embedding").cast("array<float>")
         )
         coll.insert_batch(batch)

@@ -27,6 +27,7 @@ import json
 import socket
 import struct
 import threading
+import urllib.parse
 from collections import deque
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
@@ -45,14 +46,22 @@ class Subscription:
         self.user_ids = set(user_ids) if user_ids is not None else None
 
     def matches(self, event: dict) -> bool:
-        if self.collection != "*" and event.get("collection", "*") not in (
-            self.collection,
-            "*",
-        ):
-            return False
+        if self.collection != "*":
+            # an event with NO collection field (plain-string broadcast,
+            # field-less producer dict) is deliverable to wildcard
+            # subscribers only — a scoped socket must never receive
+            # traffic it didn't subscribe to; explicit "*" fans out
+            ev_coll = event.get("collection")
+            if ev_coll not in (self.collection, "*") or ev_coll is None:
+                return False
         # websocket_sink wraps rows as {"batch_id", "event": row} —
         # type/user live one level down there
         row = event.get("event", event) if isinstance(event.get("event"), dict) else event
+        if row.get("event_type") == "_overflow":
+            # control event: the truncation marker must reach every
+            # subscriber of the collection REGARDLESS of narrowing,
+            # or narrowed clients would see a silent drop
+            return True
         if (
             self.event_types is not None
             and row.get("event_type") not in self.event_types
@@ -182,7 +191,10 @@ class WebSocketBroadcaster:
             ).encode()
         )
         if path.startswith("/ws/") and len(path) > len("/ws/"):
-            return path[len("/ws/"):]
+            # percent-decode so names with spaces/unicode round-trip
+            # (the client quotes on its side; a raw space would have
+            # already truncated the request-line split above)
+            return urllib.parse.unquote(path[len("/ws/"):])
         return "*"
 
     def _client_loop(self, conn: socket.socket) -> None:
@@ -204,13 +216,33 @@ class WebSocketBroadcaster:
                         upd = json.loads(payload.decode("utf-8"))
                     except ValueError:
                         continue
+                    if not isinstance(upd, dict):
+                        # valid-but-non-object JSON ("ping", [1,2]) is
+                        # not an update; dropping the CLIENT for it
+                        # would be absurd
+                        continue
                     with self._lock:
                         cur = self._clients.get(conn)
                         if cur is not None:
+                            # compose: absent keys keep their current
+                            # narrowing; an explicit null clears one
+                            # back to wildcard
                             self._clients[conn] = Subscription(
                                 upd.get("collection", cur.collection),
-                                upd.get("event_types"),
-                                upd.get("user_ids"),
+                                upd["event_types"]
+                                if "event_types" in upd
+                                else (
+                                    sorted(cur.event_types)
+                                    if cur.event_types is not None
+                                    else None
+                                ),
+                                upd["user_ids"]
+                                if "user_ids" in upd
+                                else (
+                                    sorted(cur.user_ids)
+                                    if cur.user_ids is not None
+                                    else None
+                                ),
                             )
         except Exception:
             pass
@@ -308,7 +340,10 @@ class WSClient:
 
     def __init__(self, host: str, port: int, timeout: float = 5.0,
                  collection: str = "*"):
-        path = "/" if collection == "*" else f"/ws/{collection}"
+        path = (
+            "/" if collection == "*"
+            else f"/ws/{urllib.parse.quote(collection, safe='')}"
+        )
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
         key = base64.b64encode(b"0123456789abcdef").decode()

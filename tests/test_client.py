@@ -96,8 +96,10 @@ def test_client_text_and_embedding_extras(client):
     # (384-dim, the reference default) — size the collection to match
     client.create_collection("texts", dimensions=384)
     ids = client.insert_texts("texts", ["hello world", "goodbye moon"],
-                              ids=["t1", "t2"])
+                              ids=["t1", "t2"],
+                              metadata=[{"topic": "greet"}, {"topic": "part"}])
     assert ids == ["t1", "t2"]
+    assert client.get("texts", "t1")["metadata"]["topic"] == "greet"
     vec = client.embed("hello world")
     assert len(vec) == 384
     vecs = client.embed_batch(["a", "b"])

@@ -29,7 +29,9 @@ def test_jsonl_reader_quarantines_corrupt_lines(spark, tmp_path):
         "THIS IS NOT JSON{{{\n"
         '{"text": "id synthesized from text hash"}\n'
     )
-    df = read_documents_jsonl(spark, str(p)).cache()
+    # no explicit cache: split_corrupt must cache internally — on a raw
+    # reader plan Spark rejects corrupt-column-only queries outright
+    df = read_documents_jsonl(spark, str(p))
     clean, bad = split_corrupt(df)
     rows = {r["doc_id"]: r.asDict() for r in clean.collect()}
     assert rows[1]["lang"] == "en" and rows[1]["n_chars"] == 11
@@ -53,7 +55,7 @@ def test_csv_reader_quarantines_bad_rows(spark, tmp_path):
         "not_a_number,beta,en,web\n"
         "2,gamma,fr,book\n"
     )
-    clean, bad = split_corrupt(read_documents_csv(spark, str(p)).cache())
+    clean, bad = split_corrupt(read_documents_csv(spark, str(p)))
     ids = sorted(r["doc_id"] for r in clean.collect())
     assert ids == [1, 2]
     assert bad.count() == 1
@@ -136,6 +138,28 @@ def test_import_pyvdb_binary(spark, vdb, tmp_path):
     assert row["kind"] == "probe"
     hits = coll.search([0, 1, 0], k=1).collect()
     assert hits[0]["id"] == "v2"
+
+
+def test_import_all_null_metadata_key(spark, vdb, tmp_path):
+    """A metadata key whose values are None in an entire chunk must not
+    abort the import (schema inference would); mixed None/typed and
+    non-scalar values also land (non-scalars as JSON text)."""
+    vecs = {
+        "a": np.array([1, 0], dtype=np.float32),
+        "b": np.array([0, 1], dtype=np.float32),
+    }
+    meta = {"a": {"note": None, "nested": {"k": 1}},
+            "b": {"note": None, "nested": None}}
+    src = tmp_path / "nulls"
+    _write_reference_default_layout(src, vecs, meta)
+    (src / "config.json").write_text(json.dumps({
+        "name": "nulls", "dimensions": 2, "metric": "cosine",
+    }))
+    coll = import_reference_collection(vdb, str(src), batch_size=10)
+    rows = {r["id"]: r.asDict() for r in coll.get(["a", "b"]).collect()}
+    assert rows["a"]["note"] is None and rows["b"]["note"] is None
+    assert json.loads(rows["a"]["nested"]) == {"k": 1}
+    assert rows["b"]["nested"] is None
 
 
 def test_import_pyvdb_rejects_bad_magic(vdb, tmp_path):

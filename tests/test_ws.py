@@ -66,6 +66,16 @@ def test_subscription_matches_semantics():
     # sink-wrapped rows: type/user live under "event"
     assert typed.matches({"collection": "orders",
                           "event": {"event_type": "delete", "user_id": "u1"}})
+    # a field-less event (plain-string broadcast) must NOT leak into a
+    # collection-scoped socket — wildcard subscribers only
+    assert not Subscription("orders").matches({})
+    assert not Subscription("orders").matches({"event_type": "delete"})
+    # the overflow control marker bypasses event_type/user narrowing
+    # (else a narrowed client sees a silent drop) but not collection
+    # scoping
+    assert typed.matches({"collection": "orders", "event_type": "_overflow"})
+    assert not typed.matches({"collection": "other",
+                              "event_type": "_overflow"})
 
 
 def test_collection_path_filters_broadcasts(bus):
@@ -112,6 +122,49 @@ def test_inband_subscription_update_narrows(bus):
     bus.broadcast({"collection": "c", "event_type": "delete", "id": 2})
     first = json.loads(c.recv_text())
     assert first["id"] == 2  # the insert was filtered out server-side
+    c.send_close()
+
+
+def test_inband_updates_compose_and_tolerate_non_objects(bus):
+    c = client_connect(bus.host, bus.port, timeout=30)
+    _register_barrier(bus, 1)
+
+    def wait_sub(pred, timeout=20):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with bus._lock:
+                sub = next(iter(bus._clients.values()), None)
+            if sub is not None and pred(sub):
+                return sub
+            time.sleep(0.02)
+        raise AssertionError("subscription state never reached")
+
+    c.send_text(json.dumps({"event_types": ["delete"]}))
+    wait_sub(lambda s: s.event_types == {"delete"})
+    # non-object JSON is not an update and must NOT drop the client
+    c.send_text(json.dumps("ping"))
+    c.send_text(json.dumps([1, 2]))
+    # a later update naming only user_ids keeps the event_types
+    # narrowing (absent key = unchanged; explicit null clears)
+    c.send_text(json.dumps({"user_ids": ["u1"]}))
+    sub = wait_sub(
+        lambda s: s.user_ids == {"u1"} and s.event_types == {"delete"}
+    )
+    assert sub.event_types == {"delete"}
+    c.send_text(json.dumps({"event_types": None}))
+    wait_sub(lambda s: s.event_types is None and s.user_ids == {"u1"})
+    c.send_close()
+
+
+def test_collection_names_with_spaces_roundtrip(bus):
+    c = client_connect(bus.host, bus.port, timeout=30,
+                       collection="my coll")
+    _register_barrier(bus, 1)
+    with bus._lock:
+        sub = next(iter(bus._clients.values()))
+    assert sub.collection == "my coll"
+    bus.broadcast({"collection": "my coll", "event_type": "e", "id": 1})
+    assert json.loads(c.recv_text())["id"] == 1
     c.send_close()
 
 
