@@ -318,7 +318,15 @@ class Collection:
                 except FileExistsError:
                     try:
                         if time.time() - os.path.getmtime(lockp) > stale:
-                            os.unlink(lockp)
+                            # break via atomic rename, not unlink: with
+                            # a bare unlink two waiters can both pass
+                            # the staleness check and the second one
+                            # deletes the FIRST waiter's fresh lock —
+                            # two writers inside the flip. rename makes
+                            # exactly one breaker win; losers loop.
+                            broken = f"{lockp}.broken.{uuid.uuid4().hex[:8]}"
+                            os.rename(lockp, broken)
+                            os.unlink(broken)
                             continue
                     except OSError:
                         continue  # holder released between stat calls
@@ -371,26 +379,45 @@ class Collection:
                 f.write(json.dumps({"version": version, "op": op,
                                     "ts": time.time()}) + "\n")
 
-    def _commit(self, df: DataFrame, op: str = "commit") -> None:
+    def _commit(
+        self, df: DataFrame, op: str = "commit", files_per_bucket: int = 1
+    ) -> None:
         """Full-snapshot commit, partitioned by id-hash bucket so later
         DML can rewrite only touched buckets (Delta's file pruning).
         A full rewrite contains only live rows, so no deletion vectors
-        carry over — this is also the DV compaction point."""
+        carry over — this is also the DV compaction point.
+
+        ``files_per_bucket`` splits each bucket across that many write
+        tasks (deterministic id-hash sub-split) — optimize() sizes it
+        so compaction yields ~target_file_bytes files instead of
+        n_buckets giant ones; plain DML commits keep the default of one
+        task per bucket."""
         base = self._current_version()
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, version)
         df = df.withColumn("_seq", F.lit(self._seq_next()).cast("long"))
-        d = df.withColumn("_bucket", self._bucket()).repartition(
-            # co-locate each bucket in one task: without this every
-            # task writes to every bucket dir (tasks × buckets files)
-            self.config.n_buckets,
-            "_bucket",
-        )
+        fpb = max(1, int(files_per_bucket))
+        d = df.withColumn("_bucket", self._bucket())
+        if fpb > 1:
+            d = d.withColumn(
+                "_fsplit", F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(fpb))
+            ).repartition(self.config.n_buckets * fpb, "_bucket", "_fsplit")
+        else:
+            d = d.repartition(
+                # co-locate each bucket in one task: without this every
+                # task writes to every bucket dir (tasks × buckets files)
+                self.config.n_buckets,
+                "_bucket",
+            )
         if "_zorder" in df.columns:
             # optimize(zorder_by=…): Morton-sort rows inside each
             # bucket so row-group stats stay tight on the z-columns
+            # (with fpb>1 each file spans the z-range but its row
+            # groups are sorted runs — row-group skipping holds)
             d = d.sortWithinPartitions("_bucket", "_zorder").drop("_zorder")
             df = df.drop("_zorder")
+        if fpb > 1:
+            d = d.drop("_fsplit")
         d.write.options(**_BLOOM_OPTS).mode("overwrite").partitionBy(
             "_bucket"
         ).parquet(vdir)
@@ -534,16 +561,30 @@ class Collection:
             except Exception as ex:
                 import re as _re
 
-                m = _re.search(r"dimension mismatch[^\"\n]*", str(ex))
+                m = _re.search(
+                    r"(dimension mismatch|null id in batch"
+                    r"|duplicate id in upsert batch)[^\"\n]*",
+                    str(ex),
+                )
                 if m:
                     raise ValueError(m.group(0)) from ex
                 raise
             if obs is not None:
                 n_out = int(obs.get["n"])
+                if n_out == 0 and kill_event is not None:
+                    # empty upsert batch: nothing was written or killed
+                    # — don't flip to a pointless full-relink version
+                    # (a streaming upsert sink sees empty micro-batches
+                    # routinely and must not bloat the version chain)
+                    import shutil
+
+                    shutil.rmtree(vdir, ignore_errors=True)
+                    return 0
             self._prime_schema(vdir, batch, base=cur)
         elif cur in self._schema_cache:
             self._schema_cache[vdir] = self._schema_cache[cur]
         self._finish_commit(version, op, base=os.path.basename(cur))
+        self._publish_staged_events(vdir)
         return n_out
 
     def _commit_kill(self, doomed: DataFrame, op: str, event_type: str = "delete") -> bool:
@@ -575,7 +616,10 @@ class Collection:
         self._link_dv(cur, vdir)
         seq = self._seq_next()
         dv_dir = os.path.join(vdir, "_dv")
-        ev_dir = os.path.join(self.path, "_events")
+        # stage events in the version dir; published after the flip
+        # (see _publish_staged_events) so an aborted/conflicted delete
+        # leaves no phantom change events
+        ev_dir = os.path.join(vdir, "_events_staged")
         os.makedirs(dv_dir, exist_ok=True)
         os.makedirs(ev_dir, exist_ok=True)
         coll = os.path.basename(self.path)
@@ -621,21 +665,24 @@ class Collection:
         if cur in self._schema_cache:
             self._schema_cache[vdir] = self._schema_cache[cur]
         self._finish_commit(version, op, base=os.path.basename(cur))
+        self._publish_staged_events(vdir)
         return True
 
     def _wrap_side_effects(
         self, df: DataFrame, vdir: str, seq: int, event_type: str
     ) -> DataFrame:
         """Pass-through ``mapInPandas`` stage for the commit write: each
-        write task validates dimensions, streams its rows to the parquet
-        writer unchanged, then side-writes ONE kill file (deletion
-        vector) and ONE CDC event file via pyarrow. The epilogue runs
-        before the task commits its data file, so a failure aborts the
-        whole commit; side effects from tasks that finished before a
-        failing task make CDC at-least-once (kill files in a
-        never-pointed version dir are inert)."""
+        write task validates ids/dimensions, streams its rows to the
+        parquet writer unchanged, then side-writes ONE kill file
+        (deletion vector) and ONE CDC event file via pyarrow. Events are
+        STAGED inside the version dir and only published to the shared
+        ``_events`` feed after the pointer flip
+        (:meth:`_publish_staged_events`) — tasks that finished before a
+        failing/conflicting sibling must not leave phantom change
+        events for a commit that never happened. Kill files need no
+        staging: in a never-pointed version dir they are inert."""
         dv_dir = os.path.join(vdir, "_dv")
-        ev_dir = os.path.join(self.path, "_events")
+        ev_dir = os.path.join(vdir, "_events_staged")
         os.makedirs(dv_dir, exist_ok=True)
         os.makedirs(ev_dir, exist_ok=True)
         coll = os.path.basename(self.path)
@@ -649,6 +696,7 @@ class Collection:
             import pyarrow.parquet as papq
 
             ids: list[str] = []
+            seen: set = set()
             for pdf in batches:
                 if not pdf.empty and "embedding" in pdf.columns:
                     sizes = pdf["embedding"].map(
@@ -661,7 +709,21 @@ class Collection:
                             f"dimension mismatch: expected {dims}, got "
                             f"{sizes[i]} for id {pdf['id'][i]!r}"
                         )
-                ids.extend(str(i) for i in pdf["id"])
+                for i in pdf["id"]:
+                    if i is None:
+                        raise ValueError("null id in batch")
+                    # an id repeated within the batch would append BOTH
+                    # rows with _seq == kill_seq (DV keeps both) — a
+                    # permanent unique-id violation. The commit write is
+                    # hash-partitioned on _bucket(id), so every copy of
+                    # an id lands in THIS task: a task-local set is a
+                    # complete global dup check, no extra job
+                    if i in seen:
+                        raise ValueError(
+                            f"duplicate id in upsert batch: {i!r}"
+                        )
+                    seen.add(i)
+                    ids.append(str(i))
                 yield pdf
             if not ids:
                 return
@@ -696,6 +758,26 @@ class Collection:
             )
 
         return df.mapInPandas(run, schema=df.schema)
+
+    def _publish_staged_events(self, vdir: str) -> None:
+        """Move a committed version's staged CDC event files into the
+        live ``_events`` feed. Runs strictly AFTER the pointer flip:
+        same-filesystem renames, each atomic, so stream readers only
+        ever see whole files and aborted commits publish nothing."""
+        staged = os.path.join(vdir, "_events_staged")
+        if not os.path.isdir(staged):
+            return
+        ev_dir = os.path.join(self.path, "_events")
+        os.makedirs(ev_dir, exist_ok=True)
+        for fn in os.listdir(staged):
+            if fn.endswith(".parquet"):
+                os.rename(
+                    os.path.join(staged, fn), os.path.join(ev_dir, fn)
+                )
+        try:
+            os.rmdir(staged)
+        except OSError:
+            pass
 
     def _bucket_rows(self, touched: list[int]) -> DataFrame:
         """Current rows of the touched buckets only — the read is
@@ -733,16 +815,20 @@ class Collection:
 
     def restore(self, version: str) -> None:
         """Point the collection back at an earlier snapshot (Delta
-        ``RESTORE``) — recorded as a new history entry; no data moves."""
+        ``RESTORE``) — recorded as a new history entry; no data moves.
+        Takes the commit lock like every other pointer flip, so a
+        restore cannot interleave with a concurrent writer's
+        check-and-flip."""
         if not os.path.isdir(os.path.join(self.path, version)):
             raise ValueError(f"unknown version: {version}")
-        with open(os.path.join(self.path, _POINTER), "w") as f:
-            f.write(version)
         import time
 
-        with open(os.path.join(self.path, "_versions"), "a") as f:
-            f.write(json.dumps({"version": version, "op": "restore",
-                                "ts": time.time()}) + "\n")
+        with self._commit_lock():
+            with open(os.path.join(self.path, _POINTER), "w") as f:
+                f.write(version)
+            with open(os.path.join(self.path, "_versions"), "a") as f:
+                f.write(json.dumps({"version": version, "op": "restore",
+                                    "ts": time.time()}) + "\n")
 
     def optimize(
         self,
@@ -775,6 +861,10 @@ class Collection:
                         if fn.endswith(".parquet")
                     )
             target_partitions = max(1, -(-on_disk // target_file_bytes))
+        # _commit lays files out as n_buckets × files_per_bucket — a
+        # bare coalesce() here would be overridden by its bucket
+        # repartition, silently ignoring the sizing
+        fpb = max(1, -(-int(target_partitions) // self.config.n_buckets))
         if zorder_by:
             # the commit layout is bucket-partitioned (DML pruning), so
             # Z-clustering happens WITHIN each bucket: _commit sorts
@@ -787,8 +877,8 @@ class Collection:
             out = self.df()
             out = out.withColumn("_zorder", zorder_key(out, zorder_by))
         else:
-            out = self.df().coalesce(target_partitions)
-        self._commit(out, op="optimize")
+            out = self.df()
+        self._commit(out, op="optimize", files_per_bucket=fpb)
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop snapshot dirs older than the last ``keep_last`` history
@@ -872,6 +962,10 @@ class Collection:
         """The change log as a streaming source (readStream) —
         subscription filters from streaming/events.py apply directly."""
         p = os.path.join(self.path, "_events")
+        # subscribing BEFORE the first mutation is the normal CDC setup
+        # order — readStream raises PATH_NOT_FOUND on a missing dir, so
+        # create the (empty) feed eagerly
+        os.makedirs(p, exist_ok=True)
         schema = (
             "event_id string, event_type string, collection string, "
             "doc_id string, ts timestamp"
@@ -923,9 +1017,79 @@ class Collection:
                 )
             ).alias("bad"),
             F.collect_set("_b").alias("buckets"),
+            # nulls are invisible to the checks above (NULL != dims is
+            # NULL, a NULL id hashes to a NULL bucket) — count them
+            # explicitly or they commit and then sort FIRST in every
+            # kNN (NULL dist) / break bucket-dir parsing
+            F.sum(F.col("id").isNull().cast("int")).alias("null_ids"),
+            F.sum(
+                (F.col("id").isNotNull() & F.col("_sz").isNull()).cast("int")
+            ).alias("null_vecs"),
         ).collect()[0]
+        if int(row["null_ids"] or 0) > 0:
+            raise ValueError("null id in batch")
+        if int(row["null_vecs"] or 0) > 0:
+            raise ValueError("null embedding in batch")
         n = int(row["n"] or 0)
         return n, [int(b) for b in row["buckets"]], row["dup_id"], row["bad"]
+
+    def _rows_to_batch(self, rows: list[dict]) -> DataFrame:
+        """Row dicts → DataFrame with an EXPLICIT schema: inference
+        raises on any key whose values are None in every row (a legal
+        metadata shape — None round-trips as SQL NULL); type each key
+        from its first non-None value, bool before int (a bool IS an
+        int in Python), all-None defaulting to string."""
+        from pyspark.sql.types import (
+            ArrayType,
+            BooleanType,
+            DoubleType,
+            FloatType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        keys: list[str] = []
+        for r in rows:
+            for k in r:
+                if k not in keys and k not in ("id", "embedding"):
+                    keys.append(k)
+
+        def key_type(k):
+            for r in rows:
+                v = r.get(k)
+                if v is None:
+                    continue
+                if isinstance(v, bool):
+                    return BooleanType()
+                if isinstance(v, int):
+                    return LongType()
+                if isinstance(v, float):
+                    return DoubleType()
+                return StringType()
+            return StringType()
+
+        schema = StructType(
+            [
+                StructField("id", StringType()),
+                StructField("embedding", ArrayType(FloatType())),
+                *[StructField(k, key_type(k)) for k in keys],
+            ]
+        )
+        shaped = [
+            {
+                "id": None if r.get("id") is None else str(r["id"]),
+                "embedding": (
+                    None
+                    if r.get("embedding") is None
+                    else [float(x) for x in r["embedding"]]
+                ),
+                **{k: r.get(k) for k in keys},
+            }
+            for r in rows
+        ]
+        return self.spark.createDataFrame(shaped, schema)
 
     def insert(
         self,
@@ -937,13 +1101,7 @@ class Collection:
         (ref vectordb_optimized.py:337-365)."""
         row = {"id": id, "embedding": [float(v) for v in vector]}
         row.update(metadata or {})
-        batch = self.spark.createDataFrame([row])
-        from pyspark.sql import functions as _F
-
-        batch = batch.withColumn(
-            "embedding", _F.col("embedding").cast("array<float>")
-        )
-        self.insert_batch(batch)
+        self.insert_batch(self._rows_to_batch([row]))
         return id
 
     def insert_batch(self, batch: DataFrame) -> int:
@@ -1266,10 +1424,7 @@ class Collection:
             for k in meta_keys:
                 row[k] = meta.get(k)
             rows.append(row)
-        batch = self.spark.createDataFrame(rows).withColumn(
-            "embedding", F.col("embedding").cast("array<float>")
-        )
-        self.insert_batch(batch)
+        self.insert_batch(self._rows_to_batch(rows))
         return [str(i) for i in ids]
 
     def query(

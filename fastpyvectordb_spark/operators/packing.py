@@ -65,18 +65,6 @@ def global_prefix_sum(
         .persist()
     )
     try:
-        totals = {
-            r["_pid"]: r["t"]
-            for r in ranged.groupBy("_pid")
-            .agg(F.sum(value_col).alias("t"))
-            .collect()
-        }
-        offsets, acc = {}, 0
-        for pid in sorted(totals):
-            offsets[pid] = acc
-            acc += totals[pid] or 0
-        b_offsets = spark.sparkContext.broadcast(offsets)
-
         # prefix-sum dtype follows the value column: integral → long,
         # fractional → double (a long schema would make Arrow reject
         # float cumsums)
@@ -85,15 +73,33 @@ def global_prefix_sum(
             "double" if vt in ("float", "double") or vt.startswith("decimal")
             else "long"
         )
+        # decimals arrive from Spark as decimal.Decimal objects (both
+        # in the collected totals and in the Arrow batches) — normalize
+        # everything to the output dtype up front, or the cumsum runs
+        # on object arrays and .item()/Arrow conversion break
+        num = float if sum_type == "double" else int
+        totals = {
+            r["_pid"]: num(r["t"] or 0)
+            for r in ranged.groupBy("_pid")
+            .agg(F.sum(value_col).alias("t"))
+            .collect()
+        }
+        offsets, acc = {}, num(0)
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        b_offsets = spark.sparkContext.broadcast(offsets)
+
         schema = ranged.drop("_pid").schema.add(out_col, sum_type)
         cols = [f.name for f in schema.fields]
+        np_dtype = "float64" if sum_type == "double" else "int64"
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             run = None
             for pdf in batches:  # batches arrive in partition order
                 if run is None:
                     run = b_offsets.value.get(int(pdf["_pid"].iloc[0]), 0)
-                vals = pdf[value_col].fillna(0).to_numpy()
+                vals = pdf[value_col].fillna(0).to_numpy(dtype=np_dtype)
                 out = pdf.drop(columns=["_pid"]).copy()
                 out[out_col] = vals.cumsum() - vals + run
                 run += vals.sum().item()
@@ -153,9 +159,18 @@ def packing_stats(
     ratio of the final (partial) sequence — the mixture/layout table a
     training job reads before building batches."""
     total = F.sum(tokens_col)
+    n_seqs = F.floor((total + seq_len - 1) / seq_len).cast("long")
+    # fill of the final (partial) sequence: tokens left after the full
+    # sequences, over seq_len. NULL for an empty stream (no sequences).
+    last_fill = F.when(
+        n_seqs > 0,
+        (total.cast("double") - (n_seqs - 1).cast("double") * seq_len)
+        / F.lit(float(seq_len)),
+    )
     return packed.groupBy(stream_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         total.cast("long").alias("n_tokens"),
-        F.floor((total + seq_len - 1) / seq_len).cast("long").alias("n_seqs"),
+        n_seqs.alias("n_seqs"),
         F.sum(F.col("straddles").cast("long")).alias("n_straddlers"),
+        last_fill.alias("last_fill"),
     )

@@ -531,7 +531,11 @@ SELECT source,
        CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_seqs,
        CAST(count(*) FILTER (WHERE n_tokens > 0
             AND (start_tok + n_tokens - 1) // 512 > start_tok // 512)
-            AS BIGINT) AS n_straddlers
+            AS BIGINT) AS n_straddlers,
+       CASE WHEN (sum(n_tokens) + 511) // 512 > 0
+            THEN (CAST(sum(n_tokens) AS DOUBLE)
+                  - ((sum(n_tokens) + 511) // 512 - 1) * 512) / 512.0
+       END AS last_fill
 FROM c GROUP BY source ORDER BY source
 """
 

@@ -548,3 +548,127 @@ def test_schema_evolution_new_metadata_column(spark, tmp_path):
     assert len(rows) == 8
     assert rows["new0"]["channel"] == "web"
     assert rows["old0"]["channel"] is None
+
+
+def test_null_id_and_null_embedding_rejected(spark, db):
+    """Nulls are invisible to the !=/dup aggregates (NULL != dims is
+    NULL) — they must be rejected explicitly or a NULL-embedding row
+    sorts FIRST in every kNN and a NULL id breaks bucket-dir parsing."""
+    c = db.create_collection("nulls", dimensions=4)
+    bad_vec = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0, 0.0], "A"), ("b", None, "B")],
+        "id string, embedding array<float>, category string",
+    )
+    with pytest.raises(ValueError, match="null embedding"):
+        c.insert_batch(bad_vec)
+    bad_id = spark.createDataFrame(
+        [(None, [1.0, 0.0, 0.0, 0.0], "A")],
+        "id string, embedding array<float>, category string",
+    )
+    with pytest.raises(ValueError, match="null id"):
+        c.insert_batch(bad_id)
+    assert c.count() == 0
+
+
+def test_upsert_duplicate_id_within_batch_rejected(spark, db):
+    """Both copies of an in-batch dup would be appended with
+    _seq == kill_seq (the DV keeps both) — a permanent unique-id
+    violation, so the fast path must raise. The commit write is
+    bucket-partitioned, so the task-local check is globally complete."""
+    c = db.create_collection("updup", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(4)))
+    dup = _batch(
+        spark,
+        [("v1", [9.0] * 4, "A"), ("v1", [8.0] * 4, "B"), ("v2", [7.0] * 4, "A")],
+    )
+    with pytest.raises(ValueError, match="duplicate id in upsert batch"):
+        c.upsert(dup)
+    # nothing half-applied: v1 unchanged, exactly one row per id
+    rows = c.get(["v1"], include_vector=True).collect()
+    assert len(rows) == 1 and rows[0]["embedding"] == [1.0] * 4
+
+
+def test_empty_upsert_batch_commits_nothing(spark, db):
+    """A streaming upsert sink sees empty micro-batches routinely —
+    they must not bloat the version chain with full-relink commits."""
+    c = db.create_collection("emptyup", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(3)))
+    before = len(c.history())
+    assert c.upsert(_batch(spark, [])) == 0
+    assert len(c.history()) == before
+
+
+def test_insert_none_metadata_value(spark, db):
+    """None metadata values are legal (they round-trip as SQL NULL);
+    schema inference would raise on them."""
+    c = db.create_collection("nonemeta", dimensions=4)
+    c.insert([1.0, 0.0, 0.0, 0.0], "a", metadata={"note": None, "tag": "x"})
+    c.insert([0.0, 1.0, 0.0, 0.0], "b", metadata={"note": None})
+    ids = c.add(
+        ids=["c"], embeddings=[[0.0, 0.0, 1.0, 0.0]],
+        metadatas=[{"only_null": None}],
+    )
+    assert ids == ["c"]
+    rows = {r["id"]: r.asDict() for r in c.get(["a", "b", "c"]).collect()}
+    assert rows["a"]["tag"] == "x" and rows["a"]["note"] is None
+    assert rows["c"]["only_null"] is None
+
+
+def test_failed_upsert_leaves_no_phantom_cdc_events(spark, db):
+    """CDC events are staged in the version dir and published only
+    after the pointer flip — write tasks that finished before a
+    failing sibling must not emit change events for a commit that
+    never happened."""
+    c = db.create_collection("cdcstage", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(4)))
+    before = c.events_df().count()
+    bad = spark.createDataFrame(
+        [("v0", [1.0] * 4, "A"), ("vX", [1.0] * 3, "B")],  # vX: wrong dim
+        "id string, embedding array<float>, category string",
+    )
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        c.upsert(bad)
+    assert c.events_df().count() == before
+    # and a successful upsert still publishes its events
+    c.upsert(_batch(spark, [("v0", [5.0] * 4, "A")]))
+    after = c.events_df().filter(F.col("event_type") == "update").count()
+    assert after >= 1
+
+
+def test_events_stream_before_first_mutation(spark, db):
+    """Subscribing before any insert is the normal CDC setup order —
+    must not raise PATH_NOT_FOUND."""
+    c = db.create_collection("cdcearly", dimensions=4)
+    stream = c.events_stream()  # no mutations yet
+    assert stream.isStreaming
+
+
+def test_optimize_respects_target_partitions(spark, db):
+    """optimize(target_partitions=N) must actually split buckets into
+    multiple files — the sizing was previously overridden by the
+    bucket repartition (always ~n_buckets files)."""
+    import glob as _glob
+
+    c = db.create_collection("optsize", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(2000)))
+    c.optimize(target_partitions=64)
+    files = _glob.glob(
+        f"{c.path}/{c._current_version()}/_bucket=*/*.parquet"
+    )
+    # 16 buckets × 4 sub-splits ≈ 64 nonempty (bucket, split) cells
+    assert len(files) > 20, f"only {len(files)} files"
+
+
+def test_global_prefix_sum_decimal_column(spark):
+    """Decimal value columns arrive as decimal.Decimal objects in both
+    the collected totals and the Arrow batches — the scan must coerce
+    rather than call .item() on a Decimal."""
+    from fastpyvectordb_spark.operators.packing import global_prefix_sum
+
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id AS DECIMAL(10,2)) AS amount"
+    )
+    out = global_prefix_sum(df, order_col="id", value_col="amount",
+                            out_col="run").orderBy("id").collect()
+    assert out[0]["run"] == 0.0
+    assert out[99]["run"] == float(sum(range(99)))
