@@ -78,15 +78,23 @@ def _train_residual_codebooks(
     train_rows: int,
 ) -> np.ndarray:
     """MLlib KMeans per subspace on a bounded residual sample (training
-    on a sample is standard PQ practice; the sample is collected once
-    and each of the M fits runs on a D/M-dim slice)."""
+    on a sample is standard PQ practice). The sample is MATERIALIZED
+    once (localCheckpoint): the residual pipeline upstream is an
+    IVF-assign transform + broadcast join, and without the checkpoint
+    the count, every one of the M KMeans fits, and the sample itself
+    would re-run it — and a re-evaluated sample() need not yield the
+    same rows, so the M subspace codebooks could train on different
+    data."""
     from fastpyvectordb_spark.operators.quantization import pq_train_kmeans
 
-    n = residuals.count()
+    n = residuals.count()  # one sizing pass; nothing materialized yet
     if n > train_rows:
         residuals = residuals.sample(
             fraction=min(1.0, train_rows * 1.1 / n), seed=seed
         ).limit(train_rows)
+    # materialize the BOUNDED set only (≤ train_rows rows), never the
+    # full residual table
+    residuals = residuals.localCheckpoint()
     cb = pq_train_kmeans(
         residuals,
         m_subspaces,
@@ -117,6 +125,8 @@ def ivfpq_build(
     from fastpyvectordb_spark.ann.ivf import ivf_build
 
     first = df.select(F.size(vec_col).alias("d")).head()
+    if first is None:
+        raise ValueError("ivfpq_build: input DataFrame is empty")
     dims = int(first["d"])
     if dims % m_subspaces:
         raise ValueError(f"dims={dims} not divisible by M={m_subspaces}")
@@ -233,6 +243,13 @@ def ivfpq_search_batch(
             )
         ids = pdf[id_col].to_numpy()
         codes = np.stack([np.asarray(c) for c in pdf["codes"]])  # (n, M)
+        # id-ascending order so the stable partial cut below resolves
+        # equal-d2 ties by id (identical PQ codes collide exactly) the
+        # same way the final ORDER BY dist, id does — and the same way
+        # the packed local twin (id-sorted within list) does
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        codes = codes[o]
         # residual queries for THIS list
         qr = (qmat[qidx] - coarse[lid]).reshape(len(qidx), m_subspaces, sub)
         diff = qr[:, :, None, :] - cents[None, :, :, :]
@@ -250,7 +267,9 @@ def ivfpq_search_batch(
         for m in range(1, m_subspaces):
             d2 += lutf[:, cflat[:, m]]
         kk = min(n_fetch, len(ids))
-        p = np.argpartition(d2, kk - 1, axis=1)[:, :kk] if kk < len(ids) else (
+        # stable sort (not argpartition): rows are id-ascending, so
+        # boundary ties keep the smaller id — the pinned contract
+        p = np.argsort(d2, axis=1, kind="stable")[:, :kk] if kk < len(ids) else (
             np.broadcast_to(np.arange(len(ids)), (len(qidx), len(ids)))
         )
         rows = np.arange(len(qidx))[:, None]
@@ -366,7 +385,9 @@ def ivfpq_pack(index: IVFPQIndex) -> IVFPQPacked:
     codes = np.asarray(flat.flatten(), dtype=np.int64).reshape(
         len(ids), m_subspaces
     )
-    order = np.argsort(lists, kind="stable")
+    # (list, id) order: id-ascending WITHIN each list, so stable
+    # partial cuts in the searchers resolve equal-distance ties by id
+    order = np.lexsort((ids, lists))
     lists = lists[order]
     n_lists = index.centroids.shape[0]
     return IVFPQPacked(
@@ -450,7 +471,9 @@ def ivfpq_search_local(
             d2 += lutf[:, cf[:, m]]
         kk = min(k, e - s)
         if kk < e - s:
-            p = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            # stable cut over the id-sorted slice: boundary ties keep
+            # the smaller id, matching the distributed per_list kernel
+            p = np.argsort(d2, axis=1, kind="stable")[:, :kk]
         else:
             p = np.broadcast_to(np.arange(e - s), (len(qidx), e - s))
         rows = np.arange(len(qidx))[:, None]
@@ -460,17 +483,18 @@ def ivfpq_search_local(
         fill[qidx] += 1
 
     kk = min(k, out_d.shape[1])
-    sel = np.argpartition(out_d, kk - 1, axis=1)[:, :kk]
     rows = np.arange(nq)[:, None]
-    # deferred sqrt, taken in float32 like the distributed kernel so
-    # the two paths emit bit-identical distances
-    d_sel = np.sqrt(
-        np.maximum(out_d[rows, sel], 0.0).astype(np.float32)
+    # deferred sqrt in float32 like the distributed kernel (bit-equal
+    # distances), taken over the whole merge buffer so the global
+    # selection sorts the SAME key the distributed window does —
+    # (f32-sqrt dist, id). An argpartition on d2 alone could drop the
+    # smaller-id member of a boundary tie before ordering ever saw it.
+    d_all = np.sqrt(
+        np.maximum(out_d, 0.0).astype(np.float32)
     ).astype(np.float64)
-    i_sel = out_i[rows, sel]
-    order = np.lexsort((i_sel, d_sel), axis=1)
-    d_sorted = np.take_along_axis(d_sel, order, axis=1)
-    i_sorted = np.take_along_axis(i_sel, order, axis=1)
+    sel = np.lexsort((out_i, d_all), axis=1)[:, :kk]
+    d_sorted = d_all[rows, sel]
+    i_sorted = out_i[rows, sel]
     valid = np.isfinite(d_sorted).ravel()
     return pd.DataFrame(
         {

@@ -175,6 +175,12 @@ class BM25Index:
         if dup:
             raise ValueError(f"doc {dup[0]['doc_id']!r} already indexed")
         new_postings, new_lengths = build_postings(docs, id_col, text_col)
+        # materialize the new docs' derivations ONCE: four consumers
+        # follow (both union checkpoints, the delta agg, the df agg) and
+        # each would otherwise re-run tokenize+explode+groupBy over the
+        # new docs
+        new_postings = new_postings.localCheckpoint()
+        new_lengths = new_lengths.localCheckpoint()
         postings = self.postings.unionByName(new_postings).localCheckpoint()
         doc_lengths = self.doc_lengths.unionByName(new_lengths).localCheckpoint()
         delta = new_lengths.agg(
@@ -199,7 +205,7 @@ class BM25Index:
         anti-join the doomed ids out of postings/lengths, decrement
         (N, avgdl, df) from the removed rows — O(index), zero
         retokenization."""
-        ids = [str(i) if isinstance(i, str) else i for i in doc_ids]
+        ids = list(doc_ids)
         doomed_post = self.postings.filter(F.col("doc_id").isin(ids))
         doomed_len = self.doc_lengths.filter(F.col("doc_id").isin(ids))
         gone = doomed_len.agg(

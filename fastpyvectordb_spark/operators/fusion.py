@@ -270,10 +270,13 @@ def hybrid_search_batch(
 
     if bm25_index is None:
         bm25_index = BM25Index.build(corpus, id_col=id_col, text_col=text_col)
-    kw_top = bm25_index.search_batch(
-        [(int(r.query_id), str(r.query_text)) for r in queries.itertuples()],
-        k=fetch_k,
-    )
+    # None must not become the literal token 'None'; textless queries
+    # take hybrid_search's unweighted pure-vector fallback below
+    qtexts = [
+        (int(r.query_id), "" if r.query_text is None else str(r.query_text))
+        for r in queries.itertuples()
+    ]
+    kw_top = bm25_index.search_batch(qtexts, k=fetch_k)
     kw_norm = kw_top.withColumn(
         "max_score", F.max("score").over(wq)
     ).select(
@@ -284,6 +287,15 @@ def hybrid_search_batch(
         .alias("keyword_score"),
     )
 
+    # per-query text flag: an empty-text query scores as the UNWEIGHTED
+    # vector score (hybrid_search's `if not query_text` branch) — the
+    # two documented-equivalent paths must agree
+    has_text = F.broadcast(
+        spark.createDataFrame(
+            [(qid, bool(t.strip())) for qid, t in qtexts],
+            "query_id long, has_text boolean",
+        )
+    )
     fused = (
         vec_norm.join(kw_norm, ["query_id", "doc_id"], "full_outer")
         .select(
@@ -292,11 +304,15 @@ def hybrid_search_batch(
             F.coalesce("vector_score", F.lit(0.0)).alias("vector_score"),
             F.coalesce("keyword_score", F.lit(0.0)).alias("keyword_score"),
         )
+        .join(has_text, "query_id")
         .withColumn(
             "score",
             F.round(
-                alpha * F.col("vector_score")
-                + (1 - alpha) * F.col("keyword_score"),
+                F.when(
+                    F.col("has_text"),
+                    alpha * F.col("vector_score")
+                    + (1 - alpha) * F.col("keyword_score"),
+                ).otherwise(F.col("vector_score")),
                 ROUND,
             ),
         )

@@ -373,8 +373,13 @@ def bq_pack_matrix(
     )
     tbl = codes_df.toArrow()
     ids = tbl[id_col].to_numpy()
+    n_words = (dims + 63) // 64
+    if len(ids) == 0:  # reshape(0, -1) raises; return empty matrices
+        return ids, np.empty((0, n_words), dtype=np.uint64)
     flat = tbl["words"].combine_chunks()
-    words = np.asarray(flat.flatten(), dtype=np.int64).reshape(len(ids), -1)
+    words = np.asarray(flat.flatten(), dtype=np.int64).reshape(
+        len(ids), n_words
+    )
     return ids, np.ascontiguousarray(words).view(np.uint64)
 
 
@@ -434,8 +439,16 @@ def bq_hamming_search_local(
     out_i = np.empty((nq, kk), dtype=np.int64)
     # composite selection key so ties AT the k boundary resolve by id
     # exactly like ORDER BY h, id (argpartition on h alone is free to
-    # keep either of two equal-h rows)
+    # keep either of two equal-h rows). h*(span)+id only fits int64
+    # for non-negative, modest-magnitude ids — snowflake-scale ids
+    # (~1e18 × h up to 64·words) wrap silently and corrupt the WHOLE
+    # selection, so those fall back to a per-row lexsort.
     id_span = np.int64(ids.max()) + 1 if len(ids) else np.int64(1)
+    max_h = 64 * n_words
+    key_safe = (
+        len(ids) == 0
+        or (int(ids.min()) >= 0 and max_h + 1 <= (2**63 - 1) // int(id_span))
+    )
     codes_t = codes[None, :, :]
 
     def run_range(lo: int, hi: int) -> None:
@@ -454,14 +467,21 @@ def bq_hamming_search_local(
                 hv[:] = xv[:, :, 0]
             else:
                 xv.sum(axis=2, out=hv)
-            np.multiply(hv.view(np.int64), id_span, out=kv)
-            kv += ids[None, :]
-            p = np.argpartition(kv, kk - 1, axis=1)[:, :kk]
-            order = np.argsort(np.take_along_axis(kv, p, axis=1), axis=1)
-            sel = np.take_along_axis(p, order, axis=1)
-            rr = np.arange(q)[:, None]
-            out_d[s:e] = hv[rr, sel].astype(np.int32)
-            out_i[s:e] = ids[sel]
+            if key_safe:
+                np.multiply(hv.view(np.int64), id_span, out=kv)
+                kv += ids[None, :]
+                p = np.argpartition(kv, kk - 1, axis=1)[:, :kk]
+                order = np.argsort(np.take_along_axis(kv, p, axis=1), axis=1)
+                sel = np.take_along_axis(p, order, axis=1)
+                rr = np.arange(q)[:, None]
+                out_d[s:e] = hv[rr, sel].astype(np.int32)
+                out_i[s:e] = ids[sel]
+            else:
+                hv64 = hv.view(np.int64)
+                for j in range(q):
+                    sel = np.lexsort((ids, hv64[j]))[:kk]
+                    out_d[s + j] = hv64[j][sel].astype(np.int32)
+                    out_i[s + j] = ids[sel]
 
     n_threads = max(1, min(n_threads, (nq + chunk - 1) // chunk))
     if n_threads == 1:
@@ -506,6 +526,8 @@ def sq_pack_matrix(
     )
     tbl = codes_df.toArrow()
     ids = tbl[id_col].to_numpy()
+    if len(ids) == 0:  # reshape(0, -1) raises; return empty matrices
+        return ids, np.empty((0, len(vmins)), dtype=np.uint8)
     flat = tbl["codes"].combine_chunks()
     codes = np.asarray(flat.flatten(), dtype=np.int64).reshape(len(ids), -1)
     return ids, np.ascontiguousarray(codes.astype(np.uint8))
@@ -550,21 +572,23 @@ def sq_search_local(
     kk = min(k, n)
     s255_64 = np.asarray(scales, dtype=np.float64) / 255.0
     mins64 = np.asarray(vmins, dtype=np.float64)
-    s255 = s255_64.astype(np.float32)
-    mins32 = mins64.astype(np.float32)
 
     # decoded-minus-min matrix; + mins == full decode (linear codec).
-    # float32 GEMM picks candidates; float64 decode-from-codes reranks.
-    smat = codes.astype(np.float32) * s255
+    # Selection GEMM runs in float64: the l2 proxy key (||b||² − 2q·b)
+    # subtracts two ~||b||²-sized terms, and in float32 that
+    # cancellation (~1e6 − 1e6) leaves absolute error big enough to
+    # push true neighbors out of the candidate cut entirely — a wrong
+    # TOP-K, not a rounding nit. f64 keys cost ~2× GEMM time; the
+    # uint8 4× memory win is at rest, untouched.
+    smat = codes.astype(np.float64) * s255_64
+    q64 = qcodes.astype(np.float64) * s255_64
     if metric == "l2":
         base = smat
-        qmat = qcodes.astype(np.float32) * s255
-        q64 = qcodes.astype(np.float64) * s255_64
     else:
-        base = smat + mins32
-        qmat = qcodes.astype(np.float32) * s255 + mins32
-        q64 = qcodes.astype(np.float64) * s255_64 + mins64
-    sqn = np.einsum("ij,ij->i", base, base)  # float32 norms²
+        base = smat + mins64
+        q64 = q64 + mins64
+    qmat = q64
+    sqn = np.einsum("ij,ij->i", base, base)  # float64 norms²
     eps = 1e-10
 
     def decode64(cidx):
@@ -578,7 +602,7 @@ def sq_search_local(
     cand = min(max(4 * kk, 64), n)
 
     if metric == "cosine":
-        inv_norms = (1.0 / (np.sqrt(sqn) + eps)).astype(np.float32)
+        inv_norms = 1.0 / (np.sqrt(sqn) + eps)
 
     def run_queries(qlo: int, qhi: int) -> None:
         for s in range(qlo, qhi, chunk):
