@@ -177,6 +177,8 @@ def ivf_search_batch(
             ).astype({"query_id": "int64", id_col: "int64", "dist": "float64"})
         ids = pdf[id_col].to_numpy()
         vmat = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+        o = np.argsort(ids, kind="stable")  # ties-by-id in kernel cuts
+        ids, vmat = ids[o], vmat[o]
         kk = min(k, len(ids))
         d, i = _gemm_topk_chunked(qn[qidx], vmat, ids, kk, metric)
         return pd.DataFrame(
@@ -189,6 +191,11 @@ def ivf_search_batch(
 
     partials = (
         index.assigned.select("list_id", id_col, vec_col)
+        # prune to the probed lists BEFORE the shuffle: without this
+        # every list is grouped, Arrow-shipped and scanned only for
+        # per_list to return empty — at n_lists=4096/nprobe=16 that is
+        # 99.6% wasted movement of the whole index
+        .filter(F.col("list_id").isin([int(x) for x in probe_map]))
         .groupBy("list_id")
         .applyInPandas(per_list, schema=out_schema)
     )
@@ -213,7 +220,9 @@ def ivf_pack(
     flat = tbl[vec_col].combine_chunks()
     n = len(ids)
     vmat = np.asarray(flat.flatten(), dtype=np.float32).reshape(n, -1)
-    order = np.argsort(lists, kind="stable")
+    # (list, id) order — id-ascending within each list so stable
+    # partial cuts resolve distance ties by id
+    order = np.lexsort((ids, lists))
     lists = lists[order]
     vmat = np.ascontiguousarray(vmat[order])
     ids = np.ascontiguousarray(ids[order])
@@ -290,7 +299,9 @@ def ivf_search_local(
         else:  # ip
             np.negative(d, out=d)
         kk = min(k, e - s)
-        p = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < e - s else (
+        # stable cut over the id-sorted list slice: boundary distance
+        # ties keep the smaller id (ORDER BY dist, id)
+        p = np.argsort(d, axis=1, kind="stable")[:, :kk] if kk < e - s else (
             np.broadcast_to(np.arange(e - s), (len(qidx), e - s))
         )
         rows = np.arange(len(qidx))[:, None]
@@ -300,13 +311,12 @@ def ivf_search_local(
         fill[qidx] += 1
 
     kk = min(k, out_d.shape[1])
-    sel = np.argpartition(out_d, kk - 1, axis=1)[:, :kk]
     rows = np.arange(nq)[:, None]
-    d_sel = out_d[rows, sel]
-    i_sel = out_i[rows, sel]
-    order = np.lexsort((i_sel, d_sel), axis=1)
-    d_sorted = np.take_along_axis(d_sel, order, axis=1)
-    i_sorted = np.take_along_axis(i_sel, order, axis=1)
+    # global merge selects by (dist, id) directly — argpartition on
+    # dist alone could drop a tied smaller id before ordering saw it
+    sel = np.lexsort((out_i, out_d), axis=1)[:, :kk]
+    d_sorted = out_d[rows, sel]
+    i_sorted = out_i[rows, sel]
     valid = np.isfinite(d_sorted).ravel()
     return pd.DataFrame(
         {
@@ -332,34 +342,37 @@ def exact_search_packed(
     (dist, id). Same values as :func:`operators.knn.knn` modulo the
     6-decimal rounding that operator applies.
     """
+    if packed.vmat.shape[0] == 0:  # empty index: argpartition(d, -1) raises
+        return []
     eps = 1e-10
     q = np.asarray(query_vec, dtype=np.float32)
     if metric == "cosine":
         q = q / (np.linalg.norm(q) + eps)
     d = packed.vmat @ q  # (N,)
+    # over-select so boundary distance ties resolve by id inside the
+    # candidate set (a bare argpartition to k keeps an arbitrary tied
+    # member); ties needing > cand duplicates at one distance are out
+    # of scope for this serving twin
+    cand = min(max(4 * k, 64), d.shape[0])
     if metric == "cosine":
         d /= packed.norms
         d = 1.0 - d
-        kk = min(k, d.shape[0])
-        p = np.argpartition(d, kk - 1)[:kk]
+        p = np.argpartition(d, cand - 1)[:cand]
     elif metric == "l2":
         d = packed.sqnorms - 2.0 * d + np.float32(q @ q)
         d = np.sqrt(np.maximum(d, 0.0))
         # the fp32 dot-expansion loses ~1e-3 absolute near zero
         # (catastrophic cancellation); over-select, then recompute the
         # candidates' distances exactly in float64 before the final cut
-        cand = min(max(4 * k, 64), d.shape[0])
         p = np.argpartition(d, cand - 1)[:cand]
         diff = packed.vmat[p].astype(np.float64) - q.astype(np.float64)
         d = d.astype(np.float64)
         d[p] = np.sqrt(np.einsum("ij,ij->i", diff, diff))
-        kk = min(k, cand)
-        p = p[np.argpartition(d[p], kk - 1)[:kk]]
     else:  # ip
         d = -d
-        kk = min(k, d.shape[0])
-        p = np.argpartition(d, kk - 1)[:kk]
-    order = np.lexsort((packed.ids[p], d[p]))
+        p = np.argpartition(d, cand - 1)[:cand]
+    kk = min(k, d.shape[0])
+    order = np.lexsort((packed.ids[p], d[p]))[:kk]
     sel = p[order]
     return [(int(i), float(v)) for i, v in zip(packed.ids[sel], d[sel])]
 
@@ -383,7 +396,12 @@ def ivf_search_auto(
     is packed once (cached on the IVFIndex) and searched locally — the
     reference's in-memory-index regime; otherwise the distributed
     per-list plan runs. Returns pandas either way."""
+    # cache key includes the column names: a pack built from
+    # (vec_id, embedding) silently served for a (doc_id, emb2) call
+    # would return stale ids/vectors under the new names
     packed = getattr(index, "_packed", None)
+    if getattr(index, "_packed_cols", None) != (id_col, vec_col):
+        packed = None
     if packed is None:
         first = index.assigned.select(F.size(vec_col).alias("d")).head()
         if first is None:
@@ -393,6 +411,7 @@ def ivf_search_auto(
         if index.assigned.count() * first["d"] <= local_threshold:
             packed = ivf_pack(index, id_col=id_col, vec_col=vec_col)
             index._packed = packed
+            index._packed_cols = (id_col, vec_col)
     if packed is not None:
         return ivf_search_local(
             packed, queries_pdf, k=k, nprobe=nprobe, metric=metric, id_col=id_col

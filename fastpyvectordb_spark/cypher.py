@@ -46,8 +46,18 @@ def _parse_props(s: str | None) -> dict:
     if not s:
         return {}
     out = {}
-    for m in re.finditer(r"(\w+)\s*:\s*('(?:[^']*)'|\"[^\"]*\"|-?\d+(?:\.\d+)?)", s):
+    pair_re = r"(\w+)\s*:\s*('(?:[^']*)'|\"[^\"]*\"|-?\d+(?:\.\d+)?)"
+    for m in re.finditer(pair_re, s):
         out[m.group(1)] = _parse_value(m.group(2))
+    # the whole pattern must be consumed by parsed pairs: an
+    # unsupported value (true/false/null, $param) silently dropping
+    # its filter would return ALL nodes as if it weren't there
+    leftover = re.sub(r"[\s,{}]", "", re.sub(pair_re, "", s))
+    if leftover:
+        raise ValueError(
+            f"cannot parse property pattern {s!r} "
+            "(string/number values only)"
+        )
     return out
 
 
@@ -132,12 +142,25 @@ class CypherCompiler:
             else:
                 from fastpyvectordb_spark.operators.graph import traverse_df
 
+                seeds = df.select(
+                    F.col(f"{av}__id").alias("start_id")
+                ).distinct()
                 paths = traverse_df(
-                    self.edges,
-                    df.select(F.col(f"{av}__id").alias("start_id")).distinct(),
-                    max_depth=int(hi),
+                    self.edges, seeds, max_depth=int(hi),
                     edge_type=fwd_type,
-                ).filter(F.col("depth") >= int(lo))
+                )
+                if int(lo) == 0:
+                    # Cypher *0.. includes the zero-hop match (b = a);
+                    # traverse_df only emits depth ≥ 1
+                    paths = paths.unionByName(
+                        seeds.select(
+                            "start_id",
+                            F.col("start_id").alias("end_id"),
+                            F.lit(0).alias("depth"),
+                            F.col("start_id").alias("path"),
+                        )
+                    )
+                paths = paths.filter(F.col("depth") >= int(lo))
                 df = (
                     df.join(paths, F.col(f"{av}__id") == paths.start_id)
                     .join(b, paths.end_id == F.col(f"{bv}__id"))
@@ -164,17 +187,26 @@ class CypherCompiler:
         df = plan.df
 
         if where:
-            w = _WHERE_RE.search(where)
-            if not w:
-                raise ValueError(f"cannot parse WHERE clause: {where!r}")
-            var, prop, op, val = w.groups()
-            c = F.col(f"{var}__{prop}")
-            v = F.lit(_parse_value(val))
-            pred = {
-                "=": c == v, "!=": c != v, "<>": c != v,
-                ">": c > v, ">=": c >= v, "<": c < v, "<=": c <= v,
-            }[op]
-            df = df.filter(F.coalesce(pred, F.lit(False)))
+            # AND-chains of comparisons only. Anything this subset
+            # can't express (OR, NOT, functions) must RAISE — matching
+            # just the first comparison would silently return a
+            # superset (or, with NOT, the opposite) of the asked-for
+            # rows, and every other unsupported construct here raises.
+            for conj in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+                w = _WHERE_RE.fullmatch(conj.strip())
+                if not w:
+                    raise ValueError(
+                        f"cannot parse WHERE conjunct {conj.strip()!r} "
+                        "(AND-chained var.prop <op> literal only)"
+                    )
+                var, prop, op, val = w.groups()
+                c = F.col(f"{var}__{prop}")
+                v = F.lit(_parse_value(val))
+                pred = {
+                    "=": c == v, "!=": c != v, "<>": c != v,
+                    ">": c > v, ">=": c >= v, "<": c < v, "<=": c <= v,
+                }[op]
+                df = df.filter(F.coalesce(pred, F.lit(False)))
 
         def _item_col(item: str) -> Column:
             if "." in item:

@@ -383,25 +383,28 @@ def simhash_near_pairs(
     # ceil so the chunks cover every bit — required for pigeonhole
     # completeness (a pair under the hamming bound must share a chunk)
     chunk_bits = -(-n_bits // n_chunks)
+    # n_chunks is a small Python constant, so the shift amounts can be
+    # literals — pure int64 shiftright. The previous floor(x / 2^k)
+    # double path rounded fingerprints wider than 53 bits BEFORE the
+    # floor, scrambling low-chunk values and silently missing pairs
+    # the pigeonhole argument guarantees.
+    mask = (1 << chunk_bits) - 1
     chunks = fps.select(
         "doc_id",
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-                # shiftright needs a literal shift amount; divide by 2^k
-                # instead (fingerprints are non-negative)
-                lambda c: F.struct(
-                    c.alias("cidx"),
-                    (
-                        F.floor(
-                            F.col("simhash")
-                            / F.pow(F.lit(2.0), (c * chunk_bits).cast("double"))
-                        ).cast("long")
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cidx"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), i * chunk_bits
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cval"),
                     )
-                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                    .alias("cval"),
-                ),
+                    for i in range(n_chunks)
+                ]
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", F.col("ch.cidx").alias("cidx"), F.col("ch.cval").alias("cval"))

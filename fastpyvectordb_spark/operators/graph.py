@@ -112,7 +112,17 @@ def neighbors(
 
 
 def degrees(edges: DataFrame, direction: str = "in") -> DataFrame:
-    """A4 shape: degree per node → (node_id, degree)."""
+    """A4 shape: degree per node → (node_id, degree). ``direction`` is
+    validated like :func:`neighbors` — a typo silently mapping to
+    out-degree was a wrong-answer generator; ``both`` counts each
+    endpoint appearance."""
+    if direction not in ("in", "out", "both"):
+        raise ValueError(f"direction must be in/out/both, got {direction!r}")
+    if direction == "both":
+        ends = edges.select(F.col("src").alias("node_id")).unionAll(
+            edges.select(F.col("dst").alias("node_id"))
+        )
+        return ends.groupBy("node_id").agg(F.count("*").alias("degree"))
     key = "dst" if direction == "in" else "src"
     return edges.groupBy(F.col(key).alias("node_id")).agg(
         F.count("*").alias("degree")
@@ -189,6 +199,14 @@ def traverse_df(
             F.array_join("path_arr", "->").alias("path"),
         )
         results = step if results is None else results.unionByName(step)
+    if results is None:
+        # max_depth=0: a well-typed EMPTY result, never None — callers
+        # chain .filter/.collect directly (cypher var-length paths do)
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [],
+            "start_id string, end_id string, depth int, path string",
+        )
     return results
 
 
@@ -401,7 +419,8 @@ def pagerank_fixed_point(
     (node, r BIGINT) where ``r`` is the rank in micro-units.
 
     Every step is int64 math — ``r DIV outdeg`` per edge, SUM, then
-    ``150000 + (850000·s) DIV 1000000`` (damping 0.85) — so the result
+    ``150000 + 850000·(s DIV 1e6) + (850000·(s mod 1e6)) DIV 1e6``
+    (damping 0.85, overflow-free split multiply) — so the result
     is bit-exact regardless of partitioning, join order, or engine:
     the property that makes an *iterative* algorithm oracle-checkable,
     which float PageRank never is (its sums are order-sensitive).
@@ -437,7 +456,14 @@ def pagerank_fixed_point(
             )
             .select(
                 "node",
-                F.expr("CAST(150000 + (850000 * s) DIV 1000000 AS BIGINT)").alias("r"),
+                # split multiply: a bare 850000*s wraps int64 once the
+                # hub mass s passes ~1.08e13 (≈11M-node graphs); the
+                # quotient/remainder identity is exact for s ≥ 0 and
+                # keeps every term far inside int64 — in BOTH engines
+                F.expr(
+                    "CAST(150000 + 850000 * (s DIV 1000000)"
+                    " + (850000 * (s % 1000000)) DIV 1000000 AS BIGINT)"
+                ).alias("r"),
             )
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
@@ -462,7 +488,8 @@ pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM prnodes)"""
         parts.append(
             f"""pr{i} AS (
   SELECT n.node,
-         CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
+         CAST(150000 + 850000 * (COALESCE(s.c, 0) // 1000000)
+              + (850000 * (COALESCE(s.c, 0) % 1000000)) // 1000000 AS BIGINT) AS r
   FROM prnodes n LEFT JOIN (
     SELECT e.dst AS node, SUM(p.r // d.outdeg) AS c
     FROM edges e

@@ -169,10 +169,15 @@ def _gemm_topk_chunked(
             else:  # ip
                 np.negative(d, out=d)
             kc = min(kk, e - s)
-            p = np.argpartition(d, kc - 1, axis=1)[:, :kc]
+            # stable cut + (dist, id) merge: with ids ascending (all
+            # callers pre-sort), distance ties at every boundary keep
+            # the smaller id — the ORDER BY dist, id contract. An
+            # argpartition here could drop a tied duplicate vector
+            # (the dedup workload's defining case) nondeterministically
+            p = np.argsort(d, axis=1, kind="stable")[:, :kc]
             cand_d = np.concatenate([bd, d[rows, p]], axis=1)
             cand_i = np.concatenate([bi, ids[s:e][p]], axis=1)
-            sel = np.argpartition(cand_d, kk - 1, axis=1)[:, :kk]
+            sel = np.lexsort((cand_i, cand_d), axis=1)[:, :kk]
             bd[:] = cand_d[rows, sel]
             bi[:] = cand_i[rows, sel]
 
@@ -235,6 +240,10 @@ def knn_batch_gemm(
             vmat = np.stack(
                 [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
             )
+            # ascending ids → the kernel's stable cuts break distance
+            # ties by id, matching the global window's ORDER BY
+            o = np.argsort(ids, kind="stable")
+            ids, vmat = ids[o], vmat[o]
             kk = min(k, len(ids))
             best_d, best_i = _gemm_topk_chunked(qnorm, vmat, ids, kk, metric)
             nq = len(qids)
@@ -320,6 +329,8 @@ def knn_batch_auto(
     ids = tbl[id_col].to_numpy()
     flat = tbl[vec_col].combine_chunks()
     vmat = np.asarray(flat.flatten(), dtype=np.float32).reshape(len(ids), dims)
+    o = np.argsort(ids, kind="stable")  # ties-by-id in the kernel cuts
+    ids, vmat = ids[o], np.ascontiguousarray(vmat[o])
     qmat = np.stack(
         [np.asarray(v, dtype=np.float32) for v in queries_pdf["query_vec"]]
     )

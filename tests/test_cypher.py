@@ -200,3 +200,41 @@ def test_cypher_rejects_cyclic_rebinding(spark, graph):
             nodes, edges,
             "MATCH (a:Person)-[:KNOWS]->(a) RETURN a",
         )
+
+
+def test_where_and_chain(graph):
+    nodes, edges = graph
+    rows = cypher_query(
+        nodes, edges,
+        "MATCH (a:Person) WHERE a.age > 24 AND a.name = 'Bob' RETURN a.name",
+    ).collect()
+    assert [r["a.name"] for r in rows] == ["Bob"]
+
+
+def test_where_unsupported_constructs_raise(graph):
+    nodes, edges = graph
+    # silently applying only the first conjunct (or inverting NOT)
+    # would return wrong rows — these must raise
+    with pytest.raises(ValueError, match="WHERE conjunct"):
+        cypher_query(nodes, edges,
+                     "MATCH (a:Person) WHERE a.age > 24 OR a.age < 10 RETURN a")
+    with pytest.raises(ValueError, match="WHERE conjunct"):
+        cypher_query(nodes, edges,
+                     "MATCH (a:Person) WHERE NOT a.age = 30 RETURN a")
+
+
+def test_unsupported_prop_value_raises(graph):
+    nodes, edges = graph
+    with pytest.raises(ValueError, match="property pattern"):
+        cypher_query(nodes, edges, "MATCH (a:Person {active: true}) RETURN a")
+
+
+def test_var_length_zero_hop(graph):
+    nodes, edges = graph
+    # *0..1 includes the zero-hop match (b = a) per Cypher semantics
+    rows = cypher_query(
+        nodes, edges,
+        "MATCH (a:Person {name: 'Alice'})-[:KNOWS*0..1]->(b) RETURN b.name",
+    ).collect()
+    names = sorted(r["b.name"] for r in rows)
+    assert names == ["Alice", "Bob"]  # depth 0 (self) + depth 1

@@ -350,3 +350,18 @@ def test_cluster_profile_integer_micros(spark):
     assert rows[0]["n_members"] == 2
     assert rows[0]["sum_dist_micros"] == 100000 + 200000
     assert rows[1]["sum_dist_micros"] == 250000
+
+
+def test_simhash_chunks_exact_beyond_53_bits(spark):
+    """Chunk keys must be integer shifts: floor(x / 2^k) in double
+    rounds fingerprints wider than 53 bits BEFORE the floor, missing
+    pairs the pigeonhole argument guarantees."""
+    from fastpyvectordb_spark.operators.dedup import simhash_near_pairs
+
+    base = (1 << 60) - 12345  # needs more than 53 mantissa bits
+    fps = spark.createDataFrame(
+        [(1, base), (2, base ^ 0b11), (3, 42)],  # hamming(1,2) == 2
+        "doc_id long, simhash long",
+    )
+    pairs = simhash_near_pairs(fps, max_hamming=2, n_bits=61).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]

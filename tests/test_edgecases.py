@@ -103,3 +103,45 @@ def test_scrub_pii_masks_entities(spark):
     assert got[1] == "docs: <URL> end"
     assert got[2] == "call <PHONE> now"
     assert got[3] == "clean text stays clean"
+
+
+def test_degrees_validates_direction_and_supports_both(spark):
+    import pytest as _pytest
+
+    from fastpyvectordb_spark.operators.graph import degrees
+
+    edges = spark.createDataFrame(
+        [("e1", "a", "b", "T"), ("e2", "a", "c", "T"), ("e3", "b", "a", "T")],
+        "id string, src string, dst string, type string",
+    )
+    both = {r["node_id"]: r["degree"] for r in degrees(edges, "both").collect()}
+    assert both == {"a": 3, "b": 2, "c": 1}
+    with _pytest.raises(ValueError, match="direction"):
+        degrees(edges, "int")  # typo silently meant out-degree before
+
+
+def test_traverse_zero_depth_returns_empty_dataframe(spark):
+    from fastpyvectordb_spark.operators.graph import traverse
+
+    edges = spark.createDataFrame(
+        [("e1", "a", "b", "T")], "id string, src string, dst string, type string"
+    )
+    out = traverse(edges, ["a"], max_depth=0)
+    assert out.count() == 0  # None would AttributeError on .count()
+    assert set(out.columns) == {"start_id", "end_id", "depth", "path"}
+
+
+def test_exact_search_packed_empty_index(spark):
+    import numpy as np
+
+    from fastpyvectordb_spark.ann.ivf import IVFPacked, exact_search_packed
+
+    packed = IVFPacked(
+        centroids=np.zeros((1, 4)),
+        vmat=np.empty((0, 4), dtype=np.float32),
+        ids=np.empty((0,), dtype=np.int64),
+        offsets=np.array([0, 0]),
+        sqnorms=np.empty((0,), dtype=np.float32),
+        norms=np.empty((0,), dtype=np.float32),
+    )
+    assert exact_search_packed(packed, [1.0, 0.0, 0.0, 0.0], k=5) == []
