@@ -112,7 +112,9 @@ def partitioned_build(
             + (cents ** 2).sum(1)[None, :]
         )
         assign = dist.argmin(1)
-        order = np.argsort(assign, kind="stable")
+        # (list, id) order — id-ascending within each list so scan-side
+        # tie-breaks can honor the (dist, id) contract
+        order = np.lexsort((ids, assign))
         offsets = np.searchsorted(assign[order], np.arange(ll + 1)).astype(
             np.int64
         )
@@ -187,7 +189,14 @@ def open_index(spark, path: str, slots: int | None = None) -> DataFrame:
     default (half the default parallelism) halves per-task scheduling
     overhead on the single-query path while leaving every core a
     second stub to steal. On a large cluster pass ``slots=len(pids)``
-    for full fan-out."""
+    for full fan-out.
+
+    FILESYSTEM REQUIREMENT: discovery (``os.listdir`` here) and the
+    executor-side ``pyarrow`` artifact reads both use plain POSIX
+    paths — the artifact dir must be a filesystem visible to driver
+    AND executors under the same path (NFS, FUSE-mounted object
+    store, or local mode). Plain hdfs://s3a:// URIs are not wired;
+    mount them or copy artifacts to shared storage first."""
     import os
 
     pids = sorted(
@@ -269,7 +278,10 @@ def _scan_lists(
         vn = np.sqrt((v ** 2).sum(1)) + 1e-10
         d = 1.0 - (v @ q) / (vn * (np.sqrt(q @ q) + 1e-10))
     kk = min(k, len(sel))
-    p = np.argpartition(d, kk - 1)[:kk] if kk < len(sel) else np.arange(len(sel))
+    # (dist, id) selection — argpartition on dist alone would cut
+    # boundary ties (duplicate vectors) nondeterministically, breaking
+    # the knn_join tie-break contract the merge relies on
+    p = np.lexsort((ids[sel], d))[:kk]
     return ids[sel[p]], d[p]
 
 
@@ -327,11 +339,9 @@ def _scan_artifact_batch(
             qn = np.sqrt((qmat ** 2).sum(1)) + 1e-10
             d = 1.0 - (qmat @ v.T) / (qn[:, None] * vn[None, :])
         kk = min(k, d.shape[1])
-        p = (
-            np.argpartition(d, kk - 1, axis=1)[:, :kk]
-            if kk < d.shape[1]
-            else np.broadcast_to(np.arange(d.shape[1]), (len(qmat), d.shape[1]))
-        )
+        # (dist, id) cut per query row — see _scan_lists
+        ids_b = np.broadcast_to(ids, d.shape)
+        p = np.lexsort((ids_b, d), axis=1)[:, :kk]
         rows = np.arange(len(qmat))[:, None]
         return pd.DataFrame(
             {

@@ -65,13 +65,23 @@ def export_manifest(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _partition_cols_from_layout(spark: SparkSession, path: str) -> set[str]:
-    """Partition columns inferred from the directory names (``k=v``
-    segments), via the JVM filesystem API so it works on any Hadoop FS."""
-    import os
-
+    """Partition columns inferred from the ``k=v`` segments of an
+    actual data-file path. The file path comes from the scan itself
+    (``input_file_name`` on one row), so this works on ANY filesystem
+    Spark can read — an ``os.walk`` over the path string would return
+    nothing on s3a://, hdfs:// or file: URIs and silently yield a
+    key-less (single-row) manifest."""
+    first = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"))
+        .first()
+    )
     cols: set[str] = set()
-    for root, dirs, _ in os.walk(path):
-        for d in dirs:
-            if "=" in d:
-                cols.add(d.split("=", 1)[0])
+    if first is None:
+        return cols
+    for seg in first["f"].split("/")[:-1]:  # dirs only, not the file
+        if "=" in seg:
+            import urllib.parse
+
+            cols.add(urllib.parse.unquote(seg.split("=", 1)[0]))
     return cols

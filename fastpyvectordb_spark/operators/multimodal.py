@@ -172,7 +172,17 @@ def resize_images(
                 import io as _io
 
                 out = []
-                for payload in pdf["payload"]:
+                for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                    # guards matching _real_image_feature: NULL payload
+                    # → NULL out; non-image rows raise the intentional
+                    # NotImplementedError, not a PIL decode crash
+                    if payload is None:
+                        out.append(None)
+                        continue
+                    if not str(mime).startswith("image/"):
+                        raise NotImplementedError(
+                            f"resize of non-image mime {mime!r}"
+                        )
                     img = Image.open(_io.BytesIO(bytes(payload)))
                     buf = _io.BytesIO()
                     img.resize((target_w, target_h)).save(buf, format="PNG")
@@ -195,9 +205,9 @@ def resize_images(
                 }
             )
 
-    return media.select("media_id", "payload", "width", "height").mapInPandas(
-        run, schema=RESIZE_SCHEMA
-    )
+    return media.select(
+        "media_id", "payload", "mime", "width", "height"
+    ).mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
 def sample_frames(
@@ -229,7 +239,11 @@ def sample_frames(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 raw = bytes(payload) if payload is not None else b""
-                n = max(1, int((dur or 0) // every_ms))
+                # NULL duration arrives as NaN (nullable int64 →
+                # float64 through Arrow); NaN is truthy so `or 0`
+                # does NOT guard it and int(NaN // x) raises
+                dur = 0 if dur is None or dur != dur else dur
+                n = max(1, int(dur // every_ms))
                 for i in range(n):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
@@ -311,7 +325,13 @@ def chunk_audio(
     start_ms = F.col("chunk_idx").cast("long") * hop_ms
     end_ms = F.least(start_ms + window_ms, F.col("duration_ms"))
     start_b = F.floor(start_ms * F.col("bpm")).cast("int")
-    end_b = F.floor(end_ms * F.col("bpm")).cast("int")
+    # final chunk ends exactly at the payload's last byte: floor(end_ms
+    # · bpm) can land one short when length/duration is not binary-
+    # representable (e.g. 100/3000 → 99.999…), silently dropping the
+    # tail byte from every chunking
+    end_b = F.when(
+        end_ms >= F.col("duration_ms"), F.length("payload")
+    ).otherwise(F.floor(end_ms * F.col("bpm"))).cast("int")
     return out.select(
         "media_id",
         "chunk_idx",

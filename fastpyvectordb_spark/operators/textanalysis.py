@@ -27,8 +27,10 @@ def _count_tokens_in(tokens: Column, words: list[str]) -> Column:
 
 
 def lang_id_expr(text: Column) -> Column:
-    """Predicted language: CJK-character presence → 'zh'; else argmax of
-    per-language stopword hits (ties and zero hits → 'und')."""
+    """Predicted language: CJK-character presence → 'zh'; else argmax
+    of per-language stopword hits — first language in STOPWORDS order
+    wins ties (the suite oracle codifies first-wins); zero hits →
+    'und'."""
     tokens = tokenize(text)
     counts = [
         (lang, _count_tokens_in(tokens, words)) for lang, words in STOPWORDS.items()
@@ -156,20 +158,10 @@ def deterministic_split_expr(
     """
     if sum(weights.values()) != 100:
         raise ValueError(f"weights must sum to 100: {weights}")
-    # (a * 2654435761) mod 2^32 WITHOUT int64 overflow: a naive product
-    # overflows bigint for ids ≳ 3.47e9 (Spark non-ANSI wraps silently,
-    # DuckDB raises — breaking the identical-assignment contract). Split
-    # a into 16-bit halves: a*c ≡ (hi*c mod 2^16)·2^16 + lo*c (mod 2^32);
-    # every intermediate stays < 2^49.
-    a = F.pmod(id_col.cast("bigint") + F.lit(salt), F.lit(2**32))
-    hi = F.floor(a / F.lit(65536))
-    lo = a % F.lit(65536)
-    prod_mod = F.pmod(
-        lo * F.lit(2654435761)
-        + F.pmod(hi * F.lit(2654435761), F.lit(65536)) * F.lit(65536),
-        F.lit(2**32),
-    )
-    bucket = prod_mod % 100
+    # overflow-free Knuth-hash bucket — the ONE shared implementation
+    # (_det_bucket_expr); duplicating this trickiest arithmetic would
+    # mean any future fix must land in four places or the twins diverge
+    bucket = _det_bucket_expr(id_col, salt, 100)
     expr = None
     lo = 0
     for name, pct in weights.items():
@@ -183,15 +175,9 @@ def deterministic_split_sql(
     id_sql: str, weights: dict[str, int], salt: int = 42
 ) -> str:
     """DuckDB twin of :func:`deterministic_split_expr` (same arithmetic,
-    same bucket boundaries, same overflow-free 16-bit-split product)."""
-    a = f"((({id_sql} + {salt}) % 4294967296 + 4294967296) % 4294967296)"
-    hi = f"CAST(FLOOR({a} / 65536) AS BIGINT)"
-    lo = f"({a} % 65536)"
-    prod = (
-        f"(({lo} * 2654435761 + (({hi} * 2654435761) % 65536) * 65536)"
-        f" % 4294967296)"
-    )
-    bucket = f"({prod} % 100)"
+    same bucket boundaries, same overflow-free 16-bit-split product —
+    via the shared ``_det_bucket_sql``)."""
+    bucket = _det_bucket_sql(id_sql, salt, 100)
     cases = []
     lo = 0
     for name, pct in weights.items():
@@ -498,14 +484,19 @@ def moore_lewis_scores(
             "w",
             "c_dw",
             # ln(p_in/p_out) = ln( (c_in+1)(n_all+V) / (n_in+V)(c_all+1) )
+            # — each FACTOR cast to double BEFORE multiplying: at
+            # corpus scale (c_in+1)·(n_all+V) passes int64, where
+            # Spark wraps silently and DuckDB raises (divergence). The
+            # same double products round identically in both engines.
             F.log(
                 (
-                    (F.coalesce(F.col("c_in"), F.lit(0)) + 1)
-                    * (F.col("n_all") + F.col("v"))
-                ).cast("double")
+                    (F.coalesce(F.col("c_in"), F.lit(0)) + 1).cast("double")
+                    * (F.col("n_all") + F.col("v")).cast("double")
+                )
                 / (
-                    (F.col("n_in") + F.col("v")) * (F.col("c_all") + 1)
-                ).cast("double")
+                    (F.col("n_in") + F.col("v")).cast("double")
+                    * (F.col("c_all") + 1).cast("double")
+                )
             ).alias("term"),
         )
     )
@@ -549,8 +540,10 @@ _mdoc AS (
 ),
 _mterms AS (
   SELECT d.doc_id, d.w, d.c_dw,
-         ln(CAST((COALESCE(i.c_in, 0) + 1) * (t.n_all + t.v) AS DOUBLE)
-            / CAST((t.n_in + t.v) * (a.c_all + 1) AS DOUBLE)) AS term
+         ln((CAST(COALESCE(i.c_in, 0) + 1 AS DOUBLE)
+             * CAST(t.n_all + t.v AS DOUBLE))
+            / (CAST(t.n_in + t.v AS DOUBLE)
+               * CAST(a.c_all + 1 AS DOUBLE))) AS term
   FROM _mdoc d
   JOIN _mall a ON d.w = a.w
   LEFT JOIN _min i ON d.w = i.w
@@ -591,8 +584,12 @@ def funnel_counts(
     for _, pred in stages:
         acc = pred if acc is None else (acc & pred)
         conds.append(acc)
+    # coalesce: SUM over zero rows is NULL (count is 0) — an empty
+    # corpus must report 0/0 per stage, not NULL arithmetic downstream
     aggs = [F.count(F.lit(1)).alias("_n0")] + [
-        F.sum(F.coalesce(c, F.lit(False)).cast("long")).alias(f"_n{i + 1}")
+        F.coalesce(
+            F.sum(F.coalesce(c, F.lit(False)).cast("long")), F.lit(0)
+        ).alias(f"_n{i + 1}")
         for i, c in enumerate(conds)
     ]
     row = docs.agg(*aggs)

@@ -118,7 +118,10 @@ SELECT media_id,
        CAST(i AS INT) AS chunk_idx,
        CAST(i * 2500 AS BIGINT) AS start_ms,
        CAST(least(i * 2500 + 5000, duration_ms) AS BIGINT) AS end_ms,
-       CAST(CAST(floor(least(i * 2500 + 5000, duration_ms) * bpm) AS INT)
+       CAST(CAST(CASE WHEN i * 2500 + 5000 >= duration_ms
+                      THEN octet_length(payload)
+                      ELSE floor(least(i * 2500 + 5000, duration_ms) * bpm)
+                 END AS INT)
             - CAST(floor(i * 2500 * bpm) AS INT) AS INT) AS chunk_bytes
 FROM audio, unnest(range(n_chunks)) AS t(i)
 ORDER BY media_id, chunk_idx
