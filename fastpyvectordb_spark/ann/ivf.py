@@ -299,11 +299,11 @@ def ivf_search_local(
         else:  # ip
             np.negative(d, out=d)
         kk = min(k, e - s)
-        # stable cut over the id-sorted list slice: boundary distance
-        # ties keep the smaller id (ORDER BY dist, id)
-        p = np.argsort(d, axis=1, kind="stable")[:, :kk] if kk < e - s else (
-            np.broadcast_to(np.arange(e - s), (len(qidx), e - s))
-        )
+        # tie-aware cut: argpartition speed, (dist, id) exactness when
+        # a distance tie crosses the boundary
+        from fastpyvectordb_spark.operators.knn import topk_rows_tied
+
+        p = topk_rows_tied(d, packed.ids[s:e], kk)
         rows = np.arange(len(qidx))[:, None]
         cols = (fill[qidx] * k)[:, None] + np.arange(p.shape[1])[None, :]
         out_d[qidx[:, None], cols] = d[rows, p]
@@ -312,8 +312,8 @@ def ivf_search_local(
 
     kk = min(k, out_d.shape[1])
     rows = np.arange(nq)[:, None]
-    # global merge selects by (dist, id) directly — argpartition on
-    # dist alone could drop a tied smaller id before ordering saw it
+    # global merge selects by (dist, id) — the buffer is only
+    # nprobe·k wide, so a full lexsort costs nothing here
     sel = np.lexsort((out_i, out_d), axis=1)[:, :kk]
     d_sorted = out_d[rows, sel]
     i_sorted = out_i[rows, sel]

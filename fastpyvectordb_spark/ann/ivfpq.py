@@ -267,11 +267,11 @@ def ivfpq_search_batch(
         for m in range(1, m_subspaces):
             d2 += lutf[:, cflat[:, m]]
         kk = min(n_fetch, len(ids))
-        # stable sort (not argpartition): rows are id-ascending, so
-        # boundary ties keep the smaller id — the pinned contract
-        p = np.argsort(d2, axis=1, kind="stable")[:, :kk] if kk < len(ids) else (
-            np.broadcast_to(np.arange(len(ids)), (len(qidx), len(ids)))
-        )
+        # tie-aware cut: boundary d2 ties (identical codes) keep the
+        # smaller id — argpartition speed otherwise
+        from fastpyvectordb_spark.operators.knn import topk_rows_tied
+
+        p = topk_rows_tied(d2, ids, kk)
         rows = np.arange(len(qidx))[:, None]
         return pd.DataFrame(
             {
@@ -470,12 +470,10 @@ def ivfpq_search_local(
         for m in range(1, m_subspaces):
             d2 += lutf[:, cf[:, m]]
         kk = min(k, e - s)
-        if kk < e - s:
-            # stable cut over the id-sorted slice: boundary ties keep
-            # the smaller id, matching the distributed per_list kernel
-            p = np.argsort(d2, axis=1, kind="stable")[:, :kk]
-        else:
-            p = np.broadcast_to(np.arange(e - s), (len(qidx), e - s))
+        # tie-aware cut matching the distributed per_list kernel
+        from fastpyvectordb_spark.operators.knn import topk_rows_tied
+
+        p = topk_rows_tied(d2, packed.ids[s:e], kk)
         rows = np.arange(len(qidx))[:, None]
         cols = (fill[qidx] * k)[:, None] + np.arange(p.shape[1])[None, :]
         out_d[qidx[:, None], cols] = d2[rows, p]

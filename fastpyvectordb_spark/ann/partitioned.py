@@ -278,10 +278,15 @@ def _scan_lists(
         vn = np.sqrt((v ** 2).sum(1)) + 1e-10
         d = 1.0 - (v @ q) / (vn * (np.sqrt(q @ q) + 1e-10))
     kk = min(k, len(sel))
-    # (dist, id) selection — argpartition on dist alone would cut
-    # boundary ties (duplicate vectors) nondeterministically, breaking
-    # the knn_join tie-break contract the merge relies on
-    p = np.lexsort((ids[sel], d))[:kk]
+    # (dist, id) selection — argpartition fast path; lexsort only when
+    # a distance tie (duplicate vectors) crosses the cut boundary,
+    # preserving the knn_join tie-break contract the merge relies on
+    if kk < len(sel):
+        p = np.argpartition(d, kk - 1)[:kk]
+        if (d <= d[p].max()).sum() > kk:
+            p = np.lexsort((ids[sel], d))[:kk]
+    else:
+        p = np.arange(len(sel))
     return ids[sel[p]], d[p]
 
 
@@ -339,9 +344,10 @@ def _scan_artifact_batch(
             qn = np.sqrt((qmat ** 2).sum(1)) + 1e-10
             d = 1.0 - (qmat @ v.T) / (qn[:, None] * vn[None, :])
         kk = min(k, d.shape[1])
-        # (dist, id) cut per query row — see _scan_lists
-        ids_b = np.broadcast_to(ids, d.shape)
-        p = np.lexsort((ids_b, d), axis=1)[:, :kk]
+        # tie-aware (dist, id) cut per query row — see _scan_lists
+        from fastpyvectordb_spark.operators.knn import topk_rows_tied
+
+        p = topk_rows_tied(d, ids, kk)
         rows = np.arange(len(qmat))[:, None]
         return pd.DataFrame(
             {

@@ -114,6 +114,27 @@ def knn_join(
     )
 
 
+def topk_rows_tied(d, ids, kk):
+    """Row-wise top-``kk`` column indices of ``d`` ordered-selected by
+    (distance, id) — O(n) ``argpartition`` fast path, with a per-row
+    ``lexsort`` fallback ONLY when a distance tie actually crosses the
+    cut boundary (detected by counting values ≤ the kept maximum).
+    Duplicate-free data never pays the sort; duplicate-heavy data gets
+    the exact ORDER BY dist, id semantics. ``ids`` is the shared
+    per-column id vector; ``d`` must be tie-finite (no NaN)."""
+    import numpy as np
+
+    n = d.shape[1]
+    if kk >= n:
+        return np.broadcast_to(np.arange(n), d.shape)
+    p = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+    thr = np.take_along_axis(d, p, axis=1).max(axis=1)
+    n_le = (d <= thr[:, None]).sum(axis=1)
+    for r in np.nonzero(n_le > kk)[0]:
+        p[r] = np.lexsort((ids, d[r]))[:kk]
+    return p
+
+
 def _gemm_topk_chunked(
     qn, vmat, ids, k, metric, chunk_floats=8_000_000, n_threads=1
 ):
@@ -169,12 +190,12 @@ def _gemm_topk_chunked(
             else:  # ip
                 np.negative(d, out=d)
             kc = min(kk, e - s)
-            # stable cut + (dist, id) merge: with ids ascending (all
-            # callers pre-sort), distance ties at every boundary keep
-            # the smaller id — the ORDER BY dist, id contract. An
-            # argpartition here could drop a tied duplicate vector
-            # (the dedup workload's defining case) nondeterministically
-            p = np.argsort(d, axis=1, kind="stable")[:, :kc]
+            # tie-aware cut + (dist, id) merge: distance ties at every
+            # boundary keep the smaller id — the ORDER BY dist, id
+            # contract (a bare argpartition could drop a tied duplicate
+            # vector, the dedup workload's defining case). The cut is
+            # argpartition-fast unless a tie actually crosses it.
+            p = topk_rows_tied(d, ids[s:e], kc)
             cand_d = np.concatenate([bd, d[rows, p]], axis=1)
             cand_i = np.concatenate([bi, ids[s:e][p]], axis=1)
             sel = np.lexsort((cand_i, cand_d), axis=1)[:, :kk]

@@ -63,3 +63,26 @@ def test_gemm_metrics_run(embeddings, metric):
     rows = knn_batch_gemm(embeddings, qpdf, k=5, metric=metric).collect()
     assert len(rows) == 5
     assert rows[0]["vec_id"] == 0  # self is nearest under all metrics
+
+
+def test_topk_rows_tied_matches_lexsort_ground_truth():
+    """The argpartition fast path must fall back to exact (dist, id)
+    selection whenever a distance tie crosses the cut boundary —
+    duplicate vectors are the dedup workload's defining case."""
+    import numpy as np
+
+    from fastpyvectordb_spark.operators.knn import topk_rows_tied
+
+    rng = np.random.RandomState(7)
+    ids = np.arange(50, dtype=np.int64)
+    rng.shuffle(ids)
+    for trial in range(20):
+        # heavy ties: distances drawn from few distinct values
+        d = rng.choice([0.1, 0.2, 0.2, 0.3], size=(4, 50)).astype(float)
+        for kk in (1, 3, 10, 49, 50):
+            p = topk_rows_tied(d, ids, kk)
+            for r in range(d.shape[0]):
+                want = np.lexsort((ids, d[r]))[:kk]
+                got_pairs = sorted(zip(d[r][p[r]], ids[p[r]]))
+                want_pairs = sorted(zip(d[r][want], ids[want]))
+                assert got_pairs == want_pairs, (trial, kk, r)
