@@ -1099,8 +1099,13 @@ class Collection:
     ) -> str:
         """D1: single-row insert sugar over insert_batch
         (ref vectordb_optimized.py:337-365)."""
-        row = {"id": id, "embedding": [float(v) for v in vector]}
-        row.update(metadata or {})
+        # metadata first — a user metadata key named id/embedding must
+        # not clobber the row's identity or vector
+        row = {
+            **(metadata or {}),
+            "id": id,
+            "embedding": [float(v) for v in vector],
+        }
         self.insert_batch(self._rows_to_batch([row]))
         return id
 

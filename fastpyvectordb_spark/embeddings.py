@@ -171,13 +171,20 @@ def get_embedder_udf(provider: str = "auto", dimensions: int = 384):
     if provider in ("auto", "mock"):
         if provider == "auto":
             import importlib.util
+            import os
 
-            for name, maker in (
-                ("openai", openai_embedder_udf),
-                ("sentence_transformers", sentence_transformers_embedder_udf),
+            # remote providers need their key too — picking openai on
+            # package presence alone would fail at call time in every
+            # executor instead of falling through to a usable provider
+            if (
+                importlib.util.find_spec("openai") is not None
+                and os.environ.get("OPENAI_API_KEY")
             ):
-                if importlib.util.find_spec(name) is not None:
-                    return maker(dimensions=dimensions)
+                return openai_embedder_udf(dimensions=dimensions)
+            if importlib.util.find_spec("sentence_transformers") is not None:
+                return sentence_transformers_embedder_udf(
+                    dimensions=dimensions
+                )
         return mock_embedder_udf(dimensions=dimensions)
     raise ValueError(f"unknown embedder provider: {provider}")
 
@@ -202,33 +209,47 @@ def embed_column_cached(
     spark = df.sparkSession
     if embedder is None:
         embedder = mock_embedder_udf(dimensions)
-    keyed = df.withColumn("_text_hash", F.md5(F.col(text_col).cast("string")))
+    # cache key = (text hash, dimensions): a cache written at one
+    # dimensionality must never serve hits to a differently-sized
+    # embed call — mixed-length embedding columns break kNN downstream
+    keyed = df.withColumn(
+        "_text_hash", F.md5(F.col(text_col).cast("string"))
+    ).withColumn("_dims", F.lit(int(dimensions)))
     try:
         cache = spark.read.parquet(cache_path)
+        if "_dims" not in cache.columns:  # pre-keying caches: one dim
+            cache = cache.withColumn("_dims", F.lit(int(dimensions)))
         have_cache = True
     except Exception:
         have_cache = False
+    # plain joins on the hash key — NO forced broadcast: the cache
+    # grows with the distinct-text corpus and force-broadcasting it
+    # collects the whole table to the driver (8 GB hard cap, OOM far
+    # earlier). AQE still broadcasts small caches on its own.
     if have_cache:
         hits = keyed.join(
-            F.broadcast(cache.withColumnRenamed("vec", out_col)),
-            "_text_hash",
+            cache.withColumnRenamed("vec", out_col),
+            ["_text_hash", "_dims"],
             "left",
         )
         misses = (
             hits.filter(F.col(out_col).isNull())
-            .select("_text_hash", text_col)
+            .select("_text_hash", "_dims", text_col)
             .distinct()
         )
     else:
-        hits = keyed.withColumn(out_col, F.lit(None).cast("array<float>"))
-        misses = keyed.select("_text_hash", text_col).distinct()
+        misses = keyed.select("_text_hash", "_dims", text_col).distinct()
     new_entries = misses.withColumn("vec", embedder(F.col(text_col))).select(
-        "_text_hash", "vec"
+        "_text_hash", "_dims", "vec"
     )
     new_entries.write.mode("append").parquet(cache_path)
-    fresh = spark.read.parquet(cache_path).withColumnRenamed("vec", "_fresh_vec")
+    fresh = spark.read.parquet(cache_path).withColumnRenamed(
+        "vec", "_fresh_vec"
+    )
+    if "_dims" not in fresh.columns:
+        fresh = fresh.withColumn("_dims", F.lit(int(dimensions)))
     return (
-        keyed.join(F.broadcast(fresh), "_text_hash", "left")
+        keyed.join(fresh, ["_text_hash", "_dims"], "left")
         .withColumn(out_col, F.col("_fresh_vec"))
-        .drop("_fresh_vec", "_text_hash")
+        .drop("_fresh_vec", "_text_hash", "_dims")
     )

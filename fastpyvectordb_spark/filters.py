@@ -10,11 +10,11 @@ non-standard null semantics:
 NULL (dropped by filter, which matches "False") but ``~isin`` /
 negations would yield NULL too where the reference says False, so
 every leaf is wrapped in ``coalesce(pred, false)`` and ``not_`` is
-applied *outside* that wrapper — ``not_(eq)`` on a missing field is
-``NOT coalesce(NULL, false) = true``... which would *differ* from the
-reference, so negation uses the raw tri-state predicate:
-``not_(f)`` = ``coalesce(NOT raw(f), false)``. Truth tables pinned in
-tests/test_filters.py.
+applied *outside* that wrapper: the reference's ``not_`` inverts the
+sub-filter's already-evaluated boolean, so a missing-field leaf
+evaluates False and its negation is TRUE —
+``not_(f) = NOT coalesce(raw(f), false)``. Truth tables (incl. this
+tri-state case) pinned in tests/test_filters.py.
 """
 
 from __future__ import annotations

@@ -36,20 +36,27 @@ def _bucket16(col: Column, lo: float, hi: float) -> Column:
 
 
 def morton_expr(buckets: list[Column]) -> Column:
-    """Bit-interleave k 16-bit bucket values into one long Morton key.
+    """Bit-interleave k bucket values into one long Morton key.
 
-    Bit b of column i lands at position ``b*k + i`` — 16·k OR terms of
-    shift/AND primitives that Catalyst folds into one codegen stage.
+    Bit b of column i lands at position ``b*k + i`` — shift/AND
+    primitives that Catalyst folds into one codegen stage. Per-column
+    width shrinks to ``62 // k`` bits when 16·k would reach the SIGN
+    bit (k=4: 16·4−1 = 63 → negative keys for high 4th-column buckets,
+    which would range-sort the top of the keyspace BEFORE the bottom
+    and wreck the clustering). The top bits of each bucket are kept —
+    resolution drops, ordering semantics don't.
     """
     k = len(buckets)
     if not 1 <= k <= 4:
         raise ValueError(f"zorder supports 1-4 columns, got {k}")
+    bits = min(BITS, 62 // k)
     out = F.lit(0).cast("long")
     for i, b in enumerate(buckets):
-        for bit in range(BITS):
+        bb = F.shiftright(b, BITS - bits) if bits < BITS else b
+        for bit in range(bits):
             out = out.bitwiseOR(
                 F.shiftleft(
-                    F.shiftright(b, bit).bitwiseAND(F.lit(1).cast("long")),
+                    F.shiftright(bb, bit).bitwiseAND(F.lit(1).cast("long")),
                     bit * k + i,
                 )
             )
@@ -65,7 +72,10 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
     over the frame (a tiny all-to-one job), then pure expressions."""
     for c in cols:
         dt = dict(df.dtypes)[c]
-        if not dt.startswith(_ORDERABLE):
+        # exact base-type match — a bare startswith("int") would also
+        # accept interval types
+        base = dt.split("(")[0]
+        if base not in _ORDERABLE:
             raise ValueError(
                 f"zorder column {c!r} has non-orderable type {dt}; "
                 "cast it to a numeric/date type first"

@@ -36,14 +36,27 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with the hot-key shuffle
-    split ``n_salts`` ways. Row-identical to ``big.join(small, key)``.
+    split ``n_salts`` ways. Row-identical to ``big.join(small, key)``
+    for the supported join types: inner and left (big side preserved).
+    right/full would DUPLICATE every unmatched small-side row n_salts
+    times (the explode has no single canonical row to null-pad), so
+    they are rejected rather than silently wrong.
 
     The salt on the big side is derived from a uniform hash of the full
-    row's position via ``rand``-free ``xxhash64`` over all columns —
-    deterministic per row content, so retries/speculative tasks agree.
+    row via ``rand``-free ``xxhash64`` — deterministic per row content,
+    so retries/speculative tasks agree. ``pmod``, not ``abs``: abs of
+    Long.MIN_VALUE is still negative and such a row's salt would never
+    match the exploded 0..n_salts-1, silently dropping it.
     """
-    salt_src = F.abs(F.xxhash64(*[F.col(c) for c in big.columns]))
-    big_s = big.withColumn("_salt", (salt_src % n_salts).cast("int"))
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r} (right/full "
+            "would duplicate unmatched small-side rows per salt)"
+        )
+    salt_src = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    )
+    big_s = big.withColumn("_salt", salt_src.cast("int"))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -30,6 +30,11 @@ from fastpyvectordb_spark.catalog import VectorDB
 _INTERNAL = ("id", "embedding")
 
 
+class _NotFound(Exception):
+    """Resource genuinely absent → HTTP 404 (KeyError is reserved for
+    missing body fields → 400)."""
+
+
 def _meta(row: dict) -> dict:
     return {
         k: v
@@ -116,8 +121,16 @@ class _Handler(BaseHTTPRequestHandler):
                     getattr(self, name)(
                         *(urllib.parse.unquote(g) for g in match.groups())
                     )
-                except KeyError as e:
+                except _NotFound as e:
                     self._send(404, {"detail": str(e)})
+                except KeyError as e:
+                    # a missing REQUIRED body field is a malformed
+                    # request (400), not a missing resource (404) —
+                    # clients with retry-on-404 semantics must not
+                    # misread validation errors
+                    self._send(
+                        400, {"detail": f"missing required field {e}"}
+                    )
                 except ValueError as e:
                     self._send(400, {"detail": str(e)})
                 except Exception as e:  # surface, don't crash the thread
@@ -148,7 +161,10 @@ class _Handler(BaseHTTPRequestHandler):
         return self.server.db_lock  # type: ignore[attr-defined]
 
     def _collection(self, name: str):
-        return self.db.get_collection(name)
+        try:
+            return self.db.get_collection(name)
+        except KeyError as e:
+            raise _NotFound(str(e)) from e
 
     def health(self):
         self._send(
@@ -200,8 +216,11 @@ class _Handler(BaseHTTPRequestHandler):
         b = self._body()
         c = self._collection(name)
         # id optional, as in the reference API (server.py:50-52: the
-        # collection generates one) — return whichever was used
-        vid = b.get("id") or uuid.uuid4().hex
+        # collection generates one) — return whichever was used.
+        # `is None`, not truthiness: 0 and "" are legal ids
+        vid = b.get("id")
+        if vid is None:
+            vid = uuid.uuid4().hex
         with self.lock:
             c.insert(b["vector"], vid, b.get("metadata"))
         self._send(200, {"id": vid, "success": True})
@@ -213,8 +232,16 @@ class _Handler(BaseHTTPRequestHandler):
         # reference batch payloads say "metadata" (server.py:56-59);
         # accept the legacy "metadatas" spelling too
         metas = b.get("metadata") or b.get("metadatas") or [{}] * len(ids)
+        if len(ids) != len(b["vectors"]) or len(metas) != len(b["vectors"]):
+            raise ValueError(
+                f"length mismatch: {len(b['vectors'])} vectors, "
+                f"{len(ids)} ids, {len(metas)} metadata entries (zip "
+                "would silently drop rows)"
+            )
         rows = [
-            {"id": i, "embedding": [float(x) for x in v], **(m or {})}
+            # metadata first: a user key named id/embedding must not
+            # clobber the row's identity or vector
+            {**(m or {}), "id": i, "embedding": [float(x) for x in v]}
             for i, v, m in zip(ids, b["vectors"], metas)
         ]
         from pyspark.sql import functions as F
@@ -230,9 +257,9 @@ class _Handler(BaseHTTPRequestHandler):
         b = self._body()
         c = self._collection(name)
         row = {
+            **(b.get("metadata") or {}),  # id/embedding must win below
             "id": b["id"],
             "embedding": [float(x) for x in b["vector"]],
-            **(b.get("metadata") or {}),
         }
         from pyspark.sql import functions as F
 
@@ -385,13 +412,23 @@ class _Handler(BaseHTTPRequestHandler):
         b = self._body()
         c = self._collection(name)
         texts = b["texts"]
-        ids = b.get("ids") or [f"text_{i}" for i in range(len(texts))]
+        # uuid defaults, not text_{i}: a per-request counter collides
+        # with the previous id-less batch and rejects the whole insert
+        ids = b.get("ids") or [uuid.uuid4().hex for _ in texts]
         # same dual spelling as insert_batch: the reference client says
         # "metadata" — dropping it silently loses user data
         metas = b.get("metadata") or b.get("metadatas") or [{}] * len(texts)
+        if len(ids) != len(texts) or len(metas) != len(texts):
+            raise ValueError(
+                f"length mismatch: {len(texts)} texts, {len(ids)} ids, "
+                f"{len(metas)} metadata entries (zip would silently "
+                "drop rows)"
+            )
         vecs = mock_embed_batch(pd.Series(texts), c.config.dimensions)
         rows = [
-            {"id": i, "embedding": v, "_document": t, **(m or {})}
+            # metadata first: a user key named id/embedding/_document
+            # must not clobber the row's identity or vector
+            {**(m or {}), "id": i, "embedding": v, "_document": t}
             for i, v, t, m in zip(ids, list(vecs), texts, metas)
         ]
         from pyspark.sql import functions as F
@@ -415,10 +452,16 @@ class _Handler(BaseHTTPRequestHandler):
         spark = self.db.spark
         nodes_rows = self.server.graph_nodes  # type: ignore[attr-defined]
         edges_rows = self.server.graph_edges  # type: ignore[attr-defined]
+        # snapshot the dicts UNDER the lock: ThreadingHTTPServer runs
+        # writers concurrently and iterating a mutating dict raises
+        # "dictionary changed size during iteration" mid-read
+        with self.lock:
+            node_vals = list(nodes_rows.values())
+            edge_vals = list(edges_rows.values())
         nodes_pdf = pd.DataFrame.from_records(
             [
                 {"id": r["id"], "labels": r["labels"], **r["properties"]}
-                for r in nodes_rows.values()
+                for r in node_vals
             ]
             or [{"id": None, "labels": None}]
         )
@@ -428,7 +471,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "id": r["id"], "src": r["src"], "dst": r["dst"],
                     "type": r["type"], **r["properties"],
                 }
-                for r in edges_rows.values()
+                for r in edge_vals
             ]
             or [{"id": None, "src": None, "dst": None, "type": None}]
         )
@@ -469,10 +512,23 @@ class _Handler(BaseHTTPRequestHandler):
 
         nodes, _ = self._graph_dfs()
         label = self.query.get("label")
-        df = find_nodes(nodes, label=label)
+        # every other query param is a property-equality filter (the
+        # docstring's G5 contract) — ignoring them silently returned
+        # EVERY node for property-filtered queries
+        props = {
+            k: v for k, v in self.query.items()
+            if k not in ("label", "limit", "offset")
+        }
+        unknown = [k for k in props if k not in nodes.columns]
+        if unknown:  # no node carries that property → nothing matches
+            self._send(200, [])
+            return
+        df = find_nodes(nodes, label=label, properties=props or None)
         ids = [r["id"] for r in df.select("id").collect()]
-        store = self.server.graph_nodes  # type: ignore[attr-defined]
-        self._send(200, [store[i] for i in ids])
+        with self.lock:
+            store = self.server.graph_nodes  # type: ignore[attr-defined]
+            out = [store[i] for i in ids if i in store]
+        self._send(200, out)
 
     def delete_node(self, node_id: str):
         nodes = self.server.graph_nodes  # type: ignore[attr-defined]
@@ -519,9 +575,11 @@ class _Handler(BaseHTTPRequestHandler):
     def edges_by_type(self):
         edges = self.server.graph_edges  # type: ignore[attr-defined]
         etype = self.query.get("type")
-        out = [
-            r for r in edges.values() if etype is None or r["type"] == etype
-        ]
+        with self.lock:  # concurrent writers mutate the dict
+            out = [
+                r for r in edges.values()
+                if etype is None or r["type"] == etype
+            ]
         self._send(200, out)
 
     def delete_edge(self, edge_id: str):

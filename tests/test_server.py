@@ -293,3 +293,46 @@ def test_rest_percent_encoded_ids(api):
     assert status == 200
     status, _ = _req(api, "GET", f"/collections/enc/vectors/{quoted}")
     assert status == 404
+
+
+def test_rest_validation_and_clobber_guards(api):
+    # missing required body field → 400 (not 404)
+    status, r = _req(api, "POST", "/collections", {})
+    assert status == 400 and "name" in r["detail"]
+    # unknown collection → 404 still
+    status, _ = _req(api, "GET", "/collections/definitely-missing")
+    assert status == 404
+
+    _req(api, "POST", "/collections", {"name": "guard", "dimensions": 3})
+    # metadata keys named id/embedding must not clobber the row
+    status, r = _req(
+        api, "POST", "/collections/guard/vectors/batch",
+        {"ids": ["real"], "vectors": [[1, 0, 0]],
+         "metadata": [{"id": "evil", "tag": "x"}]},
+    )
+    assert status == 200
+    status, got = _req(api, "GET", "/collections/guard/vectors/real")
+    assert status == 200 and got["metadata"]["tag"] == "x"
+    # mismatched list lengths → 400, nothing silently dropped
+    status, r = _req(
+        api, "POST", "/collections/guard/vectors/batch",
+        {"ids": ["a", "b"], "vectors": [[0, 1, 0]]},
+    )
+    assert status == 400 and "mismatch" in r["detail"]
+    status, n = _req(api, "GET", "/collections/guard")
+    assert n["count"] == 1
+    _req(api, "DELETE", "/collections/guard")
+
+
+def test_rest_find_nodes_property_filter(api):
+    _req(api, "POST", "/graph/nodes",
+         {"id": "pf1", "labels": ["X"], "properties": {"role": "admin"}})
+    _req(api, "POST", "/graph/nodes",
+         {"id": "pf2", "labels": ["X"], "properties": {"role": "user"}})
+    status, out = _req(api, "GET", "/graph/nodes?label=X&role=admin")
+    assert status == 200 and [n["id"] for n in out] == ["pf1"]
+    # unknown property → empty result, not every node
+    status, out = _req(api, "GET", "/graph/nodes?nosuchprop=1")
+    assert status == 200 and out == []
+    _req(api, "DELETE", "/graph/nodes/pf1")
+    _req(api, "DELETE", "/graph/nodes/pf2")
