@@ -361,18 +361,23 @@ class Collection:
         import time
 
         with self._commit_lock():
-            if base is not None:
-                cur = self._current_version()
-                if cur is not None and cur != base:
-                    import shutil
+            cur = self._current_version()
+            # base=None means the commit was built against an EMPTY
+            # collection — a concurrent first insert that already
+            # flipped the pointer is just as much a conflict as a
+            # base mismatch (otherwise the second flip silently drops
+            # the first batch).
+            if cur is not None and cur != base:
+                import shutil
 
-                    shutil.rmtree(
-                        os.path.join(self.path, version), ignore_errors=True
-                    )
-                    raise CommitConflictError(
-                        f"collection advanced from {base} to {cur} while "
-                        f"this {op} was building; re-read and retry"
-                    )
+                shutil.rmtree(
+                    os.path.join(self.path, version), ignore_errors=True
+                )
+                was = base if base is not None else "<empty>"
+                raise CommitConflictError(
+                    f"collection advanced from {was} to {cur} while "
+                    f"this {op} was building; re-read and retry"
+                )
             with open(os.path.join(self.path, _POINTER), "w") as f:
                 f.write(version)
             with open(os.path.join(self.path, "_versions"), "a") as f:
@@ -1345,6 +1350,11 @@ class Collection:
         rows = []
         if cur and os.path.isdir(cur):
             for root, _dirs, fns in os.walk(cur):
+                # metadata dirs (DV kill files, staged stream batches)
+                # are not live data — same exclusion as _has_parquet
+                _dirs[:] = [
+                    d for d in _dirs if d not in ("_dv", "_events_staged")
+                ]
                 seg = os.path.basename(root)
                 bucket = (
                     int(seg.split("=", 1)[1])

@@ -85,7 +85,13 @@ class VectorDBClient:
         except urllib.error.HTTPError as e:
             payload = e.read()
             try:
-                detail = json.loads(payload).get("detail", payload.decode())
+                js = json.loads(payload)
+                # error body may be a bare string/list, not a dict
+                detail = (
+                    js.get("detail", payload.decode())
+                    if isinstance(js, dict)
+                    else str(js)
+                )
             except ValueError:
                 detail = payload.decode(errors="replace")
             return e.code, {"detail": detail}

@@ -279,11 +279,14 @@ def import_reference_collection(
             metadata = json.load(f)
 
     def rows():
+        # metadata first — id/embedding must win over a metadata key
+        # that happens to be named "id"/"embedding" (same rule as
+        # catalog.insert / server.insert_batch)
         for vid, vec in vectors.items():
             yield {
+                **(metadata.get(vid) or {}),
                 "id": str(vid),
                 "embedding": [float(x) for x in vec],
-                **(metadata.get(vid) or {}),
             }
 
     return _ingest_rows(
@@ -335,11 +338,12 @@ def import_reference_binary(
     ids = id_mapping["ids"]  # matrix row i belongs to ids[i]
 
     def rows():
+        # metadata first — id/embedding must win (see note above)
         for i, ext_id in enumerate(ids):
             yield {
+                **(metadata.get(ext_id) or {}),
                 "id": str(ext_id),
                 "embedding": [float(x) for x in mat[i]],
-                **(metadata.get(ext_id) or {}),
             }
 
     return _ingest_rows(

@@ -672,3 +672,55 @@ def test_global_prefix_sum_decimal_column(spark):
                             out_col="run").orderBy("id").collect()
     assert out[0]["run"] == 0.0
     assert out[99]["run"] == float(sum(range(99)))
+
+
+def test_files_excludes_dv_kill_files(spark, tmp_path):
+    """After a delete, DV kill files under _dv/ must not appear in the
+    files() inventory (ADVICE r2: walk prunes metadata dirs)."""
+    import os
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(
+        spark, str(tmp_path / "dvfiles"),
+        CollectionConfig(dimensions=2, n_buckets=4),
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"d{i}", [float(i), 0.0]) for i in range(50)],
+            "id string, embedding array<float>",
+        )
+    )
+    c.delete(ids=[f"d{i}" for i in range(10)])
+    inv = c.files().collect()
+    assert inv and all("_dv" not in r["path"].split(os.sep) for r in inv)
+    # data files still hold all 50 physical rows (kills are logical)
+    assert sum(r["n_rows"] for r in inv) == 50
+    assert all(r["bucket"] >= 0 for r in inv)
+
+
+def test_first_commit_conflict_detected(spark, tmp_path):
+    """Two concurrent FIRST inserts (base=None) must conflict rather
+    than the second silently discarding the first (ADVICE r2)."""
+    import os
+    import pytest
+    from fastpyvectordb_spark.catalog import (
+        Collection, CollectionConfig, CommitConflictError,
+    )
+
+    c = Collection(
+        spark, str(tmp_path / "first"),
+        CollectionConfig(dimensions=2, n_buckets=4),
+    )
+    # writer B lands the true first commit
+    c.insert_batch(
+        spark.createDataFrame(
+            [("b0", [0.0, 1.0])], "id string, embedding array<float>"
+        )
+    )
+    # writer A, built against the EMPTY collection, must now conflict
+    orphan = os.path.join(c.path, "v_orphanfirst0")
+    os.makedirs(orphan)
+    with pytest.raises(CommitConflictError, match="advanced"):
+        c._finish_commit("v_orphanfirst0", "insert", base=None)
+    assert not os.path.exists(orphan)
+    assert c.count() == 1  # B's rows intact

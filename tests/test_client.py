@@ -109,3 +109,24 @@ def test_client_text_and_embedding_extras(client):
     hits = client.search("texts", vec, k=1)
     assert hits[0].id == "t1"
     client.delete_collection("texts")
+
+
+def test_client_non_dict_json_error_body(monkeypatch):
+    """A JSON error body that is a bare string/list (not a dict) must
+    surface as ClientError, not AttributeError (ADVICE r2)."""
+    import io
+    import urllib.error
+    import urllib.request
+
+    def boom(req, timeout=None):
+        raise urllib.error.HTTPError(
+            req.full_url, 422, "Unprocessable", {},
+            io.BytesIO(b'["field x is required"]'),
+        )
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    c = VectorDBClient("http://127.0.0.1:1")
+    with pytest.raises(ClientError) as ei:
+        c.health()
+    assert ei.value.status == 422
+    assert "field x is required" in str(ei.value)

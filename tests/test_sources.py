@@ -167,3 +167,29 @@ def test_import_pyvdb_rejects_bad_magic(vdb, tmp_path):
     p.write_bytes(b"NOTDB" + b"\x00" * 16)
     with pytest.raises(ValueError, match="magic"):
         import_reference_binary(vdb, str(p), name="x")
+
+
+def test_import_metadata_cannot_clobber_id_or_embedding(spark, vdb, tmp_path):
+    """A metadata key literally named 'id' or 'embedding' must not
+    override the row's identity/vector (ADVICE r2: metadata spreads
+    FIRST so the real values win)."""
+    vecs = {"real": np.array([1, 0], dtype=np.float32)}
+    meta = {"real": {"id": "evil", "embedding": [9.0, 9.0], "tag": "t"}}
+    src = tmp_path / "clobber"
+    _write_reference_default_layout(src, vecs, meta)
+    (src / "config.json").write_text(json.dumps({
+        "name": "clobber", "dimensions": 2, "metric": "l2",
+    }))
+    coll = import_reference_collection(vdb, str(src), batch_size=10)
+    rows = coll.get(["real"]).collect()
+    assert len(rows) == 1 and rows[0]["tag"] == "t"
+    assert [round(x) for x in rows[0]["embedding"]] == [1, 0]
+
+    _write_pyvdb_binary(
+        tmp_path / "c.bin", ["real"], [[0.0, 1.0]],
+        {"real": {"id": "evil", "embedding": [9.0, 9.0]}}, dims=2,
+    )
+    coll2 = import_reference_binary(vdb, str(tmp_path / "c.bin"), name="cb")
+    rows2 = coll2.get(["real"]).collect()
+    assert len(rows2) == 1
+    assert [round(x) for x in rows2[0]["embedding"]] == [0, 1]
