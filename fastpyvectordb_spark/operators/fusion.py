@@ -178,45 +178,48 @@ def hybrid_search_local(
         d.shape[0]
     )
     sel = part[np.lexsort((vec_packed.ids[part], d[part]))]
-    max_dist = d[sel].max() if len(sel) else 0.0
-    vec_scores = {
-        int(i): (1.0 - dv / max_dist) if max_dist > 0 else 1.0
-        for i, dv in zip(vec_packed.ids[sel], d[sel])
-    }
+    vids = np.asarray(vec_packed.ids[sel], dtype=np.int64)
+    dsel = d[sel]
+    max_dist = dsel[-1] if len(sel) else 0.0  # sel is dist-ascending
+    v = 1.0 - dsel / max_dist if max_dist > 0 else np.ones_like(dsel)
 
     if not query_text:
         # H4 fallback: pure vector, score == vector_score (unweighted)
-        out = [
-            (doc_id, round(v, ROUND), round(v, ROUND), 0.0)
-            for doc_id, v in vec_scores.items()
+        vr = np.round(v, ROUND)
+        order = np.lexsort((vids, -vr))[:k]
+        return [
+            (int(vids[i]), float(vr[i]), float(vr[i]), 0.0) for i in order
         ]
-        out.sort(key=lambda r: (-r[1], r[0]))
-        return out[:k]
 
-    kw_scores = {}
-    if query_text:
-        top = bm25_packed.search(query_text, k=fetch_k)
-        if top:
-            max_score = max(s for _, s in top)
-            kw_scores = {
-                i: (s / max_score if max_score > 0 else 0.0) for i, s in top
-            }
-
-    fused = [
-        (
-            doc_id,
-            round(
-                alpha * vec_scores.get(doc_id, 0.0)
-                + (1 - alpha) * kw_scores.get(doc_id, 0.0),
-                ROUND,
-            ),
-            round(vec_scores.get(doc_id, 0.0), ROUND),
-            round(kw_scores.get(doc_id, 0.0), ROUND),
+    top = bm25_packed.search(query_text, k=fetch_k)
+    if top:
+        kw_ids = np.fromiter(
+            (t[0] for t in top), dtype=np.int64, count=len(top)
         )
-        for doc_id in set(vec_scores) | set(kw_scores)
+        kw_raw = np.fromiter(
+            (t[1] for t in top), dtype=np.float64, count=len(top)
+        )
+        mx = kw_raw.max()
+        kw = kw_raw / mx if mx > 0 else np.zeros_like(kw_raw)
+    else:
+        kw_ids = np.empty(0, dtype=np.int64)
+        kw = np.empty(0, dtype=np.float64)
+
+    # candidate union + missing-side-0, all vectorized: scatter each
+    # side's scores onto the unique-id axis
+    uniq, inv = np.unique(np.concatenate([vids, kw_ids]), return_inverse=True)
+    vv = np.zeros(len(uniq))
+    vv[inv[: len(vids)]] = v
+    kk_s = np.zeros(len(uniq))
+    kk_s[inv[len(vids):]] = kw
+    score = np.round(alpha * vv + (1 - alpha) * kk_s, ROUND)
+    vr = np.round(vv, ROUND)
+    kr = np.round(kk_s, ROUND)
+    order = np.lexsort((uniq, -score))[:k]
+    return [
+        (int(uniq[i]), float(score[i]), float(vr[i]), float(kr[i]))
+        for i in order
     ]
-    fused.sort(key=lambda r: (-r[1], r[0]))
-    return fused[:k]
 
 
 def hybrid_search_batch(
