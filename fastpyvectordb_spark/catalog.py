@@ -540,13 +540,22 @@ class Collection:
         if batch is not None:
             batch = batch.withColumn("_seq", F.lit(seq).cast("long"))
             # small appends don't need a cluster-wide shuffle: one task
-            # writes all its bucket files (partitionBy splits them)
-            tasks = self.config.n_buckets
+            # writes all its bucket files (partitionBy splits them).
+            # When the caller didn't size the batch (upsert skips the
+            # count job), hash-partition WITHOUT a fixed task count and
+            # let AQE coalesce — a 1k-row upsert collapses to one write
+            # task (one python worker, one kill file) instead of
+            # n_buckets, while a 10M-row one still fans out. AQE merges
+            # whole hash partitions, so the task-local dup check in
+            # _wrap_side_effects stays a complete global check.
+            out = batch.withColumn("_bucket", self._bucket())
             if n_rows is not None:
-                tasks = max(1, min(tasks, n_rows // 50_000 or 1))
-            out = batch.withColumn("_bucket", self._bucket()).repartition(
-                tasks, "_bucket"
-            )
+                tasks = max(
+                    1, min(self.config.n_buckets, n_rows // 50_000 or 1)
+                )
+                out = out.repartition(tasks, "_bucket")
+            else:
+                out = out.repartition("_bucket")
             obs = None
             if kill_event is not None:
                 # fuse kills + CDC events + dim validation into the
