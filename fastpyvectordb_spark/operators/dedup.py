@@ -198,6 +198,64 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    sh: DataFrame, min_jaccard: float = 0.5, round_digits: int = 6
+) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (AllPairs / PPJoin,
+    Bayardo et al. WWW'07; Xiao et al. WWW'08) — identical output to
+    :func:`jaccard_pairs`, scale-safe plan.
+
+    Order every doc's shingles by a global total order (document
+    frequency ascending, then hash). For Jaccard ≥ t, a pair must share
+    a shingle inside both docs' *prefixes* of length
+    ``|d| − ⌈t·|d|⌉ + 1`` — so only prefixes are self-joined. The
+    hot-shingle quadratic key that makes the plain inverted-index join
+    (`jaccard_pairs`) explode is gone by construction: a high-df
+    shingle sorts to the END of every doc's ordering and lands in
+    almost no prefixes, while the rare shingles that do index have
+    df² ≈ 1. Verification runs on candidate pairs only
+    (:func:`jaccard_for_pairs`), so total cost is
+    Σ_shingle df_prefix² + |candidates|·shingles-per-doc — never N².
+
+    The shingle table feeds four consumers (df, ranking, prefix join,
+    verify) — materialized once in-session; at 100 TB it is a persisted
+    derived table.
+    """
+    from pyspark.sql import Window
+
+    t = min_jaccard
+    sh = sh.localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_tab = sh.groupBy("sh", "sh2").agg(F.count("*").alias("df"))
+    # prefix length |d| − ⌈t·|d|⌉ + 1; the 1e-9 slack keeps float
+    # rounding from SHORTENING the prefix (longer = still exact)
+    plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+    ranked = (
+        sh.join(df_tab, ["sh", "sh2"])
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh", "sh2")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(F.col("pos") <= plen).select("doc_id", "sh", "sh2")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.sh2") == F.col("b.sh2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_for_pairs(sh, cands, t, round_digits)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -437,16 +495,17 @@ def simhash_near_pairs(
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_neardup_topk(
+def embedding_neardup_topk_bruteforce(
     emb: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
 ) -> DataFrame:
-    """Top-k most-similar distinct pairs by cosine similarity
-    (brute-force self-join baseline; the scale path buckets by LSH /
-    IVF first — see ann/). Returns (id_a, id_b, cos_sim) desc."""
+    """Top-k most-similar distinct pairs by cosine similarity via the
+    O(N²) theta self-join. SMALL-N ORACLE TWIN ONLY — the default
+    :func:`embedding_neardup_topk` returns the identical result through
+    cluster-bound pruning with equi-join shapes."""
     from fastpyvectordb_spark.functions.distances import cosine_similarity
 
     a = emb.select(
@@ -467,6 +526,223 @@ def embedding_neardup_topk(
         .orderBy(F.desc("cos_sim"), "id_a", "id_b")
         .limit(k)
     )
+
+
+def _centroid_rows(
+    emb: DataFrame,
+    n_clusters: int,
+    id_col: str,
+    vec_col: str,
+    centroids: str,
+    seed: int,
+    kmeans_max_iter: int,
+):
+    """→ list of (cid, unit-centroid numpy vector). ``centroids`` picks
+    the trainer: ``"kmeans"`` = MLlib KMeans on the unit sphere (the
+    quality path — tight clusters → tight radii → real pruning);
+    ``"seed"`` = the ``n_clusters`` lowest-id vectors (deterministic,
+    zero-train — pruning degrades gracefully, exactness never does)."""
+    import numpy as np
+
+    if centroids == "seed":
+        rows = (
+            emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+            .orderBy("i")
+            .limit(n_clusters)
+            .collect()
+        )
+        mats = [np.asarray(r["v"], dtype=np.float64) for r in rows]
+    elif centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        from fastpyvectordb_spark.functions.distances import EPS, norm
+
+        vn = F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double") / (norm(F.col(vec_col)) + F.lit(EPS)),
+        )
+        feats = emb.select(array_to_vector(vn).alias("_features"))
+        model = KMeans(
+            k=n_clusters, seed=seed, maxIter=kmeans_max_iter,
+            featuresCol="_features",
+        ).fit(feats)
+        mats = [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    else:
+        raise ValueError(f"centroids must be 'kmeans' or 'seed': {centroids!r}")
+    out = []
+    for i, c in enumerate(mats):
+        n = float(np.linalg.norm(c))
+        if n > 0:
+            out.append((i, c / n))
+    return out
+
+
+def embedding_neardup_topk(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    n_clusters: int = 16,
+    centroids: str = "seed",
+    seed: int = 42,
+    kmeans_max_iter: int = 10,
+    margin: float = 1e-4,
+    _stats_out: dict | None = None,
+) -> DataFrame:
+    """EXACT top-k most-similar distinct pairs by cosine similarity —
+    cluster-bound pruning, equi-join plan (no theta self-join on the
+    corpus).
+
+    Algorithm (ball-tree / Elkan-style angular bounds):
+
+    1. Bucket every vector to one of ``n_clusters`` centroids; record
+       each vector's angle to its own unit centroid and each cluster's
+       max angle (radius ``r_i``).
+    2. Seed λ = the kth-best WITHIN-cluster pair similarity (one
+       equi-join on cluster id — the quadratic work is bounded by
+       cluster size, never corpus size).
+    3. For cluster pair (i, j): every cross pair obeys
+       ``cos(a,b) ≤ cos(max(0, θ(c_i,c_j) − r_i − r_j))`` (angular
+       triangle inequality). Prune pairs whose upper bound < λ −
+       ``margin`` — the margin absorbs float/rounding slack so a pruned
+       pair can never re-enter the top-k even on a rounded tie.
+    4. Exact cosine + global top-k over the surviving blocks only.
+
+    Surviving blocks join through a broadcast (cluster_i, cluster_j,
+    pair_id) table → equi-join on pair_id: one shuffle whose keys ARE
+    the surviving blocks, so the work is Σ_surviving |C_i|·|C_j|. On a
+    clustered corpus (real near-dup data) that is a small fraction of
+    N²; on adversarially uniform data no exact algorithm beats N², but
+    the plan is still shuffle-bounded equi-joins — never a cartesian.
+    Result is bit-identical to :func:`embedding_neardup_topk_bruteforce`
+    by construction (pruning only discards pairs provably below the
+    kth-best), which the parity tests pin.
+
+    ``n_clusters`` scales like √N (driver holds K² bound rows only;
+    all collects here are K-row or k-row — bounded)."""
+    import math
+
+    import numpy as np
+
+    from fastpyvectordb_spark.functions.distances import cosine_similarity
+
+    cents = _centroid_rows(
+        emb, n_clusters, id_col, vec_col, centroids, seed, kmeans_max_iter
+    )
+    if not cents:  # empty corpus (or all-zero seed vectors)
+        return embedding_neardup_topk_bruteforce(
+            emb, k, id_col, vec_col, round_digits
+        )
+    base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # nearest-centroid assignment + angle to own centroid, one codegen
+    # pass: greatest cos(v, c_i) via a literal-centroid dot product per
+    # centroid (centroids are driver constants — no join, no shuffle)
+    from fastpyvectordb_spark.functions.distances import EPS, dot, norm
+
+    def _cos_to(c: "np.ndarray") -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return dot(F.col("_v"), lit) / (norm(F.col("_v")) + F.lit(EPS))
+
+    # argmax over centroids as ONE array_max of (cos, −cid) structs —
+    # linear expression size (a nested when-chain would duplicate every
+    # branch's subtree per centroid: exponential blowup, JVM OOM at
+    # analysis). Lexicographic struct-max = max cos, ties → lower cid.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _cos_to(c).alias("cos"), F.lit(-cid).alias("ncid")
+                )
+                for cid, c in cents
+            ]
+        )
+    )
+    assigned = (
+        base.select("_id", "_v", best.alias("_m"))
+        .select(
+            "_id",
+            "_v",
+            (-F.col("_m.ncid")).alias("_cid"),
+            F.acos(
+                F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.col("_m.cos")))
+            ).alias("_theta"),
+        )
+        .localCheckpoint()
+    )
+
+    radii = {
+        r["_cid"]: r["r"]
+        for r in assigned.groupBy("_cid").agg(F.max("_theta").alias("r")).collect()
+    }
+
+    sim = F.round(
+        cosine_similarity(F.col("a._v"), F.col("b._v")), round_digits
+    ).alias("cos_sim")
+    within = (
+        assigned.alias("a")
+        .join(
+            # shuffle-hash, not sort-merge: the key is n_clusters-ary;
+            # per-key build side is one cluster (bounded by the
+            # n_clusters ~ √N sizing), and sorting buys nothing
+            assigned.alias("b").hint("shuffle_hash"),
+            (F.col("a._cid") == F.col("b._cid"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), sim)
+    )
+    seed_rows = (
+        within.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k).collect()
+    )
+    lam = seed_rows[-1]["cos_sim"] if len(seed_rows) == k else -2.0
+
+    unit = {cid: c for cid, c in cents}
+    keep: list[tuple[int, int, int]] = []  # (pair_id, ci, cj)
+    pid = 0
+    cids = sorted(radii)
+    for ii, ci in enumerate(cids):
+        for cj in cids[ii:]:
+            if ci == cj:
+                keep.append((pid, ci, cj))
+                pid += 1
+                continue
+            cosc = float(np.dot(unit[ci], unit[cj]))
+            theta = math.acos(max(-1.0, min(1.0, cosc)))
+            ub = math.cos(max(0.0, theta - radii[ci] - radii[cj]))
+            if ub >= lam - margin:
+                keep.append((pid, ci, cj))
+                pid += 1
+    if _stats_out is not None:  # test/diagnostic hook: pruning efficacy
+        nc = len(cids)
+        _stats_out["kept_blocks"] = len(keep)
+        _stats_out["total_blocks"] = nc * (nc + 1) // 2
+    spark = emb.sparkSession
+    pairs_tab = F.broadcast(
+        spark.createDataFrame(keep, "pair_id INT, ci INT, cj INT")
+    )
+    left = assigned.join(pairs_tab, assigned["_cid"] == pairs_tab["ci"]).select(
+        "pair_id", F.col("_id").alias("xa"), F.col("_v").alias("va"),
+        F.col("ci").alias("ca"), F.col("cj").alias("ca_j"),
+    )
+    right = assigned.join(
+        F.broadcast(spark.createDataFrame(keep, "pair_id INT, ci INT, cj INT")),
+        assigned["_cid"] == F.col("cj"),
+    ).select("pair_id", F.col("_id").alias("xb"), F.col("_v").alias("vb"))
+    cand = (
+        left.join(right.hint("shuffle_hash"), "pair_id")
+        # same-cluster blocks order by id; cross blocks are already
+        # unique per unordered pair (each vector lives in ONE cluster)
+        .filter((F.col("ca") != F.col("ca_j")) | (F.col("xa") < F.col("xb")))
+    )
+    out = cand.select(
+        F.least("xa", "xb").alias("id_a"),
+        F.greatest("xa", "xb").alias("id_b"),
+        F.round(
+            cosine_similarity(F.col("va"), F.col("vb")), round_digits
+        ).alias("cos_sim"),
+    )
+    return out.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
 
 
 def duplicate_clusters(

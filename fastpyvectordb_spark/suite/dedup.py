@@ -170,9 +170,13 @@ ORDER BY id_a, id_b
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via AllPairs/PPJoin prefix filtering
+    (scale-safe: hot shingles never enter the prefix self-join). Oracle
+    is the full inverted-index join — identical output by the prefix
+    lemma."""
     corpus = _near_corpus(spark, sf_dir)
     sh = D.shingles(corpus)
-    return D.jaccard_pairs(sh, min_jaccard=0.3).orderBy("id_a", "id_b")
+    return D.jaccard_pairs_prefix(sh, min_jaccard=0.3).orderBy("id_a", "id_b")
 
 
 # simhash oracle: brute-force pair compare (equivalent to the pigeonhole
@@ -226,8 +230,11 @@ LIMIT 10
 """,
 )
 def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine pairs via cluster-bound pruning (equi-join
+    plan, no theta self-join on the corpus); oracle is the brute-force
+    SQL twin — identical output by the angular-bound argument."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_topk(emb, k=10)
+    return D.embedding_neardup_topk(emb, k=10, centroids="seed")
 
 
 # Connected components over near-dup pairs: cluster_id = min member.
@@ -272,7 +279,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     real pipeline makes: one canonical doc per component."""
     corpus = _near_corpus(spark, sf_dir)
     sh = D.shingles(corpus)
-    pairs = D.jaccard_pairs(sh, min_jaccard=0.3)
+    pairs = D.jaccard_pairs_prefix(sh, min_jaccard=0.3)
     return D.duplicate_clusters(pairs).orderBy("doc_id")
 
 

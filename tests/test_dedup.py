@@ -365,3 +365,104 @@ def test_simhash_chunks_exact_beyond_53_bits(spark):
     )
     pairs = simhash_near_pairs(fps, max_hamming=2, n_bits=61).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Round 4: scale-safe defaults — prefix-filtered Jaccard and
+# cluster-bound-pruned embedding top-k must EQUAL their brute-force twins.
+# ---------------------------------------------------------------------------
+
+
+def _rand_corpus(spark, n_docs=60, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(n_docs):
+        words = [rng.choice(vocab) for _ in range(rng.randint(5, 30))]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.4:  # truncated near-dup
+            cut = max(3, int(len(words) * rng.uniform(0.5, 0.9)))
+            rows.append((i + 100000, " ".join(words[:cut])))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.mark.parametrize("t", [0.3, 0.5, 0.7])
+def test_jaccard_prefix_equals_bruteforce(spark, t):
+    sh = D.shingles(_rand_corpus(spark), n=2)
+    full = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.jaccard_pairs(sh, min_jaccard=t).collect()
+    )
+    pref = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.jaccard_pairs_prefix(sh, min_jaccard=t).collect()
+    )
+    assert full == pref and len(full) > 0
+
+
+def _rand_embeddings(spark, n=120, dims=8, seed=3, clustered=False):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    if clustered:
+        centers = [
+            [rng.uniform(-1, 1) for _ in range(dims)] for _ in range(5)
+        ]
+        for i in range(n):
+            c = centers[i % 5]
+            rows.append(
+                (i, [x + rng.uniform(-0.05, 0.05) for x in c])
+            )
+    else:
+        for i in range(n):
+            rows.append((i, [rng.uniform(-1, 1) for _ in range(dims)]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+@pytest.mark.parametrize("centroids", ["seed", "kmeans"])
+def test_embedding_topk_pruned_equals_bruteforce(spark, centroids):
+    emb = _rand_embeddings(spark, clustered=False)
+    brute = [
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_topk_bruteforce(emb, k=15).collect()
+    ]
+    fast = [
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_topk(
+            emb, k=15, n_clusters=6, centroids=centroids
+        ).collect()
+    ]
+    assert brute == fast
+
+
+def test_embedding_topk_pruned_clustered_parity_and_prunes(spark):
+    """On clustered data (the real near-dup shape) the bound must
+    actually discard cross-cluster blocks, and the result must still be
+    bit-identical to brute force."""
+    emb = _rand_embeddings(spark, n=150, clustered=True, seed=11)
+    brute = [
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_topk_bruteforce(emb, k=10).collect()
+    ]
+    stats: dict = {}
+    fast = [
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_topk(
+            emb, k=10, n_clusters=5, centroids="kmeans", _stats_out=stats
+        ).collect()
+    ]
+    assert brute == fast
+    assert stats["kept_blocks"] < stats["total_blocks"]
+
+
+def test_embedding_topk_pruned_empty_and_tiny(spark):
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert D.embedding_neardup_topk(empty, k=5).count() == 0
+    two = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id bigint, embedding array<float>"
+    )
+    rows = D.embedding_neardup_topk(two, k=5, n_clusters=4).collect()
+    assert len(rows) == 1 and rows[0]["id_a"] == 1 and rows[0]["id_b"] == 2
