@@ -724,3 +724,54 @@ def test_first_commit_conflict_detected(spark, tmp_path):
         c._finish_commit("v_orphanfirst0", "insert", base=None)
     assert not os.path.exists(orphan)
     assert c.count() == 1  # B's rows intact
+
+
+def test_upsert_local_fast_path_full_contract(spark, db, monkeypatch):
+    """Round-4 driver-local small-upsert path: zero distributed write
+    jobs, but the full commit contract must hold — kills suppress old
+    rows, new rows read back, time travel sees the old snapshot, CDC
+    events publish, and the distributed path still engages above the
+    threshold."""
+    import os
+
+    import fastpyvectordb_spark.catalog as cat
+
+    c = db.create_collection("local_up", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(6)))
+    v_before = c._current_version()
+
+    n = c.upsert(_batch(spark, [("v1", [9.0] * 4, "Z"), ("vnew", [7.0] * 4, "Z")]))
+    assert n == 2
+    assert c.count() == 7
+    got = {r["id"]: r for r in c.df().collect()}
+    assert [round(x) for x in got["v1"]["embedding"]] == [9, 9, 9, 9]
+    assert got["v1"]["category"] == "Z"
+    # time travel: pre-upsert snapshot unchanged
+    old = {r["id"]: r for r in c.df(version=v_before).collect()}
+    assert [round(x) for x in old["v1"]["embedding"]] == [1, 1, 1, 1]
+    # DV kill file + published CDC events exist
+    cur = c._data_path()
+    assert any(f.startswith("kills_") for f in os.listdir(os.path.join(cur, "_dv")))
+    ev = os.path.join(c.path, "_events")
+    assert any(f.endswith(".parquet") for f in os.listdir(ev))
+    # error surface identical to the distributed path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate id in upsert batch"):
+        c.upsert(_batch(spark, [("d1", [1.0] * 4, "A"), ("d1", [2.0] * 4, "A")]))
+    with _pytest.raises(ValueError, match="dimension mismatch"):
+        c.upsert(_batch(spark, [("bad", [1.0] * 3, "A")]))
+    assert c.count() == 7  # failed upserts committed nothing
+    # above-threshold batches take the distributed path
+    monkeypatch.setattr(cat, "_LOCAL_DML_MAX_ROWS", 3)
+    called = {}
+    orig = cat.Collection._commit_append
+
+    def spy(self, *a, **kw):
+        called["distributed"] = True
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(cat.Collection, "_commit_append", spy)
+    assert c.upsert(_batch(spark, _vecs(5, offset=40))) == 5
+    assert called.get("distributed")
+    assert c.count() == 7  # v0..v4 existed already (overwritten), +0 new
