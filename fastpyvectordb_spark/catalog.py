@@ -1711,6 +1711,108 @@ class Collection:
             pre_filter=pre, id_col="id", vec_col="embedding",
         )
 
+    # floats (n·dims) at/below this pack locally for serving — same
+    # driver-memory regime as ann.ivf.LOCAL_PACK_THRESHOLD
+    SERVING_PACK_MAX_FLOATS = 20_000_000
+
+    def pack_serving(self):
+        """Driver-resident serving pack for single-query search: the
+        collection's live rows collected ONCE per committed version
+        (Arrow) into a contiguous float32 matrix + precomputed norms +
+        an id→row index for metadata enrichment. Re-validated against
+        the version pointer on every call — any commit invalidates it.
+
+        Returns None (and caches the refusal for the version) when the
+        collection exceeds ``SERVING_PACK_MAX_FLOATS`` — callers then
+        stay on the distributed plan. This is the architecture note the
+        bench rows document: per-query distributed jobs pay Spark's
+        ~0.3 s scheduling floor, so interactive serving routes through
+        this twin (the reference's always-in-RAM regime,
+        vectordb_optimized.py:271-280) while batch/filtered search
+        stays distributed."""
+        import numpy as np
+
+        ver = self._current_version()
+        cached = getattr(self, "_serving_pack", None)
+        if cached is not None and cached[0] == ver:
+            return cached[1]
+        if ver is None:
+            return None
+        n = self.count()
+        if n * self.config.dimensions > self.SERVING_PACK_MAX_FLOATS:
+            self._serving_pack = (ver, None)
+            return None
+        tbl = self.df().toArrow()
+        ids = np.asarray(tbl["id"].to_pylist(), dtype=object)
+        emb = tbl["embedding"].combine_chunks()
+        vmat = (
+            np.asarray(emb.flatten(), dtype=np.float32).reshape(len(ids), -1)
+            if len(ids)
+            else np.zeros((0, self.config.dimensions), dtype=np.float32)
+        )
+        order = np.argsort(ids)  # id-ascending: stable tie resolution
+        ids = ids[order]
+        vmat = np.ascontiguousarray(vmat[order])
+        sqnorms = np.einsum("ij,ij->i", vmat, vmat)
+        pack = {
+            "ids": ids,
+            "vmat": vmat,
+            "sqnorms": sqnorms,
+            "norms": np.sqrt(sqnorms).astype(np.float32) + np.float32(1e-10),
+            "rows": {
+                rid: i for i, rid in enumerate(ids)
+            },
+            "tbl": tbl.take(order),
+        }
+        self._serving_pack = (ver, pack)
+        return pack
+
+    def search_local(
+        self, query_vec: Sequence[float], k: int = 10
+    ) -> list[tuple[str, float]] | None:
+        """Zero-job exact single-query search over :meth:`pack_serving`
+        (None when the pack is unavailable — caller falls back to the
+        distributed :meth:`search`). Same scoring as the distributed
+        operator: metric distance, ROUND 6, ties by id ascending."""
+        import numpy as np
+
+        if len(query_vec) != self.config.dimensions:
+            raise ValueError(
+                f"query dimension {len(query_vec)} != {self.config.dimensions}"
+            )
+        pack = self.pack_serving()
+        if pack is None:
+            return None
+        vmat = pack["vmat"]
+        if vmat.shape[0] == 0:
+            return []
+        metric = self.config.metric
+        eps = 1e-10
+        q = np.asarray(list(query_vec), dtype=np.float32)
+        if metric == "cosine":
+            qn = q / (np.linalg.norm(q) + eps)
+            d = 1.0 - (vmat @ qn) / pack["norms"]
+        elif metric == "l2":
+            d = pack["sqnorms"] - 2.0 * (vmat @ q) + np.float32(q @ q)
+            d = np.sqrt(np.maximum(d, 0.0))
+        else:  # ip
+            d = -(vmat @ q)
+        cand = min(max(4 * k, 64), d.shape[0])
+        p = np.argpartition(d, cand - 1)[:cand]
+        if metric == "l2":
+            # recompute candidates in float64: the fp32 dot expansion
+            # loses ~1e-3 absolute near zero (cancellation)
+            diff = vmat[p].astype(np.float64) - q.astype(np.float64)
+            d = d.astype(np.float64)
+            d[p] = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+        kk = min(k, d.shape[0])
+        dr = np.round(d[p].astype(np.float64), 6)
+        order = np.lexsort((pack["ids"][p], dr))[:kk]
+        sel = p[order]
+        return [
+            (str(i), float(v)) for i, v in zip(pack["ids"][sel], dr[order])
+        ]
+
     def search_batch(
         self,
         query_vecs: Sequence[Sequence[float]],
@@ -1749,6 +1851,14 @@ class VectorDB:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # Collection handles are cached per (name, config mtime): the
+        # handle carries warm per-version state (schema cache, serving
+        # pack), and constructing a fresh one per call — the REST
+        # server's request pattern — would rebuild that state on every
+        # request. Data staleness is impossible (handles re-read the
+        # version pointer per operation); a delete+recreate writes a
+        # new config.json, whose mtime_ns misses the cache.
+        self._handles: dict[str, tuple[int, Collection]] = {}
         os.makedirs(path, exist_ok=True)
 
     def _cpath(self, name: str) -> str:
@@ -1777,10 +1887,18 @@ class VectorDB:
     def get_collection(self, name: str) -> Collection:
         p = self._cpath(name)
         cfg = os.path.join(p, "config.json")
-        if not os.path.exists(cfg):
-            raise KeyError(f"no such collection {name!r}")
+        try:
+            mtime = os.stat(cfg).st_mtime_ns
+        except FileNotFoundError:
+            self._handles.pop(name, None)
+            raise KeyError(f"no such collection {name!r}") from None
+        cached = self._handles.get(name)
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
         with open(cfg) as f:
-            return Collection(self.spark, p, CollectionConfig.from_json(f.read()))
+            col = Collection(self.spark, p, CollectionConfig.from_json(f.read()))
+        self._handles[name] = (mtime, col)
+        return col
 
     def get_or_create_collection(
         self, name: str, dimensions: int, metric: str = "cosine"
@@ -1800,6 +1918,7 @@ class VectorDB:
     def delete_collection(self, name: str) -> None:
         import shutil
 
+        self._handles.pop(name, None)
         p = self._cpath(name)
         if os.path.exists(p):
             shutil.rmtree(p)

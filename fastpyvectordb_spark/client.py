@@ -87,10 +87,13 @@ class VectorDBClient:
             try:
                 js = json.loads(payload)
                 # error body may be a bare string/list, not a dict
+                # json.dumps, not str(): a bare-list/string error body
+                # must surface as the server's JSON text, not a Python
+                # repr with single quotes
                 detail = (
                     js.get("detail", payload.decode())
                     if isinstance(js, dict)
-                    else str(js)
+                    else json.dumps(js)
                 )
             except ValueError:
                 detail = payload.decode(errors="replace")

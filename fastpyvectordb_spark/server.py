@@ -294,6 +294,38 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, {"deleted": vec_id, "success": True})
 
     def _run_search(self, c, vector, k, where, include_vectors):
+        # Unfiltered single-query search serves from the driver-resident
+        # pack (Collection.search_local): zero Spark jobs per request —
+        # the interactive-serving regime where per-query distributed
+        # jobs would pay the ~0.3 s scheduling floor. Metadata/vector
+        # enrichment reads the SAME pack. Filtered queries (pre-filter
+        # needs the metadata predicate pushed into the scan) and
+        # over-threshold collections stay on the distributed plan.
+        if where is None:
+            hits = c.search_local(vector, k=k)
+            if hits is not None:
+                pack = c.pack_serving()
+                tbl, idx = pack["tbl"], pack["rows"]
+                out = []
+                for rid, dist in hits:
+                    row = tbl.slice(idx[rid], 1).to_pylist()[0]
+                    out.append(
+                        {
+                            "id": rid,
+                            "score": float(dist),
+                            "metadata": _meta(row),
+                            **(
+                                {
+                                    "vector": [
+                                        float(x) for x in row["embedding"]
+                                    ]
+                                }
+                                if include_vectors
+                                else {}
+                            ),
+                        }
+                    )
+                return out
         # the kNN plan prunes to (id, dist) — the right scan shape; the
         # response's metadata/vector enrichment is a k-row lookup by id
         # afterwards (reference server.py:374-390 returns metadata per

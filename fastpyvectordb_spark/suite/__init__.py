@@ -33,50 +33,67 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver samples a capped prefix of this list each round, so lead
-# with the names that have never received a driver-green row. Rounds
-# 1+2 together verified 100 of 122 queries; the 22 below are the
-# remainder (all pass the identical oracle gate via tools/selfcheck.py,
-# VERDICT r2). Already-verified names follow so a deep sample re-checks
-# them for regressions.
+# The driver samples a capped prefix of this list each round. All 122
+# queries have at least one driver-green row (r1∪r2∪r3), so ordering is
+# now STALENESS-based (VERDICT r3 item #6): round-4 code changes first,
+# then the queries whose green row is oldest — every query re-checks
+# within ~2.5 rounds.
 _PRIORITY = [
-    # never driver-checked (selfcheck-green, VERDICT r2 item #1)
+    # round-4 code changes first (new plan shapes need fresh green rows)
+    "dedup_embedding_topk", "dedup_ngram_jaccard", "dedup_clusters",
+    # stalest green rows next: last driver-verified in ROUND 1
+    "agg_count_by_source", "agg_embedding_dim_stats",
+    "agg_lang_source_matrix", "agg_pricing_summary", "agg_revenue_by_nation",
+    "agg_rollup_suppliers", "agg_top_customers_by_orders",
+    "agg_top_orders_by_revenue", "bm25_search", "bm25_search_batch",
+    "bq_hamming_knn", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "graph_bfs_levels", "graph_degree_topk", "graph_find_nodes",
+    "graph_hyperedge_membership", "graph_neighbors",
+    "graph_part_copurchase_topk", "graph_shortest_path", "graph_stats",
+    "graph_traverse", "gv_semantic_expansion", "gv_traverse_rerank",
+    "hybrid_search_alpha05", "hybrid_search_alpha08", "hybrid_search_batch",
+    "knn_batch", "knn_cosine", "knn_filtered", "knn_ip", "knn_l2",
+    "pipeline_clean_corpus", "pipeline_split_counts", "pq_adc_knn",
+    "sq_knn_cosine", "sq_knn_ip", "sq_knn_l2", "sq_train_stats",
+    "text_corpus_stats", "text_fingerprint", "text_lang_id",
+    "text_postings_top_terms", "text_quality", "text_scrub_audit",
+    "text_token_counts",
+    # last verified round 2
+    "agg_order_trend_pivot", "codec_int8_roundtrip_error",
+    "dedup_decontaminate", "events_replay_last10", "events_sessionize",
+    "events_subscription_filter", "events_user_outlier_counts",
+    "events_value_percentiles", "events_window_hourly",
+    "join_shipping_priority_q3", "media_audio_chunks", "media_features",
+    "media_frame_sample", "media_manifest", "pipeline_stratified_counts",
+    "pipeline_token_budget", "text_repetition_filter",
+    # rows-only ANN checks (no oracle by design; recall-gated in pytest)
+    "ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn", "ann_partitioned_knn",
+    "ann_nsw_knn",
+    # last verified round 3 (freshest)
     "agg_cube_status_priority", "agg_cust_order_distribution",
-    "agg_forecast_revenue", "agg_grouping_sets_orders",
-    "agg_large_orders", "agg_late_ship_priority",
+    "agg_disjunctive_parts_q19", "agg_forecast_revenue",
+    "agg_grouping_sets_orders", "agg_important_parts_q11", "agg_large_orders",
+    "agg_late_ship_priority", "agg_nation_market_share",
     "agg_priority_class_by_linestatus", "agg_priority_line_counts",
-    "agg_promo_revenue_ratio", "agg_returned_item_ranking",
-    "agg_rollup_nation_year", "cypher_match_where", "cypher_node_props",
-    "events_gap_percentiles", "join_asof_error_click",
-    "join_orders_above_cust_avg", "join_range_click_burst",
+    "agg_product_profit_q9", "agg_promo_revenue_ratio",
+    "agg_returned_item_ranking", "agg_rollup_nation_year",
+    "agg_supplier_part_counts_q16", "cluster_centroid_profile",
+    "cypher_match_where", "cypher_nation_customer_counts",
+    "cypher_node_props", "cypher_region_chain_counts",
+    "dedup_substring_spans", "events_conversion_funnel",
+    "events_gap_percentiles", "events_ohlc_hourly",
+    "events_retention_cohorts", "events_transition_bigrams",
+    "graph_pagerank_top20", "graph_triangles_topk", "join_asof_error_click",
+    "join_local_supplier_volume", "join_min_cost_supplier_q2",
+    "join_orders_above_cust_avg", "join_promotion_suppliers_q20",
+    "join_range_click_burst", "join_sales_opportunity",
     "join_salted_customer_nation", "join_semi_anti_segments",
-    "page_customers", "setops_customer_activity",
+    "join_small_qty_orders_q17", "join_top_supplier_q15",
+    "join_volume_shipping_q7", "join_waiting_suppliers_q21", "page_customers",
+    "pipeline_chunk_documents", "pipeline_filter_funnel",
+    "pipeline_pack_sequences", "setops_customer_activity",
+    "text_moore_lewis_selection", "text_word_entropy",
     "window_running_revenue",
-    # driver-green in r2 (re-check order: cheapest/most load-bearing first)
-    "join_min_cost_supplier_q2", "agg_product_profit_q9",
-    "agg_important_parts_q11", "agg_supplier_part_counts_q16",
-    "join_promotion_suppliers_q20", "join_waiting_suppliers_q21",
-    "dedup_substring_spans", "text_word_entropy",
-    "cluster_centroid_profile", "join_local_supplier_volume",
-    "agg_nation_market_share", "join_sales_opportunity",
-    "graph_triangles_topk", "graph_pagerank_top20",
-    "text_moore_lewis_selection", "cypher_nation_customer_counts",
-    "join_volume_shipping_q7", "join_top_supplier_q15",
-    "join_small_qty_orders_q17", "agg_disjunctive_parts_q19",
-    "pipeline_pack_sequences", "pipeline_filter_funnel",
-    "cypher_region_chain_counts",
-    "events_retention_cohorts", "events_conversion_funnel",
-    "events_ohlc_hourly", "events_transition_bigrams",
-    "pipeline_chunk_documents", "join_shipping_priority_q3",
-    "events_user_outlier_counts", "codec_int8_roundtrip_error",
-    "ann_partitioned_knn", "ann_nsw_knn", "dedup_decontaminate",
-    "text_repetition_filter", "pipeline_stratified_counts",
-    "pipeline_token_budget",
-    "events_window_hourly", "events_subscription_filter",
-    "events_replay_last10", "events_sessionize", "ann_ivf_knn",
-    "ann_lsh_knn", "ann_ivfpq_knn", "media_features",
-    "media_frame_sample", "media_manifest", "media_audio_chunks",
-    "agg_order_trend_pivot", "events_value_percentiles",
 ]
 
 

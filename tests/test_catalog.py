@@ -775,3 +775,39 @@ def test_upsert_local_fast_path_full_contract(spark, db, monkeypatch):
     assert c.upsert(_batch(spark, _vecs(5, offset=40))) == 5
     assert called.get("distributed")
     assert c.count() == 7  # v0..v4 existed already (overwritten), +0 new
+
+
+def test_search_local_parity_and_version_invalidation(spark, db):
+    """Driver-resident serving twin (round 4): identical results to the
+    distributed exact search, and any commit refreshes the pack."""
+    import random
+
+    rng = random.Random(5)
+    c = db.create_collection("servpack", dimensions=8, metric="cosine")
+    rows = [
+        (f"s{i}", [rng.uniform(-1, 1) for _ in range(8)], "A")
+        for i in range(200)
+    ]
+    c.insert_batch(_batch(spark, rows))
+    q = [rng.uniform(-1, 1) for _ in range(8)]
+    dist_rows = [(r["id"], r["dist"]) for r in c.search(q, k=7).collect()]
+    local_rows = c.search_local(q, k=7)
+    assert local_rows == dist_rows
+    # commit invalidates: overwrite the top hit with a far vector
+    top_id = dist_rows[0][0]
+    far = [-x for x in q]
+    c.upsert(_batch(spark, [(top_id, far, "A")]))
+    local2 = c.search_local(q, k=7)
+    assert local2 is not None and local2[0][0] != top_id
+    assert local2 == [(r["id"], r["dist"]) for r in c.search(q, k=7).collect()]
+    # over-threshold collections refuse the pack (callers go distributed)
+    import fastpyvectordb_spark.catalog as cat
+
+    old = cat.Collection.SERVING_PACK_MAX_FLOATS
+    try:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = 10
+        c._serving_pack = None
+        del c._serving_pack
+        assert c.search_local(q, k=7) is None
+    finally:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = old
