@@ -649,6 +649,8 @@ def main() -> None:
         rows = nsw_search(nsw_idx, qvec_big, k=K, ef=96).collect()
         assert len(rows) == K
 
+    extras["nsw_qps"] = round(1 / timings["q_knn_nsw_100k"], 1)
+
     hits = 0
     for i, qid in enumerate(sample["query_id"]):
         approx = {
@@ -662,6 +664,31 @@ def main() -> None:
         if i >= 15:
             break
     extras["nsw_recall_at_k"] = round(hits / (16 * K), 4)
+
+    # packed local twin (round 4): partitions concatenate into one node
+    # array, a query batch runs as parts×queries lockstep lanes — the
+    # in-memory serving regime the reference gets from hnswlib
+    # (5,773 QPS baseline row)
+    from fastpyvectordb_spark.ann.nsw import nsw_pack, nsw_search_local
+
+    nsw_packed = nsw_pack(nsw_idx)
+    nsw_search_local(nsw_packed, qpdf_big.head(8), k=K, ef=96)  # warm
+
+    @bench("q_knn_nsw_local_100k", repeats=2)
+    def _():
+        res = nsw_search_local(nsw_packed, qpdf_big, k=K, ef=96)
+        assert res["query_id"].nunique() == n_queries
+
+    extras["nsw_local_qps"] = round(
+        n_queries / timings["q_knn_nsw_local_100k"], 1
+    )
+    lhits = 0
+    lres = nsw_search_local(nsw_packed, sample, k=K, ef=96)
+    for qid in sample["query_id"]:
+        a = set(lres.loc[lres.query_id == qid, "vec_id"])
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        lhits += len(a & e)
+    extras["nsw_local_recall_at_k"] = round(lhits / (len(sample) * K), 4)
 
     # -- text / fusion ------------------------------------------------
     from fastpyvectordb_spark.operators.bm25 import BM25Index
@@ -905,7 +932,7 @@ def main() -> None:
         "auto_100k_qps", "ivf_local_qps", "ivf_batch_qps", "bq_local_qps",
         "sq_local_qps", "pq_local_qps", "ivfpq_local_qps",
         "hybrid_local_qps", "bm25_local_qps", "nsw_local_qps",
-        "nsw_batch_qps", "partitioned_batch_qps", "server_search_qps",
+        "nsw_qps", "partitioned_batch_qps", "server_search_qps",
     ]
     _IO_ROWS = [
         "ingest_vec_per_sec", "collection_ingest_vec_per_sec",

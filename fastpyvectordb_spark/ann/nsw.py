@@ -7,24 +7,34 @@ world graph (Malkov et al. 2014; HNSW's single-layer ancestor and the
 structure of HNSW's layer 0) — per data partition, using the
 partitioned-artifact machinery of :mod:`ann.partitioned`:
 
-- **build** (inside each partition's build task): points insert one at
-  a time; each new point greedy-beam-searches the current graph for its
-  ``m`` nearest and links bidirectionally, pruning any node that
-  exceeds ``m_max`` edges to its closest ``m_max``. Distances evaluate
-  vectorized (one NumPy op per visited node's neighborhood).
-- **search**: greedy beam of width ``ef`` from the entry point —
+- **build** (inside each partition's build task): LOCKSTEP batched
+  insertion — points insert in geometrically ramping batches
+  (1, 2, 4, … ``batch_size``); each batch beam-searches the current
+  graph for every new point SIMULTANEOUSLY via the vectorized kernel
+  below, then links bidirectionally with degree-pruning. Early
+  batches are tiny (graph topology is decided early), so quality
+  stays near sequential insertion while the per-point Python/NumPy
+  dispatch overhead — which dominated the round-3 build at ~4 ms per
+  point — amortizes across the whole batch.
+- **search**: the same lockstep kernel, one lane per (graph, query):
   the candidate heap / visited set of hnswlib's layer-0 search, with
-  each hop's neighborhood scored in one vectorized distance call.
+  every lane's frontier expanded in one NumPy step per iteration.
 - **artifact**: ``(ids, vmat, neighbors (n, m_max) int32, entry)``
   packed into the same one-row-per-partition binary layout, saved and
   served through the same ``save_index``/``open_index`` cache.
+- **local twin** (:func:`nsw_pack` / :func:`nsw_search_local`): the
+  partition artifacts concatenate into ONE node array (neighbor ids
+  offset-shifted; partitions become disconnected components with their
+  own entry points), so a Q-query batch runs as parts×Q lanes of a
+  single lockstep search — the in-memory serving regime the reference
+  gets from hnswlib.
 
-Where it pays: intra-partition sublinear search. At this bench's
-3k-point partitions, a flat probed scan is already sub-millisecond and
-the Spark job floor dominates end-to-end latency — but at 10⁵-10⁶-row
-partitions (the 100 TB regime) the graph's ~``ef·m_max·log n`` distance
-evaluations replace a full-partition scan. The recall gate in
-``tests/test_ann.py`` pins quality against the exact operator.
+Where the graph pays: intra-partition sublinear search. At 3k-point
+partitions a flat scan is already sub-millisecond and scheduling
+dominates — but at 10⁵-10⁶-row partitions (the 100 TB regime) the
+graph's ~``ef·m_max·log n`` distance evaluations replace a
+full-partition scan. The recall gates in ``tests/test_ann.py`` pin
+quality against the exact operator.
 
 Cosine note: vectors are searched by L2 over unit-normalized copies
 when ``metric='cosine'`` (ordering-equivalent), matching the
@@ -34,6 +44,7 @@ reference's normalize-at-ingest behavior.
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -47,94 +58,182 @@ NSW_SCHEMA = (
 )
 
 
-def _greedy_search(
+def _greedy_search_batch(
     vmat: np.ndarray,
     neighbors: np.ndarray,
-    degrees: np.ndarray,
-    entry: int,
-    q: np.ndarray,
+    degrees: np.ndarray,  # kept for signature clarity; padding is -1
+    entries: np.ndarray,
+    Q: np.ndarray,
     ef: int,
+    expand_width: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Beam search from ``entry``: returns (indices, dists) of the best
-    ``ef`` visited nodes, sorted ascending by distance. hnswlib's
-    layer-0 loop: expand the closest unexpanded candidate until the
-    beam's worst member beats every frontier candidate."""
-    d0 = float(((vmat[entry] - q) ** 2).sum())
-    # beam: parallel arrays kept small (ef entries) — linear ops on
-    # <=ef elements beat heap overhead at these sizes
-    beam_idx = [entry]
-    beam_d = [d0]
-    expanded: set[int] = set()
-    visited = {entry}
+    """Lockstep beam search: ``B`` independent lanes advance together,
+    all distance math in batched NumPy (gather + einsum). ``entries``
+    is per-lane (lanes on different graph components start at
+    different entry points).
+
+    ``expand_width`` expands that many closest-unexpanded candidates
+    per lane per iteration instead of one — iteration count (the
+    Python-dispatch overhead) drops ~w×; a lane still terminates by the
+    hnswlib layer-0 rule (closest unexpanded beats the full beam's
+    worst), so widths > 1 only do EXTRA expansions past the stop point,
+    never fewer — recall can only go up. Returns ``(idx (B, ef),
+    dist (B, ef))`` sorted ascending per lane; unfilled slots are
+    ``-1`` / ``inf``.
+    """
+    B, n = Q.shape[0], vmat.shape[0]
+    if B == 0 or n == 0:
+        return (
+            np.full((B, ef), -1, np.int64),
+            np.full((B, ef), np.inf),
+        )
+    w = max(1, min(expand_width, ef))
+    beam_idx = np.full((B, ef), -1, np.int64)
+    beam_d = np.full((B, ef), np.inf)
+    expanded = np.zeros((B, ef), dtype=bool)
+    visited = np.zeros((B, n), dtype=bool)
+    lane = np.arange(B)
+    d0 = ((vmat[entries] - Q) ** 2).sum(axis=1)
+    beam_idx[:, 0] = entries
+    beam_d[:, 0] = d0
+    visited[lane, entries] = True
+    active = np.ones(B, dtype=bool)
+    m_max = neighbors.shape[1]
     while True:
-        # closest unexpanded beam member
-        cand, cand_d = None, None
-        for i, bi in enumerate(beam_idx):
-            if bi not in expanded and (cand_d is None or beam_d[i] < cand_d):
-                cand, cand_d = bi, beam_d[i]
-        if cand is None:
+        # per-lane w closest unexpanded beam members
+        dmask = np.where(expanded | (beam_idx < 0), np.inf, beam_d)
+        ci = (
+            np.argpartition(dmask, w - 1, axis=1)[:, :w]
+            if w < ef
+            else np.argsort(dmask, axis=1)[:, :w]
+        )
+        cdw = np.take_along_axis(dmask, ci, axis=1)  # (B, w)
+        cd = cdw.min(axis=1)
+        full = (beam_idx >= 0).all(axis=1)
+        worst = np.where(full, beam_d.max(axis=1), np.inf)
+        active &= np.isfinite(cd) & (cd <= worst)
+        act = np.nonzero(active)[0]
+        if act.size == 0:
             break
-        worst = max(beam_d) if len(beam_idx) >= ef else np.inf
-        if cand_d > worst:
-            break
-        expanded.add(cand)
-        nbrs = neighbors[cand, : degrees[cand]]
-        fresh = [v for v in nbrs if v not in visited]
-        if not fresh:
-            continue
-        visited.update(fresh)
-        fr = np.asarray(fresh, dtype=np.int64)
-        d = ((vmat[fr] - q) ** 2).sum(axis=1)
-        for v, dv in zip(fr, d):
-            if len(beam_idx) < ef:
-                beam_idx.append(int(v))
-                beam_d.append(float(dv))
-            else:
-                wi = int(np.argmax(beam_d))
-                if dv < beam_d[wi]:
-                    beam_idx[wi] = int(v)
-                    beam_d[wi] = float(dv)
-    order = np.argsort(beam_d, kind="stable")
-    bi = np.asarray(beam_idx, dtype=np.int64)[order]
-    bd = np.asarray(beam_d, dtype=np.float64)[order]
-    return bi, bd
+        cand = np.take_along_axis(beam_idx[act], ci[act], axis=1)  # (A, w)
+        # inf slots in the w-selection are empty/expanded — mask them
+        cand = np.where(np.isfinite(cdw[act]), cand, -1)
+        exp_a = expanded[act]
+        np.put_along_axis(exp_a, ci[act], True, axis=1)
+        expanded[act] = exp_a
+        nbrs3 = neighbors[np.where(cand >= 0, cand, 0)]  # (A, w, m_max)
+        nbrs3 = np.where((cand >= 0)[:, :, None], nbrs3, -1)
+        # visited-marking goes candidate column by candidate column
+        # (w is small; lanes stay batched): two candidates expanded in
+        # the same iteration often share a neighbor, and without the
+        # inter-column dedup both copies enter the merge — duplicate
+        # beam slots measurably cost recall at w≥4
+        fresh3 = np.empty_like(nbrs3, dtype=bool)
+        for j in range(w):
+            nb_j = nbrs3[:, j, :]
+            valid_j = nb_j >= 0
+            safe_j = np.where(valid_j, nb_j, 0)
+            fresh3[:, j, :] = valid_j & ~visited[act[:, None], safe_j]
+            visited[act[:, None], safe_j] |= valid_j
+        nbrs = nbrs3.reshape(act.size, w * m_max)
+        fresh = fresh3.reshape(act.size, w * m_max)
+        valid = nbrs >= 0
+        nb_safe = np.where(valid, nbrs, 0)
+        diff = vmat[nb_safe] - Q[act][:, None, :]  # (A, w·m_max, D)
+        nd = np.einsum("amd,amd->am", diff, diff)
+        nd = np.where(fresh, nd, np.inf)
+        # merge beam ∪ fresh neighbors → keep ef smallest per lane
+        all_idx = np.concatenate(
+            [beam_idx[act], np.where(fresh, nbrs, -1)], axis=1
+        )
+        all_d = np.concatenate([beam_d[act], nd], axis=1)
+        all_exp = np.concatenate(
+            [expanded[act], np.zeros_like(nd, dtype=bool)], axis=1
+        )
+        sel = np.argpartition(all_d, ef - 1, axis=1)[:, :ef]
+        ar = np.arange(act.size)[:, None]
+        beam_idx[act] = all_idx[ar, sel]
+        beam_d[act] = all_d[ar, sel]
+        expanded[act] = all_exp[ar, sel]
+    order = np.argsort(beam_d, axis=1, kind="stable")
+    return (
+        np.take_along_axis(beam_idx, order, axis=1),
+        np.take_along_axis(beam_d, order, axis=1),
+    )
 
 
 def _build_graph(
-    x: np.ndarray, m: int, m_max: int, ef_construction: int, seed: int
+    x: np.ndarray,
+    m: int,
+    m_max: int,
+    ef_construction: int,
+    seed: int,
+    batch_size: int = 128,
 ) -> tuple[np.ndarray, np.ndarray, int]:
-    """Incremental NSW construction over ``x`` (float64, (n, d))."""
+    """Batched-incremental NSW construction over ``x`` (float64,
+    (n, d)): geometric batch ramp 1, 2, 4, … ``batch_size``. Points in
+    the same batch search the graph as it stood before the batch (they
+    cannot see each other — standard batch-insert approximation), then
+    link sequentially; the ramp keeps the formative early graph
+    near-sequential. Recall vs the exact operator is re-gated in
+    tests/test_ann.py."""
     n = len(x)
     neighbors = np.full((n, m_max), -1, dtype=np.int32)
     degrees = np.zeros(n, dtype=np.int32)
     rng = np.random.default_rng(seed)
     order = rng.permutation(n)  # insertion order decorrelates the data
     entry = int(order[0])
+    # construction search runs in float32: halves the gather/einsum
+    # volume that dominates build wall time, and measured recall is
+    # unchanged-to-better (candidate SELECTION tolerates fp32; final
+    # link pruning below stays float64)
+    x32 = x.astype(np.float32)
 
     def link(a: int, b: int) -> None:
-        if degrees[a] < m_max:
-            neighbors[a, degrees[a]] = b
+        da = degrees[a]
+        cur = neighbors[a, :da]
+        if (cur == b).any():  # already linked (keeps slots useful)
+            return
+        if da < m_max:
+            neighbors[a, da] = b
             degrees[a] += 1
             return
         # prune: keep the m_max closest of current ∪ {b}
-        cur = neighbors[a, :m_max]
         cand = np.append(cur, b)
         d = ((x[cand] - x[a]) ** 2).sum(axis=1)
         keep = cand[np.argsort(d, kind="stable")[:m_max]]
         neighbors[a, :] = keep
         degrees[a] = m_max
 
-    for pos in range(1, n):
-        node = int(order[pos])
-        near_idx, _near_d = _greedy_search(
-            x, neighbors, degrees, entry, x[node], ef_construction
+    pos = 1
+    bsz = 1
+    while pos < n:
+        batch = order[pos : pos + min(bsz, n - pos)]
+        near_idx, _near_d = _greedy_search_batch(
+            x32,
+            neighbors,
+            degrees,
+            np.full(len(batch), entry, dtype=np.int64),
+            x32[batch],
+            ef_construction,
+            expand_width=4,
         )
-        for nb in near_idx[:m]:
-            nb = int(nb)
-            if nb == node:
-                continue
-            link(node, nb)
-            link(nb, node)
+        for qi, node in enumerate(batch):
+            node = int(node)
+            picks = [
+                int(nb)
+                for nb in near_idx[qi, : m + 1]
+                if nb >= 0 and nb != node
+            ][:m]
+            if picks:
+                # forward links in one shot: a fresh node has degree 0
+                # and the beam is duplicate-free, so no prune/dedup
+                neighbors[node, : len(picks)] = picks
+                degrees[node] = len(picks)
+            for nb in picks:
+                link(nb, node)
+        pos += len(batch)
+        bsz = min(bsz * 2, batch_size)
     return neighbors, degrees, entry
 
 
@@ -223,18 +322,218 @@ def nsw_search(
         for pdf in batches:
             for _, row in pdf.iterrows():
                 ids, vmat, neighbors, degrees, entry = _unpack_nsw(row)
-                bi, bd = _greedy_search(
-                    vmat, neighbors, degrees, entry, qn, ef
+                bi, bd = _greedy_search_batch(
+                    vmat,
+                    neighbors,
+                    degrees,
+                    np.asarray([entry], dtype=np.int64),
+                    qn[None, :],
+                    ef,
                 )
-                kk = min(k, len(bi))
-                d = bd[:kk]
+                got = bi[0] >= 0
+                kk = min(k, int(got.sum()))
+                d = bd[0, :kk]
                 if metric == "cosine":
                     d = d / 2.0  # ||a-b||²/2 == 1 - a·b on unit vectors
                 elif metric == "l2":
                     d = np.sqrt(np.maximum(d, 0.0))
-                yield pd.DataFrame({id_col: ids[bi[:kk]], "dist": d})
+                yield pd.DataFrame({id_col: ids[bi[0, :kk]], "dist": d})
 
     out = index_df.mapInPandas(scan, schema=f"{id_col} long, dist double")
     if round_digits is not None:
         out = out.withColumn("dist", F.round("dist", round_digits))
     return out.orderBy("dist", id_col).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Packed local serving twin
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class NSWPacked:
+    """Driver-resident concatenation of every partition graph: one node
+    array, neighbor ids offset-shifted, per-partition offsets + entry
+    points — the partitions are disconnected components of a single
+    graph searched per component."""
+
+    ids: np.ndarray        # (N,) int64 — original vector ids
+    vmat: np.ndarray       # (N, D) float64 (normalized for cosine)
+    neighbors: np.ndarray  # (N, m_max) int64, offset-shifted, -1 pad
+    offsets: np.ndarray    # (P+1,) int64 — part p spans [off[p], off[p+1])
+    entries: np.ndarray    # (P,) int64 — entry node per partition (global)
+    metric: str
+
+
+def nsw_pack(index_df: DataFrame, metric: str = "cosine") -> NSWPacked:
+    """Collect the artifact rows once and concatenate (the 100K×64
+    index is ~30 MB — the reference's always-in-RAM regime)."""
+    rows = index_df.collect()
+    ids_l, vmat_l, nbr_l, entries, offsets = [], [], [], [], [0]
+    offset = 0
+    for row in rows:
+        ids, vmat, neighbors, _deg, entry = _unpack_nsw(row)
+        nbr = neighbors.astype(np.int64)
+        nbr = np.where(nbr >= 0, nbr + offset, -1)
+        ids_l.append(ids)
+        vmat_l.append(vmat)
+        nbr_l.append(nbr)
+        entries.append(entry + offset)
+        offset += len(ids)
+        offsets.append(offset)
+    if not ids_l:
+        return NSWPacked(
+            ids=np.zeros(0, np.int64),
+            vmat=np.zeros((0, 1)),
+            neighbors=np.zeros((0, 1), np.int64),
+            offsets=np.zeros(1, np.int64),
+            entries=np.zeros(0, np.int64),
+            metric=metric,
+        )
+    return NSWPacked(
+        ids=np.concatenate(ids_l),
+        vmat=np.vstack(vmat_l),
+        neighbors=np.vstack(nbr_l),
+        offsets=np.asarray(offsets, dtype=np.int64),
+        entries=np.asarray(entries, dtype=np.int64),
+        metric=metric,
+    )
+
+
+# below this many nodes a component is scored by one exact GEMM instead
+# of graph traversal: at small n the graph saves almost no distance
+# evaluations while paying gather/iteration overhead — the same regime
+# note as the module docstring (graphs pay at 10⁵-10⁶-row partitions).
+# The cutover mirrors knn_batch_auto / Lucene's exhaustive-vs-HNSW rule.
+GRAPH_MIN_NODES = 50_000
+
+
+def nsw_search_local(
+    packed: NSWPacked,
+    queries: "pd.DataFrame | np.ndarray",
+    k: int = 10,
+    ef: int = 48,
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+    graph_min_nodes: int = GRAPH_MIN_NODES,
+    expand_width: int = 8,
+) -> pd.DataFrame:
+    """Batched local search over the packed components with adaptive
+    per-component strategy: components under ``graph_min_nodes`` score
+    as one exact GEMM block (recall 1.0 there — a graph walk over a
+    cache-resident matrix cannot beat BLAS); larger components run the
+    lockstep beam kernel, ``expand_width`` frontier expansions per lane
+    per iteration. Candidates merge per query into a global top-k.
+    Returns ``(query_id, rank, <id_col>, dist)`` — the same
+    serving-twin contract as ``ivf_search_local``."""
+    if isinstance(queries, pd.DataFrame):
+        qids = queries["query_id"].to_numpy()
+        Q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in queries["query_vec"]]
+        )
+    else:
+        Q = np.asarray(queries, dtype=np.float64)
+        qids = np.arange(Q.shape[0])
+    nq = Q.shape[0]
+    P = packed.entries.shape[0]
+    if nq == 0 or P == 0 or packed.vmat.shape[0] == 0:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "dist"])
+    if packed.metric == "cosine":
+        Q = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-10)
+
+    cand_idx: list[np.ndarray] = []  # each (nq, c) global node indices
+    cand_d: list[np.ndarray] = []
+    # -- exact GEMM over the union of all small components ------------
+    small = [
+        p for p in range(P)
+        if packed.offsets[p + 1] - packed.offsets[p] < graph_min_nodes
+    ]
+    if small:
+        spans = [
+            np.arange(packed.offsets[p], packed.offsets[p + 1]) for p in small
+        ]
+        gidx = np.concatenate(spans)
+        # float32 GEMM selects an over-provisioned candidate set per
+        # query chunk (bounded temporaries; BLAS does the work), then
+        # the kept candidates recompute diff-based in float64 —
+        # identical arithmetic to the graph kernel, so the merge is
+        # precision-consistent. Same over-select-then-exact policy as
+        # exact_search_packed.
+        sub32 = packed.vmat[gidx].astype(np.float32)
+        sq32 = np.einsum("ij,ij->i", sub32, sub32)
+        q32 = Q.astype(np.float32)
+        kk = min(k, sub32.shape[0])
+        cand = min(max(4 * k, 64), sub32.shape[0])
+        rows_i = np.empty((nq, kk), dtype=np.int64)
+        rows_d = np.empty((nq, kk))
+        for lo in range(0, nq, 256):
+            qc = q32[lo : lo + 256]
+            d32 = (
+                sq32[None, :]
+                - 2.0 * (qc @ sub32.T)
+                + np.einsum("ij,ij->i", qc, qc)[:, None]
+            )
+            p = (
+                np.argpartition(d32, cand - 1, axis=1)[:, :cand]
+                if cand < d32.shape[1]
+                else np.broadcast_to(
+                    np.arange(d32.shape[1]), d32.shape
+                ).copy()
+            )
+            diff = packed.vmat[gidx[p]] - Q[lo : lo + 256][:, None, :]
+            dex = np.einsum("aqd,aqd->aq", diff, diff)
+            s = np.argpartition(dex, kk - 1, axis=1)[:, :kk]
+            arc = np.arange(p.shape[0])[:, None]
+            rows_i[lo : lo + 256] = gidx[p[arc, s]]
+            rows_d[lo : lo + 256] = dex[arc, s]
+        cand_idx.append(rows_i)
+        cand_d.append(rows_d)
+    # -- lockstep graph search per large component --------------------
+    for p in range(P):
+        npart = packed.offsets[p + 1] - packed.offsets[p]
+        if npart < graph_min_nodes:
+            continue
+        lo = packed.offsets[p]
+        sub_nbr = packed.neighbors[lo : lo + npart]
+        sub_nbr = np.where(sub_nbr >= 0, sub_nbr - lo, -1)
+        bi, bd = _greedy_search_batch(
+            packed.vmat[lo : lo + npart],
+            sub_nbr,
+            None,
+            np.full(nq, packed.entries[p] - lo, dtype=np.int64),
+            Q,
+            ef,
+            expand_width=expand_width,
+        )
+        kk = min(k, bi.shape[1])
+        cand_idx.append(np.where(bi[:, :kk] >= 0, bi[:, :kk] + lo, -1))
+        cand_d.append(bd[:, :kk])
+    ci = np.concatenate(cand_idx, axis=1)
+    cd = np.concatenate(cand_d, axis=1)
+    cd = np.where(ci >= 0, cd, np.inf)
+    ksel = min(k, cd.shape[1])
+    sel = np.argpartition(cd, ksel - 1, axis=1)[:, :ksel]
+    ar = np.arange(nq)[:, None]
+    sd = cd[ar, sel]
+    si = ci[ar, sel]
+    # tie-stable final order: (dist, id) per query
+    sids = np.where(si >= 0, packed.ids[np.where(si >= 0, si, 0)], -1)
+    order = np.lexsort((sids, sd), axis=1)
+    sd = np.take_along_axis(sd, order, axis=1)
+    sids = np.take_along_axis(sids, order, axis=1)
+    if packed.metric == "cosine":
+        sd = sd / 2.0
+    elif packed.metric == "l2":
+        sd = np.sqrt(np.maximum(sd, 0.0))
+    if round_digits is not None:
+        sd = np.round(sd, round_digits)
+    keep = np.isfinite(sd)
+    out = pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, ksel)[keep.ravel()],
+            "rank": np.tile(np.arange(ksel), nq)[keep.ravel()],
+            id_col: sids.ravel()[keep.ravel()],
+            "dist": sd.ravel()[keep.ravel()],
+        }
+    )
+    return out

@@ -293,13 +293,13 @@ class BM25Index:
             F.sum("term_score").alias("score")
         )
 
-    def search(self, query: str, k: int = 10,
+    def search(self, query: str, k: int = 10, k1: float = K1, b: float = B,
                round_digits: int | None = ROUND) -> DataFrame:
         score = F.col("score")
         if round_digits is not None:
             score = F.round(score, round_digits)
         return (
-            self.score(query)
+            self.score(query, k1=k1, b=b)
             .select("doc_id", score.alias("score"))
             .orderBy(F.desc("score"), "doc_id")
             .limit(k)

@@ -350,3 +350,203 @@ def import_reference_binary(
         db, name, int(header.get("dimensions", dims)), metric, rows(),
         batch_size,
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph / BM25 / graph-vector migration (round 4): the remaining
+# reference persistence formats. A reference deployment's graph is the
+# one dataset that is NOT recomputable from a corpus — these importers
+# complete the "switch engines without losing data" story.
+# ---------------------------------------------------------------------------
+
+
+def import_reference_graph(
+    spark: "SparkSession",
+    src: str,
+    dest_path: str | None = None,
+):
+    """Import a reference property graph (``graph.py:540-582`` save:
+    one ``graph.json`` holding nodes/edges/hyperedges dicts) into the
+    engine's three-table parquet layout (:mod:`graphs`).
+
+    Schema mapping (suite/operators contract):
+
+    - nodes:      (node_id, labels array<string>, properties as
+      top-level columns — the reference's free-form property dict is
+      flattened; property keys colliding with ``node_id``/``labels``
+      are prefixed ``prop_``)
+    - edges:      (edge_id, src, dst, type, flattened properties)
+    - hyperedges: (hyperedge_id, nodes array<string>, type, flattened
+      properties)
+
+    ``src`` may be the directory or the ``graph.json`` file. Returns
+    (nodes, edges, hyperedges) DataFrames; with ``dest_path`` they are
+    also persisted via :func:`graphs.save_graph` (edges partitioned by
+    type). Driver-side JSON parse by design: the reference engine is
+    single-process, so its graph fits one machine by construction."""
+    from fastpyvectordb_spark.graphs import save_graph
+
+    if os.path.isdir(src):
+        src = os.path.join(src, "graph.json")
+    with open(src) as f:
+        data = json.load(f)
+
+    def flat(rec: dict, reserved: tuple[str, ...]) -> dict:
+        out = {}
+        for k, v in (rec.get("properties") or {}).items():
+            key = f"prop_{k}" if k in reserved else k
+            out[key] = v
+        return out
+
+    node_rows = [
+        {
+            "node_id": str(n["id"]),
+            "labels": [str(x) for x in (n.get("labels") or [])],
+            **flat(n, ("node_id", "labels")),
+        }
+        for n in data.get("nodes", [])
+    ]
+    edge_rows = [
+        {
+            "edge_id": str(e["id"]),
+            "src": str(e["from"]),
+            "dst": str(e["to"]),
+            "type": str(e["type"]),
+            **flat(e, ("edge_id", "src", "dst", "type")),
+        }
+        for e in data.get("edges", [])
+    ]
+    hyper_rows = [
+        {
+            "hyperedge_id": str(h["id"]),
+            "nodes": [str(x) for x in (h.get("nodes") or [])],
+            "type": str(h["type"]),
+            **flat(h, ("hyperedge_id", "nodes", "type")),
+        }
+        for h in data.get("hyperedges", [])
+    ]
+
+    def df_of(rows: list[dict], fallback_schema: str):
+        if not rows:
+            return spark.createDataFrame([], fallback_schema)
+        # createDataFrame from dicts unions keys across rows; missing
+        # property keys become NULL — exactly the F7 missing-field rule
+        return spark.createDataFrame(rows)
+
+    nodes = df_of(node_rows, "node_id string, labels array<string>")
+    edges = df_of(
+        edge_rows, "edge_id string, src string, dst string, type string"
+    )
+    hyper = df_of(
+        hyper_rows, "hyperedge_id string, nodes array<string>, type string"
+    )
+    if dest_path is not None:
+        save_graph(dest_path, nodes, edges, hyper)
+    return nodes, edges, hyper
+
+
+def import_reference_bm25(spark: "SparkSession", src: str):
+    """Import a reference BM25 index (``hybrid_search.py:181-204``
+    ``to_dict`` JSON: docs, doc_lengths, avg_doc_length, total_docs,
+    inverted_index {term: {doc_id: tf}}, config {k1, b}) into a
+    :class:`~fastpyvectordb_spark.operators.bm25.BM25Index` (postings +
+    doc_lengths + term_stats DataFrames, stats as driver literals).
+
+    Returns ``(index, config_dict)`` — config carries the reference's
+    k1/b so queries can preserve its scoring constants. ``src`` may be
+    a directory (``bm25_index.json`` inside) or the file itself.
+
+    Doc ids import as strings (the reference keys every dict by str);
+    BM25 scoring joins stay type-consistent as long as the queried
+    corpus uses the same id type."""
+    from fastpyvectordb_spark.operators.bm25 import BM25Index
+
+    if os.path.isdir(src):
+        src = os.path.join(src, "bm25_index.json")
+    with open(src) as f:
+        data = json.load(f)
+    post_rows = [
+        (str(doc_id), str(term), int(tf))
+        for term, docs in (data.get("inverted_index") or {}).items()
+        for doc_id, tf in docs.items()
+    ]
+    len_rows = [
+        (str(doc_id), int(n))
+        for doc_id, n in (data.get("doc_lengths") or {}).items()
+    ]
+    postings = spark.createDataFrame(
+        post_rows, "doc_id string, term string, tf long"
+    ).localCheckpoint()
+    doc_lengths = spark.createDataFrame(
+        len_rows, "doc_id string, doc_len int"
+    ).localCheckpoint()
+    n_docs = int(data.get("total_docs") or len(len_rows))
+    avgdl = float(data.get("avg_doc_length") or 0.0)
+    return (
+        BM25Index(postings, doc_lengths, n_docs, avgdl),
+        dict(data.get("config") or {}),
+    )
+
+
+def _read_reference_embeddings_bin(path: str):
+    """One reference embeddings file
+    (``hybrid_graph_vector.py:537-616``): ``struct('II')`` count+dims
+    header, ``struct('I')``-length-prefixed pickled id list (trusted
+    input only — same trust model as the reference's own load), then
+    the contiguous float32 matrix."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        count, dims = struct.unpack("II", f.read(8))
+        (id_len,) = struct.unpack("I", f.read(4))
+        ids = pickle.loads(f.read(id_len))  # trusted input only
+        mat = (
+            np.frombuffer(f.read(count * dims * 4), dtype=np.float32).reshape(
+                count, dims
+            )
+            if count
+            else np.zeros((0, dims), dtype=np.float32)
+        )
+    if len(ids) != count:
+        raise ValueError(
+            f"embeddings header count {count} != id list length {len(ids)}"
+        )
+    return ids, mat
+
+
+def import_reference_graph_embeddings(
+    db: "VectorDB",
+    src_dir: str,
+    node_collection: str = "node_embeddings",
+    edge_collection: str = "edge_embeddings",
+    metric: str = "cosine",
+    batch_size: int = 50_000,
+):
+    """Import a reference graph-vector store's embedding sidecars
+    (``node_embeddings.bin`` / ``edge_embeddings.bin``,
+    ``hybrid_graph_vector.py:537-616``) into two collections. The
+    hnswlib ``node_index.bin``/``edge_index.bin`` files are derived
+    data and intentionally ignored (rebuild with ``ann.*``). Returns
+    ``{"nodes": Collection | None, "edges": Collection | None}`` —
+    entries are None when the corresponding file is absent."""
+    out: dict = {"nodes": None, "edges": None}
+    for key, fname, cname in (
+        ("nodes", "node_embeddings.bin", node_collection),
+        ("edges", "edge_embeddings.bin", edge_collection),
+    ):
+        p = os.path.join(src_dir, fname)
+        if not os.path.exists(p):
+            continue
+        ids, mat = _read_reference_embeddings_bin(p)
+
+        def rows(ids=ids, mat=mat):
+            for i, ext_id in enumerate(ids):
+                yield {
+                    "id": str(ext_id),
+                    "embedding": [float(x) for x in mat[i]],
+                }
+
+        out[key] = _ingest_rows(
+            db, cname, int(mat.shape[1]), metric, rows(), batch_size
+        )
+    return out

@@ -425,3 +425,108 @@ def test_nsw_build_is_deterministic(embeddings):
     ra = [(r["vec_id"], r["dist"]) for r in nsw_search(a, qvec, k=5).collect()]
     rb = [(r["vec_id"], r["dist"]) for r in nsw_search(b, qvec, k=5).collect()]
     assert ra == rb
+
+
+def test_nsw_local_twin_matches_distributed(embeddings):
+    """Round 4: the packed local twin (concatenated components,
+    parts×queries lockstep lanes) must return the same (id, dist) sets
+    as the distributed per-partition search on the same index."""
+    from fastpyvectordb_spark.ann.nsw import (
+        nsw_build,
+        nsw_pack,
+        nsw_search,
+        nsw_search_local,
+    )
+
+    idx = nsw_build(
+        embeddings, n_parts=4, m=8, m_max=16, ef_construction=32
+    ).localCheckpoint()
+    packed = nsw_pack(idx)
+    import pandas as pd
+
+    qrows = embeddings.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [r["vec_id"] for r in qrows],
+            "query_vec": [list(r["embedding"]) for r in qrows],
+        }
+    )
+    # graph path forced (graph_min_nodes=0) and expand_width=1: must
+    # reproduce the distributed per-partition traversal bit-for-bit
+    local = nsw_search_local(
+        packed, qpdf, k=10, ef=48, graph_min_nodes=0, expand_width=1
+    )
+    for r in qrows:
+        dist_rows = [
+            (x["vec_id"], x["dist"])
+            for x in nsw_search(idx, r["embedding"], k=10, ef=48).collect()
+        ]
+        mine = local.loc[local.query_id == r["vec_id"]].sort_values("rank")
+        local_rows = list(zip(mine["vec_id"], mine["dist"]))
+        assert local_rows == dist_rows, (r["vec_id"], local_rows, dist_rows)
+
+
+def test_nsw_local_twin_empty_and_single(spark):
+    from fastpyvectordb_spark.ann.nsw import nsw_build, nsw_pack, nsw_search_local
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    packed = nsw_pack(nsw_build(empty, n_parts=2))
+    import numpy as np
+
+    out = nsw_search_local(packed, np.zeros((2, 4)), k=3)
+    assert out.empty
+    one = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    packed1 = nsw_pack(nsw_build(one, n_parts=2).localCheckpoint())
+    out1 = nsw_search_local(packed1, np.asarray([[1.0, 0.0, 0.0, 0.0]]), k=3)
+    assert list(out1["vec_id"]) == [7] and abs(out1["dist"].iloc[0]) < 1e-6
+
+
+def test_nsw_local_twin_adaptive_gemm_exact(embeddings):
+    """Default serving path: components under the graph cutover score
+    by exact GEMM — results must equal the exact kNN operator."""
+    from fastpyvectordb_spark.ann.nsw import nsw_build, nsw_pack, nsw_search_local
+
+    idx = nsw_build(
+        embeddings, n_parts=4, m=8, m_max=16, ef_construction=32
+    ).localCheckpoint()
+    packed = nsw_pack(idx)
+    import pandas as pd
+
+    qrows = embeddings.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [r["vec_id"] for r in qrows],
+            "query_vec": [list(r["embedding"]) for r in qrows],
+        }
+    )
+    local = nsw_search_local(packed, qpdf, k=10, ef=48)  # all parts tiny → GEMM
+    for r in qrows:
+        mine = local.loc[local.query_id == r["vec_id"]].sort_values("rank")
+        assert list(mine["vec_id"]) == _exact(embeddings, r["embedding"])
+
+
+def test_nsw_expand_width_recall_not_worse(embeddings):
+    """expand_width>1 only adds expansions past the stop rule — recall
+    vs exact must be >= the width-1 kernel's."""
+    import numpy as np
+
+    from fastpyvectordb_spark.ann import nsw as N
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(800, 16))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    nb, deg, ent = N._build_graph(x, m=8, m_max=16, ef_construction=32, seed=3)
+    Q = rng.normal(size=(30, 16))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    truth = np.argsort(((x[None] - Q[:, None]) ** 2).sum(-1), axis=1)[:, :10]
+    rec = {}
+    for w in (1, 8):
+        bi, _ = N._greedy_search_batch(
+            x, nb, deg, np.full(30, ent, np.int64), Q, ef=48, expand_width=w
+        )
+        rec[w] = sum(
+            len(set(bi[i, :10]) & set(truth[i])) for i in range(30)
+        )
+    assert rec[8] >= rec[1] >= 0.9 * 300

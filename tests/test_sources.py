@@ -193,3 +193,130 @@ def test_import_metadata_cannot_clobber_id_or_embedding(spark, vdb, tmp_path):
     rows2 = coll2.get(["real"]).collect()
     assert len(rows2) == 1
     assert [round(x) for x in rows2[0]["embedding"]] == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# Round 4: graph.json / bm25_index.json / graph-vector bin importers
+# (reference graph.py:540-582, hybrid_search.py:181-204,
+# hybrid_graph_vector.py:537-616) — losslessness round trips.
+# ---------------------------------------------------------------------------
+
+
+def _write_reference_graph(d):
+    import json
+
+    data = {
+        "nodes": [
+            {"id": "a", "labels": ["Person"], "properties": {"age": 30, "city": "oslo"}},
+            # property key colliding with a reserved column
+            {"id": "b", "labels": ["Person", "Admin"], "properties": {"labels": "raw", "age": 41}},
+            {"id": "c", "labels": [], "properties": {}},
+        ],
+        "edges": [
+            {"id": "e1", "from": "a", "to": "b", "type": "KNOWS", "properties": {"since": 2019}},
+            {"id": "e2", "from": "b", "to": "c", "type": "LIKES", "properties": {}},
+        ],
+        "hyperedges": [
+            {"id": "h1", "nodes": ["a", "b", "c"], "type": "TEAM", "properties": {"name": "x"}},
+        ],
+    }
+    (d / "graph.json").write_text(json.dumps(data))
+    return data
+
+
+def test_import_reference_graph_round_trip(spark, tmp_path):
+    from fastpyvectordb_spark.graphs import load_graph
+    from fastpyvectordb_spark.operators.graph import find_nodes, neighbors
+    from fastpyvectordb_spark.sources import import_reference_graph
+
+    _write_reference_graph(tmp_path)
+    dest = str(tmp_path / "g")
+    nodes, edges, hyper = import_reference_graph(spark, str(tmp_path), dest)
+
+    got = {r["node_id"]: r.asDict() for r in nodes.collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["labels"] == ["Person"] and got["a"]["age"] == 30
+    assert got["b"]["prop_labels"] == "raw"  # collision prefixed
+    assert got["c"]["age"] is None  # missing property -> NULL (F7 rule)
+    e = {r["edge_id"]: r.asDict() for r in edges.collect()}
+    assert e["e1"]["src"] == "a" and e["e1"]["dst"] == "b" and e["e1"]["since"] == 2019
+    h = hyper.collect()[0]
+    assert h["nodes"] == ["a", "b", "c"] and h["type"] == "TEAM"
+
+    # persisted layout serves the graph operators
+    n2, e2, h2 = load_graph(spark, dest)
+    assert {r["node_id"] for r in find_nodes(n2, label="Person").collect()} == {"a", "b"}
+    nb = neighbors(e2, "b").collect()
+    assert {(r["neighbor_id"], r["direction"]) for r in nb} == {("c", "out"), ("a", "in")}
+    assert h2.count() == 1
+
+
+def test_import_reference_bm25(spark, tmp_path):
+    import json
+
+    from fastpyvectordb_spark.sources import import_reference_bm25
+
+    data = {
+        "docs": {"1": "spark shuffles data", "2": "spark joins tables"},
+        "doc_lengths": {"1": 3, "2": 3},
+        "avg_doc_length": 3.0,
+        "total_docs": 2,
+        "inverted_index": {
+            "spark": {"1": 1, "2": 1},
+            "shuffles": {"1": 1},
+            "data": {"1": 1},
+            "joins": {"2": 1},
+            "tables": {"2": 1},
+        },
+        "config": {"k1": 1.7, "b": 0.6},
+    }
+    (tmp_path / "bm25_index.json").write_text(json.dumps(data))
+    idx, cfg = import_reference_bm25(spark, str(tmp_path))
+    assert cfg == {"k1": 1.7, "b": 0.6}
+    assert idx.n_docs == 2 and idx.avgdl == 3.0
+    posts = {(r["doc_id"], r["term"]): r["tf"] for r in idx.postings.collect()}
+    assert posts[("1", "shuffles")] == 1 and len(posts) == 6
+    lens = {r["doc_id"]: r["doc_len"] for r in idx.doc_lengths.collect()}
+    assert lens == {"1": 3, "2": 3}
+    # the imported index serves queries with the reference's constants
+    top = idx.search("spark shuffles", k=2, k1=cfg["k1"], b=cfg["b"])
+    rows = top.collect()
+    assert rows and rows[0]["doc_id"] == "1"
+
+
+def _write_reference_embeddings_bin(path, ids, mat):
+    import pickle
+    import struct
+
+    import numpy as np
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("II", len(ids), mat.shape[1]))
+        id_bytes = pickle.dumps(list(ids))
+        f.write(struct.pack("I", len(id_bytes)))
+        f.write(id_bytes)
+        if len(ids):
+            np.asarray(mat, dtype=np.float32).tofile(f)
+
+
+def test_import_reference_graph_embeddings(spark, vdb, tmp_path):
+    import numpy as np
+
+    from fastpyvectordb_spark.sources import import_reference_graph_embeddings
+
+    nmat = np.arange(12, dtype=np.float32).reshape(3, 4)
+    emat = np.ones((2, 4), dtype=np.float32) * 0.5
+    _write_reference_embeddings_bin(tmp_path / "node_embeddings.bin", ["n1", "n2", "n3"], nmat)
+    _write_reference_embeddings_bin(tmp_path / "edge_embeddings.bin", ["e1", "e2"], emat)
+    out = import_reference_graph_embeddings(vdb, str(tmp_path))
+    assert out["nodes"].count() == 3 and out["edges"].count() == 2
+    got = out["nodes"].get(["n2"], include_vector=True).collect()[0]
+    assert [float(x) for x in got["embedding"]] == [4.0, 5.0, 6.0, 7.0]
+    # edge file absent -> None entry, nodes still import
+    d2 = tmp_path / "only_nodes"
+    d2.mkdir()
+    _write_reference_embeddings_bin(d2 / "node_embeddings.bin", ["z"], np.zeros((1, 4), dtype=np.float32))
+    out2 = import_reference_graph_embeddings(
+        vdb, str(d2), node_collection="n2c", edge_collection="e2c"
+    )
+    assert out2["edges"] is None and out2["nodes"].count() == 1
