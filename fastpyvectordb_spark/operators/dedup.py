@@ -973,3 +973,100 @@ span_stats AS (
   FROM _pgrams g JOIN _pdf d ON g.sh = d.sh
   GROUP BY g.doc_id
 )"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-threshold embedding dedup (SemDeDup-shaped): all pairs with
+# cosine >= tau, candidates from sign-random-projection bands. The
+# companion to embedding_neardup_topk for the 100 TB regime where the
+# question is "which pairs exceed a high similarity bar", not "global
+# top-k": banding is one equi-join shuffle, verification touches
+# candidates only, and the whole pipeline (including the banding) is
+# SQL-expressible, so the oracle checks it end to end.
+# ---------------------------------------------------------------------------
+
+
+def embedding_lsh_threshold_pairs(
+    emb: DataFrame,
+    planes: DataFrame,
+    min_cos: float = 0.9,
+    rows_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_id_col: str = "plane_id",
+    plane_vec_col: str = "plane_vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) for candidate pairs with cosine ≥
+    ``min_cos``; candidates share at least one full sign band against
+    the ``planes`` table (hyperplanes are DATA — e.g. a deterministic
+    sample of the corpus — so the same banding is reproducible in any
+    engine; contiguous ``plane_id`` 0..P-1, P divisible by
+    ``rows_per_band``).
+
+    Like MinHash-LSH, the banding is part of the operator's CONTRACT:
+    a pair missed by every band is not returned (probability falls
+    geometrically with bands for pairs above the bar), and the oracle
+    twin replicates the identical banding, so both engines agree
+    bit-for-bit. Scale shape: P·N tiny sign rows → groupBy(doc, band)
+    → band-key equi-join → exact cosine on candidates only."""
+    from fastpyvectordb_spark.functions.distances import (
+        cosine_similarity,
+        dot,
+    )
+
+    p = F.broadcast(
+        planes.select(
+            F.col(plane_id_col).alias("_pid"),
+            F.col(plane_vec_col).alias("_pvec"),
+        )
+    )
+    signs = emb.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")
+    ).crossJoin(p).select(
+        "doc_id",
+        (F.col("_pid") / rows_per_band).cast("int").alias("band"),
+        F.pmod(F.col("_pid"), F.lit(rows_per_band)).cast("int").alias("bit"),
+        # sign on the ROUNDED dot: the raw sums can differ by 1 ulp
+        # between engines (summation association), and an unrounded
+        # >= 0 would flip a band bit — the same round-before-compare
+        # discipline the whole suite uses
+        (F.round(dot(F.col("_v"), F.col("_pvec")), 4) >= 0).alias("pos"),
+    )
+    keys = signs.groupBy("doc_id", "band").agg(
+        F.sum(
+            # SQL shiftleft: the PySpark wrapper only takes an int
+            # literal for numBits, the bit position here is a column
+            F.when(F.col("pos"), F.expr("shiftleft(1, bit)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("bkey")
+    ).localCheckpoint()
+    a = keys.alias("a")
+    # shuffle-hash, not sort-merge: band keys are low-cardinality and
+    # per-key buckets are what LSH sizes to be small
+    b = keys.alias("b").hint("shuffle_hash")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity(F.col("_va"), F.col("_vb")), round_digits
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cos)
+    )

@@ -377,3 +377,86 @@ def cluster_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = C.assign_to_centroids(emb, cents, metric="cosine")
     return C.cluster_profile(assigned)
+
+
+# ---------------------------------------------------------------------------
+# LSH-threshold embedding dedup (round 4, SemDeDup-shaped): corpus =
+# embeddings ∪ perturbed copies (x → x·0.98 + 0.01 — float math
+# identical in both engines), hyperplanes = the 16 lowest-id vectors
+# (data-derived, so the banding is reproducible in SQL), candidates
+# share a full 4-bit sign band, verification = exact cosine ≥ 0.9 on
+# candidates only. The oracle replicates the banding, so like
+# dedup_minhash_lsh the WHOLE pipeline is hash-checked end to end.
+# ---------------------------------------------------------------------------
+
+N_PLANES = 16
+ROWS_PER_BAND = 4
+MIN_COS = 0.9
+
+_EMB_CORPUS_SQL = f"""
+ecorpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {COPY_OFFSET},
+         list_transform(embedding, x -> x * 0.98 + 0.01)
+  FROM embeddings
+)"""
+
+from fastpyvectordb_spark.functions.distances import duckdb_dot
+
+_LSH_THRESHOLD_ORACLE = f"""
+WITH {_EMB_CORPUS_SQL.lstrip()},
+planes AS (
+  SELECT vec_id AS plane_id, embedding AS plane_vec
+  FROM embeddings WHERE vec_id < {N_PLANES}
+),
+signs AS (
+  SELECT c.vec_id AS doc_id,
+         (p.plane_id // {ROWS_PER_BAND}) AS band,
+         (p.plane_id % {ROWS_PER_BAND}) AS bit,
+         (ROUND({duckdb_dot('c.embedding', 'p.plane_vec')}, 4) >= 0) AS pos
+  FROM ecorpus c CROSS JOIN planes p
+),
+keys AS (
+  SELECT doc_id, band,
+         SUM(CASE WHEN pos THEN (1 << bit) ELSE 0 END) AS bkey
+  FROM signs GROUP BY doc_id, band
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.id_a AS id_a, c.id_b AS id_b,
+       ROUND({duckdb_distance("va.embedding", "vb.embedding", "cosine").replace("1.0 - ", "", 1)}, 4) AS cos_sim
+FROM cands c
+JOIN ecorpus va ON va.vec_id = c.id_a
+JOIN ecorpus vb ON vb.vec_id = c.id_b
+WHERE ROUND({duckdb_distance("va.embedding", "vb.embedding", "cosine").replace("1.0 - ", "", 1)}, 4) >= {MIN_COS}
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_embedding_lsh_threshold", _LSH_THRESHOLD_ORACLE)
+def dedup_embedding_lsh_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + COPY_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.98 + 0.01).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(pert)
+    planes = emb.filter(F.col("vec_id") < N_PLANES).select(
+        F.col("vec_id").alias("plane_id"),
+        F.col("embedding").alias("plane_vec"),
+    )
+    # round-4 digits (not the suite's usual 6): the perturbed corpus
+    # concentrates cosines near 0.997, so a 6-digit round of a sum the
+    # engines can disagree on by 1 ulp actually HITS a half-boundary at
+    # this scale (observed: 0.9966665). 4 digits keeps boundary-hit
+    # probability negligible at any sf.
+    return D.embedding_lsh_threshold_pairs(
+        corpus, planes, min_cos=MIN_COS, rows_per_band=ROWS_PER_BAND,
+        round_digits=4,
+    ).orderBy("id_a", "id_b")
