@@ -466,3 +466,61 @@ def test_embedding_topk_pruned_empty_and_tiny(spark):
     )
     rows = D.embedding_neardup_topk(two, k=5, n_clusters=4).collect()
     assert len(rows) == 1 and rows[0]["id_a"] == 1 and rows[0]["id_b"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the two round-4 exactness claims hold on randomized
+# inputs, not just the fixed corpora above.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000), t=st.sampled_from([0.2, 0.4, 0.6, 0.8]))
+def test_property_jaccard_prefix_exactness(spark, seed, t):
+    """Prefix filtering must equal the full inverted-index join for any
+    corpus and threshold (the AllPairs/PPJoin lemma, as implemented)."""
+    sh = D.shingles(_rand_corpus(spark, n_docs=25, seed=seed), n=2)
+    full = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.jaccard_pairs(sh, min_jaccard=t).collect()
+    )
+    pref = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.jaccard_pairs_prefix(sh, min_jaccard=t).collect()
+    )
+    assert full == pref
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n_clusters=st.sampled_from([2, 5, 9]),
+    clustered=st.booleans(),
+)
+def test_property_embedding_topk_exactness(spark, seed, n_clusters, clustered):
+    """Cluster-bound pruning must equal brute force for any data shape,
+    cluster count, and seed — the angular bound is exact, pruning only
+    discards provably-losing blocks."""
+    emb = _rand_embeddings(spark, n=70, dims=6, seed=seed, clustered=clustered)
+    brute = [
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_topk_bruteforce(emb, k=8).collect()
+    ]
+    fast = [
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_topk(
+            emb, k=8, n_clusters=n_clusters, centroids="seed"
+        ).collect()
+    ]
+    assert brute == fast
