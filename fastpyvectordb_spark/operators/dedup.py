@@ -1070,3 +1070,81 @@ def embedding_lsh_threshold_pairs(
         )
         .filter(F.col("cos_sim") >= min_cos)
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup with document reconstruction (C4 / RefinedWeb
+# pipeline stage): duplicate *segments* are removed corpus-wide keeping
+# the FIRST occurrence (by (doc_id, position)), and every document is
+# reconstructed from its surviving segments. The driver corpus has no
+# newlines, so "lines" are fixed word windows — the operator takes the
+# segmentation width; the retention/reconstruction machinery is the
+# real subject.
+# ---------------------------------------------------------------------------
+
+
+def line_dedup_reconstruct(
+    docs: DataFrame,
+    words_per_line: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_total, n_kept, text_out): per-document segment
+    counts and the text rebuilt from globally-first-seen segments.
+
+    Scale shape: segments shuffle ONCE by their 60-bit hash (the
+    first-occurrence window), then once by doc for reconstruction —
+    both keyed; the segment STRING rides only to the reconstruct step,
+    never through a self-join. Exact duplicates of whole documents
+    reconstruct to empty (every segment already seen at a lower
+    doc_id), which is the C4 behavior that makes whole-corpus copies
+    vanish without a document-level pass."""
+    from pyspark.sql import Window
+
+    w = words_per_line
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
+    )
+    n_segs = F.floor((F.size("t") + (w - 1)) / w).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(F.col("t"), i * w + 1, w), " ").alias(
+                        "seg"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    first = segs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(_hash64(F.col("seg"))).orderBy("doc_id", "pos")
+        ),
+    ).filter(F.col("rn") == 1)
+    rebuilt = first.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("text_out"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_total", F.lit(0)).alias("n_total"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_out", F.lit("")).alias("text_out"),
+        )
+    )

@@ -460,3 +460,62 @@ def dedup_embedding_lsh_threshold(spark: SparkSession, sf_dir: str) -> DataFrame
         corpus, planes, min_cos=MIN_COS, rows_per_band=ROWS_PER_BAND,
         round_digits=4,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup + reconstruction (C4/RefinedWeb stage): over
+# the exact-dup corpus, every copy's segments are already seen at the
+# original's lower doc_id, so copies reconstruct to EMPTY — plus any
+# naturally repeated 5-word windows dedup across originals.
+# ---------------------------------------------------------------------------
+
+WORDS_PER_LINE = 5
+
+_LINE_DEDUP_ORACLE = f"""
+WITH {_EXACT_CORPUS_SQL.lstrip()},
+_ltoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS t
+  FROM corpus
+),
+_lsegs AS (
+  SELECT doc_id, s['pos'] AS pos, s['seg'] AS seg
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, CAST((len(t) + {WORDS_PER_LINE - 1}) // {WORDS_PER_LINE} AS BIGINT)),
+             i -> struct_pack(pos := i,
+                  seg := array_to_string(list_slice(t, i * {WORDS_PER_LINE} + 1, i * {WORDS_PER_LINE} + {WORDS_PER_LINE}), ' ')))) AS s
+    FROM _ltoks
+  )
+),
+_ltotals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM _lsegs GROUP BY doc_id
+),
+_lfirst AS (
+  SELECT doc_id, pos, seg
+  FROM _lsegs
+  QUALIFY row_number() OVER (
+    PARTITION BY {D._duckdb_hash64("seg")} ORDER BY doc_id, pos) = 1
+),
+_lrebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(seg, ' ' ORDER BY pos) AS text_out
+  FROM _lfirst GROUP BY doc_id
+)
+SELECT c.doc_id AS doc_id,
+       COALESCE(t.n_total, 0) AS n_total,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.text_out, '') AS text_out
+FROM corpus c
+LEFT JOIN _ltotals t ON c.doc_id = t.doc_id
+LEFT JOIN _lrebuilt r ON c.doc_id = r.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("dedup_lines_reconstruct", _LINE_DEDUP_ORACLE)
+def dedup_lines_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _exact_corpus(spark, sf_dir)
+    return D.line_dedup_reconstruct(
+        corpus, words_per_line=WORDS_PER_LINE
+    ).orderBy("doc_id")

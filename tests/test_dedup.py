@@ -524,3 +524,26 @@ def test_property_embedding_topk_exactness(spark, seed, n_clusters, clustered):
         ).collect()
     ]
     assert brute == fast
+
+
+def test_line_dedup_reconstruct_semantics(spark):
+    """C4-style segment dedup: first occurrence (by doc_id, pos) wins
+    globally; whole-document copies reconstruct to empty; short docs
+    keep their single partial segment."""
+    rows = [
+        (1, "a b c d e f g h i j"),   # segs: [a..e], [f..j]
+        (2, "a b c d e f g h i j"),   # exact copy -> empty
+        (3, "f g h i j x y"),         # seg0 dup of doc1's seg1; [x y] kept
+        (4, "z"),                      # one short segment, kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in D.line_dedup_reconstruct(docs, words_per_line=5).collect()
+    }
+    assert got[1]["n_total"] == 2 and got[1]["n_kept"] == 2
+    assert got[1]["text_out"] == "a b c d e f g h i j"
+    assert got[2]["n_kept"] == 0 and got[2]["text_out"] == ""
+    assert got[3]["n_total"] == 2 and got[3]["n_kept"] == 1
+    assert got[3]["text_out"] == "x y"
+    assert got[4]["n_kept"] == 1 and got[4]["text_out"] == "z"
