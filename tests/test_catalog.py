@@ -811,3 +811,44 @@ def test_search_local_parity_and_version_invalidation(spark, db):
         assert c.search_local(q, k=7) is None
     finally:
         cat.Collection.SERVING_PACK_MAX_FLOATS = old
+
+
+def test_upsert_local_conflict_on_concurrent_commit(spark, db, monkeypatch):
+    """The driver-local upsert path must keep the optimistic-commit
+    contract: if another writer flips the pointer between the local
+    path's snapshot read and its own flip, the local commit conflicts,
+    cleans its orphan version, and leaves the winner intact."""
+    import pytest as _pytest
+
+    import fastpyvectordb_spark.catalog as cat
+
+    c = db.create_collection("local_occ", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(4)))
+
+    # interpose on _finish_commit: before the local upsert flips, land
+    # a competing insert through a SECOND handle on the same directory
+    orig_finish = cat.Collection._finish_commit
+    state = {"raced": False}
+
+    def racing_finish(self, version, op, base=None):
+        if op == "upsert" and not state["raced"]:
+            state["raced"] = True
+            other = cat.Collection(spark, c.path, c.config)
+            other.insert_batch(_batch(spark, [("zz", [7.0] * 4, "A")]))
+        return orig_finish(self, version, op, base=base)
+
+    monkeypatch.setattr(cat.Collection, "_finish_commit", racing_finish)
+    with _pytest.raises(cat.CommitConflictError, match="advanced"):
+        c.upsert(_batch(spark, [("v0", [9.0] * 4, "A")]))
+    monkeypatch.setattr(cat.Collection, "_finish_commit", orig_finish)
+    # winner's row landed; loser's upsert did not; no orphan versions
+    assert c.count() == 5
+    got = {r["id"]: r for r in c.df().collect()}
+    assert [round(x) for x in got["v0"]["embedding"]] == [0, 0, 0, 0]
+    assert "zz" in got
+    # retry succeeds from the fresh snapshot
+    assert c.upsert(_batch(spark, [("v0", [9.0] * 4, "A")])) == 1
+    assert [
+        round(x)
+        for x in {r["id"]: r for r in c.df().collect()}["v0"]["embedding"]
+    ] == [9, 9, 9, 9]
