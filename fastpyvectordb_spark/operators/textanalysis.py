@@ -664,3 +664,67 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def upsample_mixture(
+    docs: "DataFrame",
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: int = 7,
+) -> "DataFrame":
+    """Deterministic mixture re-weighting (epoch-level up/down-sampling
+    by source — the data-mixing step of a pre-training pipeline): each
+    document emits ``floor(w)`` copies plus one more with probability
+    ``frac(w)``, decided by the shared overflow-free Knuth-hash bucket
+    of (id, salt) — a pure projection + explode, reproducible across
+    runs, engines, and partitionings (no ``rand()``). Weights < 1
+    downsample (0 copies drops the doc); sources absent from
+    ``weights`` pass through at weight 1.
+
+    → original columns + ``copy_idx`` (0-based). Scale shape: no
+    shuffle at all — the copy count is a row-local expression and the
+    explode multiplies rows in place; a 2× average weight costs 2× scan
+    output, never a join."""
+    frac_mod = 10_000
+    bucket = _det_bucket_expr(F.col(id_col), salt, frac_mod)
+    n_copies = None
+    for src, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {src!r}: {w}")
+        base = int(w)
+        frac_bp = int(round((w - base) * frac_mod))
+        n = F.lit(base) + F.when(bucket < frac_bp, 1).otherwise(0)
+        cond = F.col(source_col) == src
+        n_copies = F.when(cond, n) if n_copies is None else n_copies.when(cond, n)
+    n_copies = (
+        n_copies.otherwise(F.lit(1)) if n_copies is not None else F.lit(1)
+    )
+    out = docs.withColumn("_n_copies", n_copies).filter(F.col("_n_copies") > 0)
+    return out.select(
+        *docs.columns,
+        F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)).alias(
+            "copy_idx"
+        ),
+    )
+
+
+def upsample_copies_sql(
+    weights: dict[str, float],
+    id_sql: str = "doc_id",
+    source_sql: str = "source",
+    salt: int = 7,
+) -> str:
+    """DuckDB twin of the per-row copy count in :func:`upsample_mixture`
+    (same bucket arithmetic via ``_det_bucket_sql``)."""
+    frac_mod = 10_000
+    bucket = _det_bucket_sql(id_sql, salt, frac_mod)
+    cases = []
+    for src, w in weights.items():
+        base = int(w)
+        frac_bp = int(round((w - base) * frac_mod))
+        cases.append(
+            f"WHEN {source_sql} = '{src}' THEN "
+            f"({base} + CASE WHEN {bucket} < {frac_bp} THEN 1 ELSE 0 END)"
+        )
+    return "CASE " + " ".join(cases) + " ELSE 1 END"

@@ -42,6 +42,7 @@ _PRIORITY = [
     # round-4 code changes first (new plan shapes need fresh green rows)
     "dedup_embedding_topk", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_embedding_lsh_threshold", "dedup_lines_reconstruct",
+    "pipeline_upsample_mixture",
     # stalest green rows next: last driver-verified in ROUND 1
     "agg_count_by_source", "agg_embedding_dim_stats",
     "agg_lang_source_matrix", "agg_pricing_summary", "agg_revenue_by_nation",

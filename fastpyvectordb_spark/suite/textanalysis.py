@@ -640,3 +640,56 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_documents(
         docs, chunk_chars=512, overlap=64
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Mixture re-weighting (round 4): deterministic epoch-level up/down-
+# sampling by source — floor(w) copies + Bernoulli(frac(w)) via the
+# shared Knuth-hash bucket; weight 0 drops a source, absent sources
+# pass through at 1. Aggregated per source so the oracle stays small
+# while checking every per-row copy decision (counts are exact sums of
+# the deterministic per-doc decisions).
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 0.0, "src3": 1.25}
+
+_MIX_ORACLE = f"""
+WITH copies AS (
+  SELECT doc_id, source,
+         {T.upsample_copies_sql(_MIX_WEIGHTS)} AS n_copies
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_copies) AS BIGINT) AS n_rows_out,
+       CAST(SUM(CASE WHEN n_copies = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM copies
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("pipeline_upsample_mixture", _MIX_ORACLE)
+def pipeline_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    up = T.upsample_mixture(docs, _MIX_WEIGHTS)
+    out_counts = up.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows_out"),
+    )
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_docs = up.select("source", "doc_id").distinct().groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept_docs")
+    )
+    return (
+        base.join(out_counts, "source", "left")
+        .join(kept_docs, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_rows_out", F.lit(0)).alias("n_rows_out"),
+            (F.col("n_docs") - F.coalesce("n_kept_docs", F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -547,3 +547,33 @@ def test_line_dedup_reconstruct_semantics(spark):
     assert got[3]["n_total"] == 2 and got[3]["n_kept"] == 1
     assert got[3]["text_out"] == "x y"
     assert got[4]["n_kept"] == 1 and got[4]["text_out"] == "z"
+
+
+def test_upsample_mixture_semantics(spark):
+    """Mixture re-weighting: integer weights replicate exactly,
+    weight 0 drops, fractional weights land within tolerance of the
+    target rate, and the decision is deterministic across reruns and
+    repartitionings."""
+    from fastpyvectordb_spark.operators.textanalysis import upsample_mixture
+
+    rows = [(i, "s_int" if i % 3 == 0 else ("s_drop" if i % 3 == 1 else "s_frac")) for i in range(3000)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    w = {"s_int": 3.0, "s_drop": 0.0, "s_frac": 1.5}
+    up = upsample_mixture(docs, w)
+    got = {r["source"]: r["n"] for r in up.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert got["s_int"] == 1000 * 3
+    assert "s_drop" not in got
+    assert abs(got["s_frac"] / 1000 - 1.5) < 0.05
+    # deterministic across partitioning
+    again = {
+        r["source"]: r["n"]
+        for r in upsample_mixture(docs.repartition(13), w)
+        .groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert again == got
+    # copy_idx is dense per doc
+    sample = up.filter(F.col("doc_id") == 0).collect()
+    assert sorted(r["copy_idx"] for r in sample) == [0, 1, 2]
+    # unknown sources pass through once
+    other = spark.createDataFrame([(1, "mystery")], "doc_id bigint, source string")
+    assert upsample_mixture(other, w).count() == 1
