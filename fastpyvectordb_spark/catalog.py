@@ -523,8 +523,13 @@ class Collection:
         if cur is None or not self._has_parquet(cur) or not self._snapshot_bucketed():
             # empty or legacy layout: a full commit bootstraps/migrates.
             # Kills are already folded in by the caller's fallback path.
+            # Large bootstrap batches split each bucket across several
+            # write tasks (the wall-time lever for bulk ingest: bucket
+            # count alone under-parallelizes a big first load); small
+            # ones keep one file per bucket.
             if batch is not None:
-                self._commit(batch, op)
+                fpb = max(1, min(8, (n_rows or 0) // 50_000))
+                self._commit(batch, op, files_per_bucket=fpb)
             return
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, version)
@@ -560,8 +565,12 @@ class Collection:
             # _wrap_side_effects stays a complete global check.
             out = batch.withColumn("_bucket", self._bucket())
             if n_rows is not None:
+                # up to one task per bucket is FREE on file count: the
+                # hash partition keeps each bucket whole, so every
+                # bucket dir gains exactly one file per commit no
+                # matter how many tasks carry the write
                 tasks = max(
-                    1, min(self.config.n_buckets, n_rows // 50_000 or 1)
+                    1, min(self.config.n_buckets, n_rows // 12_500 or 1)
                 )
                 out = out.repartition(tasks, "_bucket")
             elif (
