@@ -1467,14 +1467,22 @@ class Collection:
     ) -> int:
         """D7 (fastpyvectordb/client.py:357-394 shape): merge metadata
         columns and/or replace text + re-embed for the given ids — a
-        read-modify-write MERGE."""
+        read-modify-write MERGE.
+
+        Round 4: the modified rows route through :meth:`upsert` (kill +
+        append — and for point updates that is the zero-write-job
+        driver-local path), so an update touches O(len(ids)) rows
+        instead of rewriting the ids' whole hash buckets. The read side
+        stays bucket-pruned."""
         ids_df = self.spark.createDataFrame(
             [(i,) for i in ids], "id string"
         )
         touched = self._touched_buckets(ids_df)
-        bucket_rows = self._bucket_rows(touched)
-        hit = bucket_rows.filter(F.col("id").isin(list(ids)))
-        rest = bucket_rows.filter(~F.col("id").isin(list(ids)))
+        hit = (
+            self._bucket_rows(touched)
+            .filter(F.col("id").isin(list(ids)))
+            .drop("_bucket")
+        )
         for k, v in (metadata or {}).items():
             hit = hit.withColumn(k, F.lit(v))
         if texts:
@@ -1488,13 +1496,7 @@ class Collection:
                 hit, "text", out_col="embedding",
                 dimensions=embed_dimensions or self.config.dimensions,
             )
-        n = hit.count()
-        self._commit_delta(
-            rest.unionByName(hit, allowMissingColumns=True), touched,
-            op="update",
-        )
-        self._emit("update", hit.select("id"))
-        return n
+        return self.upsert(hit)
 
     def get(self, ids: Sequence[str], include_vector: bool = True) -> DataFrame:
         """D4: point lookup — partition-pruned to the ids' hash buckets
