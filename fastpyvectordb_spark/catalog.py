@@ -1779,19 +1779,28 @@ class Collection:
         return pack
 
     def search_local(
-        self, query_vec: Sequence[float], k: int = 10
+        self,
+        query_vec: Sequence[float],
+        k: int = 10,
+        pack: dict | None = None,
     ) -> list[tuple[str, float]] | None:
         """Zero-job exact single-query search over :meth:`pack_serving`
         (None when the pack is unavailable — caller falls back to the
         distributed :meth:`search`). Same scoring as the distributed
-        operator: metric distance, ROUND 6, ties by id ascending."""
+        operator: metric distance, ROUND 6, ties by id ascending.
+
+        Pass ``pack`` to score against a caller-held snapshot: a
+        concurrent commit swaps ``_serving_pack`` under multi-threaded
+        servers, so callers that enrich hits afterwards must fetch the
+        pack once and hand the SAME object here (server.py does)."""
         import numpy as np
 
         if len(query_vec) != self.config.dimensions:
             raise ValueError(
                 f"query dimension {len(query_vec)} != {self.config.dimensions}"
             )
-        pack = self.pack_serving()
+        if pack is None:
+            pack = self.pack_serving()
         if pack is None:
             return None
         vmat = pack["vmat"]

@@ -1104,7 +1104,12 @@ def line_dedup_reconstruct(
     w = words_per_line
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
-    )
+    ).filter(F.size("t") > 0)
+    # zero-token docs (empty / punctuation-only) are filtered ABOVE the
+    # explode: with n_segs=0, F.sequence(0, -1) would auto-reverse into
+    # the two phantom segments [0, -1] instead of an empty array; the
+    # base left-join below still emits them with n_total=0 / n_kept=0,
+    # matching C4 semantics and the DuckDB oracle's range(0, 0)
     n_segs = F.floor((F.size("t") + (w - 1)) / w).cast("int")
     segs = toks.select(
         "doc_id",

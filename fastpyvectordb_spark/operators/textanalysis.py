@@ -717,10 +717,16 @@ def upsample_copies_sql(
 ) -> str:
     """DuckDB twin of the per-row copy count in :func:`upsample_mixture`
     (same bucket arithmetic via ``_det_bucket_sql``)."""
+    if not weights:
+        # CASE with zero WHEN branches is invalid SQL; every source
+        # passes through at weight 1, same as the Spark twin
+        return "1"
     frac_mod = 10_000
     bucket = _det_bucket_sql(id_sql, salt, frac_mod)
     cases = []
     for src, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {src!r}: {w}")
         base = int(w)
         frac_bp = int(round((w - base) * frac_mod))
         cases.append(

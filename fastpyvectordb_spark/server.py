@@ -302,9 +302,13 @@ class _Handler(BaseHTTPRequestHandler):
         # needs the metadata predicate pushed into the scan) and
         # over-threshold collections stay on the distributed plan.
         if where is None:
-            hits = c.search_local(vector, k=k)
+            # fetch the pack ONCE and score against that same snapshot:
+            # under ThreadingHTTPServer a concurrent commit can swap in
+            # a new pack between scoring and enrichment, and a hit id
+            # deleted in the new version would KeyError on idx[rid]
+            pack = c.pack_serving()
+            hits = c.search_local(vector, k=k, pack=pack)
             if hits is not None:
-                pack = c.pack_serving()
                 tbl, idx = pack["tbl"], pack["rows"]
                 out = []
                 for rid, dist in hits:

@@ -577,3 +577,41 @@ def test_upsample_mixture_semantics(spark):
     # unknown sources pass through once
     other = spark.createDataFrame([(1, "mystery")], "doc_id bigint, source string")
     assert upsample_mixture(other, w).count() == 1
+
+
+def test_line_dedup_zero_token_docs(spark):
+    """Empty / punctuation-only docs tokenize to zero words: they must
+    report n_total=0 / n_kept=0 / empty text (C4 semantics, and what
+    the DuckDB oracle's range(0,0) computes) — NOT the two phantom
+    segments a descending F.sequence(0,-1) would fabricate."""
+    rows = [
+        (1, "...!!!"),
+        (2, ""),
+        (3, "real words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in D.line_dedup_reconstruct(docs, words_per_line=5).collect()
+    }
+    assert got[1]["n_total"] == 0 and got[1]["n_kept"] == 0
+    assert got[1]["text_out"] == ""
+    assert got[2]["n_total"] == 0 and got[2]["n_kept"] == 0
+    assert got[3]["n_total"] == 1 and got[3]["n_kept"] == 1
+    assert got[3]["text_out"] == "real words here"
+
+
+def test_upsample_copies_sql_contract():
+    """The DuckDB twin mirrors the Spark twin's contract: empty weights
+    emit valid SQL (constant 1, every source passes through once) and
+    negative weights raise the same ValueError."""
+    import duckdb
+
+    from fastpyvectordb_spark.operators.textanalysis import (
+        upsample_copies_sql,
+    )
+
+    sql = upsample_copies_sql({})
+    assert duckdb.sql(f"SELECT {sql} AS n").fetchone()[0] == 1
+    with pytest.raises(ValueError):
+        upsample_copies_sql({"web": -0.5})
