@@ -171,7 +171,7 @@ def main() -> None:
     assert len(qpdf_big) == n_queries
     qvec_big = list(qpdf_big["query_vec"].iloc[0])
 
-    @bench("q_knn_batch_gemm_100k")
+    @bench("q_knn_batch_gemm_100k", repeats=2)
     def _():
         from fastpyvectordb_spark.operators.knn import knn_batch_gemm
 
@@ -182,7 +182,7 @@ def main() -> None:
         n_queries / timings["q_knn_batch_gemm_100k"], 1
     )
 
-    @bench("q_knn_batch_auto_100k")
+    @bench("q_knn_batch_auto_100k", repeats=2)
     def _():
         from fastpyvectordb_spark.operators.knn import knn_batch_auto
 
@@ -315,6 +315,18 @@ def main() -> None:
         N_SERVE / timings["q_server_search_300"], 1
     )
     _srv.shutdown()
+    _srv.server_close()
+    _thr.join(timeout=10)
+    # drop the driver-resident serving state (cached Collection handles
+    # hold the ~50 MB Arrow pack + numpy matrices): the local kernels
+    # below measure their OWN working sets, and r4's run-over-run
+    # variance was suspected to come from this state staying hot
+    for _name, (_mt, _h) in list(_db._handles.items()):
+        _h._serving_pack = None
+    _db._handles.clear()
+    import gc as _gc
+
+    _gc.collect()
 
     # IVF accelerator at 100K: build once, then probe
     from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_search
@@ -355,7 +367,7 @@ def main() -> None:
     # VM (~0.4 ms/page); one untimed pass warms the allocator pools
     ivf_search_local(ivf_packed, qpdf_big, k=K, nprobe=8)
 
-    @bench("q_knn_ivf_local_100k", repeats=2)
+    @bench("q_knn_ivf_local_100k", repeats=3)
     def _():
         res = ivf_search_local(ivf_packed, qpdf_big, k=K, nprobe=8)
         assert len(res) == n_queries * K
@@ -368,7 +380,7 @@ def main() -> None:
     # vectorized scan, 6 ms/query"): one GEMV + argpartition per call
     N_EXACT_LOCAL = 256
 
-    @bench("q_knn_exact_local_100k", repeats=2)
+    @bench("q_knn_exact_local_100k", repeats=3)
     def _():
         from fastpyvectordb_spark.ann.ivf import exact_search_packed
 
@@ -388,7 +400,7 @@ def main() -> None:
 
     exact_search_packed_batch(ivf_packed, qpdf_big, k=K)  # warm
 
-    @bench("q_knn_exact_batch_local_100k", repeats=2)
+    @bench("q_knn_exact_batch_local_100k", repeats=3)
     def _():
         res = exact_search_packed_batch(ivf_packed, qpdf_big, k=K)
         assert len(res) == n_queries * K
@@ -409,7 +421,7 @@ def main() -> None:
     bq_qcodes = bq_codes[:: len(bq_ids) // n_queries][:n_queries]
     Qz.bq_hamming_search_local(bq_ids, bq_codes, bq_qcodes, k=K)  # warm
 
-    @bench("q_bq_hamming_local_100k", repeats=2)
+    @bench("q_bq_hamming_local_100k", repeats=3)
     def _():
         d, i = Qz.bq_hamming_search_local(bq_ids, bq_codes, bq_qcodes, k=K)
         assert i.shape == (n_queries, K)
@@ -434,7 +446,7 @@ def main() -> None:
     # first touch (~0.4 ms/page on lazy-memory VMs) — warm ALL threads
     Qz.sq_search_local(sq_ids, sq_codes, sq_mins, sq_scales, sq_qcodes, k=K)
 
-    @bench("q_sq_scan_local_100k", repeats=2)
+    @bench("q_sq_scan_local_100k", repeats=3)
     def _():
         d, i = Qz.sq_search_local(
             sq_ids, sq_codes, sq_mins, sq_scales, sq_qcodes, k=K, metric="l2"
@@ -463,7 +475,7 @@ def main() -> None:
     pq_queries = np.array([list(v) for v in qpdf_big["query_vec"]])
     Qz.pq_adc_search_local(pq_ids, pq_cmat, pq_cents, pq_queries, k=K)  # warm
 
-    @bench("q_pq_adc_local_100k", repeats=2)
+    @bench("q_pq_adc_local_100k", repeats=3)
     def _():
         d, i = Qz.pq_adc_search_local(
             pq_ids, pq_cmat, pq_cents, pq_queries, k=K
@@ -507,7 +519,7 @@ def main() -> None:
     ivfpq_packed = ivfpq_pack(ivfpq)
     ivfpq_search_local(ivfpq_packed, qpdf_big, k=K, nprobe=8)  # warm
 
-    @bench("q_knn_ivfpq_local_100k", repeats=2)
+    @bench("q_knn_ivfpq_local_100k", repeats=3)
     def _():
         res = ivfpq_search_local(ivfpq_packed, qpdf_big, k=K, nprobe=8)
         assert len(res) == n_queries * K
@@ -647,7 +659,7 @@ def main() -> None:
     extras["nsw_build_sec"] = round(time.perf_counter() - t0, 3)
     nsw_search(nsw_idx, qvec_big, k=K, ef=96).collect()  # warm
 
-    @bench("q_knn_nsw_100k", repeats=3)
+    @bench("q_knn_nsw_100k", repeats=2)
     def _():
         rows = nsw_search(nsw_idx, qvec_big, k=K, ef=96).collect()
         assert len(rows) == K
@@ -679,7 +691,7 @@ def main() -> None:
     extras["nsw_recall_at_k"] = round(hits / (len(sample) * K), 4)
     nsw_search_local(nsw_packed, qpdf_big.head(8), k=K, ef=96)  # warm
 
-    @bench("q_knn_nsw_local_100k", repeats=2)
+    @bench("q_knn_nsw_local_100k", repeats=3)
     def _():
         res = nsw_search_local(nsw_packed, qpdf_big, k=K, ef=96)
         assert res["query_id"].nunique() == n_queries
@@ -799,7 +811,7 @@ def main() -> None:
     # resident-in-memory index regime at matching latency
     _kw_packed = corpus_idx.pack()
 
-    @bench("q_bm25_local", repeats=2)
+    @bench("q_bm25_local", repeats=3)
     def _():
         for _rep in range(4):
             for q in qtexts:
@@ -818,7 +830,7 @@ def main() -> None:
         )
     )
 
-    @bench("q_hybrid_local", repeats=2)
+    @bench("q_hybrid_local", repeats=3)
     def _():
         from fastpyvectordb_spark.operators.fusion import hybrid_search_local
 

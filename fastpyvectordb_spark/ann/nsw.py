@@ -404,6 +404,23 @@ class NSWPacked:
     metric: str
 
 
+def _ensure_f32(packed: NSWPacked) -> tuple[np.ndarray, np.ndarray]:
+    """Cache the float32 copy + squared norms on the pack (first use):
+    the GEMM fallback otherwise re-copies the ~50 MB float64 matrix on
+    every search call. Values are identical to a per-call astype —
+    elementwise f64→f32 commutes with row gathers."""
+    vm32 = getattr(packed, "_vm32", None)
+    if vm32 is None:
+        vm32 = np.ascontiguousarray(packed.vmat, dtype=np.float32)
+        packed._vm32 = vm32
+        packed._sq32 = np.einsum("ij,ij->i", vm32, vm32)
+        # transposed CONTIGUOUS copy: every GEMM block multiplies by
+        # the same (D, N) right operand — caching it contiguous means
+        # BLAS packs it once here instead of once per query block
+        packed._vm32T = np.ascontiguousarray(vm32.T)
+    return packed._vm32, packed._sq32
+
+
 def nsw_pack(index_df: DataFrame, metric: str = "cosine") -> NSWPacked:
     """Collect the artifact rows once and concatenate (the 100K×64
     index is ~30 MB — the reference's always-in-RAM regime)."""
@@ -493,38 +510,89 @@ def nsw_search_local(
         ]
         gidx = np.concatenate(spans)
         # float32 GEMM selects an over-provisioned candidate set per
-        # query chunk (bounded temporaries; BLAS does the work), then
+        # query block (bounded temporaries; BLAS does the work), then
         # the kept candidates recompute diff-based in float64 —
         # identical arithmetic to the graph kernel, so the merge is
         # precision-consistent. Same over-select-then-exact policy as
-        # exact_search_packed.
-        sub32 = packed.vmat[gidx].astype(np.float32)
-        sq32 = np.einsum("ij,ij->i", sub32, sub32)
+        # exact_search_packed. Query blocks fan across a thread pool
+        # (GEMM / argpartition / gathers all release the GIL): this
+        # container's OpenBLAS caps at 2 threads per GEMM, so block
+        # threading — the _gemm_topk_chunked pattern — is what restores
+        # the multi-core speedup driver-side. Per-row math is
+        # block-size-independent, so results are bit-identical to the
+        # old single-threaded 256-row chunks.
+        vm32, sqall32 = _ensure_f32(packed)
+        whole = gidx.size == vm32.shape[0]
+        sub32T = (
+            packed._vm32T
+            if whole
+            else np.ascontiguousarray(vm32[gidx].T)
+        )
+        sq32 = sqall32 if whole else sqall32[gidx]
         q32 = Q.astype(np.float32)
-        kk = min(k, sub32.shape[0])
-        cand = min(max(4 * k, 64), sub32.shape[0])
+        kk = min(k, sub32T.shape[1])
+        cand = min(max(4 * k, 64), sub32T.shape[1])
         rows_i = np.empty((nq, kk), dtype=np.int64)
         rows_d = np.empty((nq, kk))
-        for lo in range(0, nq, 256):
-            qc = q32[lo : lo + 256]
-            d32 = (
-                sq32[None, :]
-                - 2.0 * (qc @ sub32.T)
-                + np.einsum("ij,ij->i", qc, qc)[:, None]
-            )
-            p = (
-                np.argpartition(d32, cand - 1, axis=1)[:, :cand]
-                if cand < d32.shape[1]
-                else np.broadcast_to(
-                    np.arange(d32.shape[1]), d32.shape
-                ).copy()
-            )
-            diff = packed.vmat[gidx[p]] - Q[lo : lo + 256][:, None, :]
+
+        ntot = sub32T.shape[1]
+        chv = 16384  # vector-axis chunk: keeps each selection row
+        # L2-resident — argpartition over full 100k rows measured 3×
+        # slower than per-chunk select + merge (same candidate set)
+
+        def _gemm_block(lo: int, hi: int) -> None:
+            qc = q32[lo:hi]
+            # in-place accumulation: IEEE + is commutative, so
+            # (-2g + sq) + qq is bit-identical to (sq - 2g) + qq
+            qq = np.einsum("ij,ij->i", qc, qc)[:, None]
+            rows = np.arange(hi - lo)[:, None]
+            bd = bi = None
+            for s0 in range(0, ntot, chv):
+                e0 = min(s0 + chv, ntot)
+                d32 = qc @ sub32T[:, s0:e0]
+                d32 *= np.float32(-2.0)
+                d32 += sq32[None, s0:e0]
+                d32 += qq
+                kc = min(cand, e0 - s0)
+                p = (
+                    np.argpartition(d32, kc - 1, axis=1)[:, :kc]
+                    if kc < e0 - s0
+                    else np.broadcast_to(
+                        np.arange(e0 - s0), d32.shape
+                    ).copy()
+                )
+                cd = d32[rows, p]
+                ci = p + s0
+                if bd is None:
+                    bd, bi = cd, ci
+                else:
+                    md = np.concatenate([bd, cd], axis=1)
+                    mi = np.concatenate([bi, ci], axis=1)
+                    sel = np.argpartition(md, cand - 1, axis=1)[:, :cand]
+                    bd, bi = md[rows, sel], mi[rows, sel]
+            gp = gidx[bi]
+            diff = packed.vmat[gp] - Q[lo:hi][:, None, :]
             dex = np.einsum("aqd,aqd->aq", diff, diff)
             s = np.argpartition(dex, kk - 1, axis=1)[:, :kk]
-            arc = np.arange(p.shape[0])[:, None]
-            rows_i[lo : lo + 256] = gidx[p[arc, s]]
-            rows_d[lo : lo + 256] = dex[arc, s]
+            rows_i[lo:hi] = gp[rows, s]
+            rows_d[lo:hi] = dex[rows, s]
+
+        import os as _os
+
+        blk = 64
+        nt = max(1, min(16, (_os.cpu_count() or 2) // 2, nq // blk))
+        if nt <= 1:
+            _gemm_block(0, nq)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=nt) as pool:
+                list(
+                    pool.map(
+                        lambda lo: _gemm_block(lo, min(lo + blk, nq)),
+                        range(0, nq, blk),
+                    )
+                )
         cand_idx.append(rows_i)
         cand_d.append(rows_d)
     # -- lockstep graph search per large component --------------------
