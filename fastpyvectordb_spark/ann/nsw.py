@@ -412,12 +412,15 @@ def _ensure_f32(packed: NSWPacked) -> tuple[np.ndarray, np.ndarray]:
     vm32 = getattr(packed, "_vm32", None)
     if vm32 is None:
         vm32 = np.ascontiguousarray(packed.vmat, dtype=np.float32)
-        packed._vm32 = vm32
         packed._sq32 = np.einsum("ij,ij->i", vm32, vm32)
         # transposed CONTIGUOUS copy: every GEMM block multiplies by
         # the same (D, N) right operand — caching it contiguous means
         # BLAS packs it once here instead of once per query block
         packed._vm32T = np.ascontiguousarray(vm32.T)
+        # publish the guard attribute LAST: concurrent readers treat a
+        # non-None _vm32 as "all three caches are set", so _sq32/_vm32T
+        # must be visible before _vm32 is
+        packed._vm32 = vm32
     return packed._vm32, packed._sq32
 
 
@@ -568,8 +571,15 @@ def nsw_search_local(
                 else:
                     md = np.concatenate([bd, cd], axis=1)
                     mi = np.concatenate([bi, ci], axis=1)
-                    sel = np.argpartition(md, cand - 1, axis=1)[:, :cand]
-                    bd, bi = md[rows, sel], mi[rows, sel]
+                    # cand can exceed the columns accumulated so far
+                    # (k > chv/2 with ntot > 2*chv) — cap instead of
+                    # letting argpartition raise on kth >= ncols
+                    kc2 = min(cand, md.shape[1])
+                    if kc2 < md.shape[1]:
+                        sel = np.argpartition(md, kc2 - 1, axis=1)[:, :kc2]
+                        bd, bi = md[rows, sel], mi[rows, sel]
+                    else:
+                        bd, bi = md, mi
             gp = gidx[bi]
             diff = packed.vmat[gp] - Q[lo:hi][:, None, :]
             dex = np.einsum("aqd,aqd->aq", diff, diff)

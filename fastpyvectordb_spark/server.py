@@ -306,8 +306,17 @@ class _Handler(BaseHTTPRequestHandler):
             # under ThreadingHTTPServer a concurrent commit can swap in
             # a new pack between scoring and enrichment, and a hit id
             # deleted in the new version would KeyError on idx[rid]
+            # only take the local path when the pack snapshot itself is
+            # available: with pack=None, search_local re-fetches
+            # internally, and a concurrent commit between the two calls
+            # could yield non-None hits against a None handler-local
+            # pack (TypeError at pack["tbl"] below)
             pack = c.pack_serving()
-            hits = c.search_local(vector, k=k, pack=pack)
+            hits = (
+                c.search_local(vector, k=k, pack=pack)
+                if pack is not None
+                else None
+            )
             if hits is not None:
                 tbl, idx = pack["tbl"], pack["rows"]
                 out = []

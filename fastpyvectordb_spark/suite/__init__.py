@@ -33,33 +33,17 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver samples a capped prefix of this list each round. All 122
-# queries have at least one driver-green row (r1∪r2∪r3), so ordering is
-# now STALENESS-based (VERDICT r3 item #6): round-4 code changes first,
-# then the queries whose green row is oldest — every query re-checks
-# within ~2.5 rounds.
+# The driver samples a capped prefix (50 names) of this list each round.
+# All 125 queries have at least one driver-green row, so ordering is
+# STALENESS-based (VERDICT r5 item #2): round-6 code changes first, then
+# the queries whose green row is oldest. The r4/r5 driver checked the
+# identical prefix twice, so the r1-tail / r2 / ANN / r3 blocks below are
+# now the stalest; the 50 names re-verified in r5 go last.
 _PRIORITY = [
-    # round-4 code changes first (new plan shapes need fresh green rows)
-    "dedup_embedding_topk", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_embedding_lsh_threshold", "dedup_lines_reconstruct",
-    "pipeline_upsample_mixture",
-    # stalest green rows next: last driver-verified in ROUND 1
-    "agg_count_by_source", "agg_embedding_dim_stats",
-    "agg_lang_source_matrix", "agg_pricing_summary", "agg_revenue_by_nation",
-    "agg_rollup_suppliers", "agg_top_customers_by_orders",
-    "agg_top_orders_by_revenue", "bm25_search", "bm25_search_batch",
-    "bq_hamming_knn", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "graph_bfs_levels", "graph_degree_topk", "graph_find_nodes",
-    "graph_hyperedge_membership", "graph_neighbors",
-    "graph_part_copurchase_topk", "graph_shortest_path", "graph_stats",
-    "graph_traverse", "gv_semantic_expansion", "gv_traverse_rerank",
-    "hybrid_search_alpha05", "hybrid_search_alpha08", "hybrid_search_batch",
-    "knn_batch", "knn_cosine", "knn_filtered", "knn_ip", "knn_l2",
-    "pipeline_clean_corpus", "pipeline_split_counts", "pq_adc_knn",
-    "sq_knn_cosine", "sq_knn_ip", "sq_knn_l2", "sq_train_stats",
-    "text_corpus_stats", "text_fingerprint", "text_lang_id",
-    "text_postings_top_terms", "text_quality", "text_scrub_audit",
-    "text_token_counts",
+    # round-6 code changes first (new plan shapes need fresh green rows)
+    # (appended as round-6 work touches registered plan shapes)
+    # never re-checked since ROUND 1 (fell past the r4/r5 prefix cap)
+    "text_quality", "text_scrub_audit", "text_token_counts",
     # last verified round 2
     "agg_order_trend_pivot", "codec_int8_roundtrip_error",
     "dedup_decontaminate", "events_replay_last10", "events_sessionize",
@@ -71,7 +55,7 @@ _PRIORITY = [
     # rows-only ANN checks (no oracle by design; recall-gated in pytest)
     "ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn", "ann_partitioned_knn",
     "ann_nsw_knn",
-    # last verified round 3 (freshest)
+    # last verified round 3
     "agg_cube_status_priority", "agg_cust_order_distribution",
     "agg_disjunctive_parts_q19", "agg_forecast_revenue",
     "agg_grouping_sets_orders", "agg_important_parts_q11", "agg_large_orders",
@@ -96,6 +80,25 @@ _PRIORITY = [
     "pipeline_pack_sequences", "setops_customer_activity",
     "text_moore_lewis_selection", "text_word_entropy",
     "window_running_revenue",
+    # freshest: re-verified by the driver in rounds 4 AND 5
+    "dedup_embedding_topk", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_embedding_lsh_threshold", "dedup_lines_reconstruct",
+    "pipeline_upsample_mixture",
+    "agg_count_by_source", "agg_embedding_dim_stats",
+    "agg_lang_source_matrix", "agg_pricing_summary", "agg_revenue_by_nation",
+    "agg_rollup_suppliers", "agg_top_customers_by_orders",
+    "agg_top_orders_by_revenue", "bm25_search", "bm25_search_batch",
+    "bq_hamming_knn", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "graph_bfs_levels", "graph_degree_topk", "graph_find_nodes",
+    "graph_hyperedge_membership", "graph_neighbors",
+    "graph_part_copurchase_topk", "graph_shortest_path", "graph_stats",
+    "graph_traverse", "gv_semantic_expansion", "gv_traverse_rerank",
+    "hybrid_search_alpha05", "hybrid_search_alpha08", "hybrid_search_batch",
+    "knn_batch", "knn_cosine", "knn_filtered", "knn_ip", "knn_l2",
+    "pipeline_clean_corpus", "pipeline_split_counts", "pq_adc_knn",
+    "sq_knn_cosine", "sq_knn_ip", "sq_knn_l2", "sq_train_stats",
+    "text_corpus_stats", "text_fingerprint", "text_lang_id",
+    "text_postings_top_terms",
 ]
 
 

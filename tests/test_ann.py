@@ -530,3 +530,32 @@ def test_nsw_expand_width_recall_not_worse(embeddings):
             len(set(bi[i, :10]) & set(truth[i])) for i in range(30)
         )
     assert rec[8] >= rec[1] >= 0.9 * 300
+
+
+def test_nsw_gemm_merge_caps_candidates_at_accumulated_cols():
+    """ADVICE r5: k large enough that cand exceeds the columns
+    accumulated after the first chunk merge (cand > 2*chv) must cap,
+    not crash in np.argpartition — and still return the exact top-k."""
+    import numpy as np
+
+    from fastpyvectordb_spark.ann.nsw import NSWPacked, nsw_search_local
+
+    rng = np.random.default_rng(7)
+    n, d, k = 40_960, 8, 9_000  # cand = 4k = 36_000 > 2*chv = 32_768
+    vmat = rng.normal(size=(n, d))
+    packed = NSWPacked(
+        ids=np.arange(n, dtype=np.int64),
+        vmat=vmat,
+        neighbors=np.full((n, 4), -1, dtype=np.int64),
+        offsets=np.asarray([0, n], dtype=np.int64),
+        entries=np.asarray([0], dtype=np.int64),
+        metric="l2",
+    )
+    q = rng.normal(size=(2, d))
+    out = nsw_search_local(packed, q, k=k, round_digits=None)
+    assert len(out) == 2 * k
+    for qi in range(2):
+        mine = out.loc[out.query_id == qi].sort_values("rank")
+        exact = np.sum((vmat - q[qi]) ** 2, axis=1)
+        order = np.argsort(exact, kind="stable")[:k]
+        assert list(mine["vec_id"]) == list(order)

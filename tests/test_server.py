@@ -336,3 +336,33 @@ def test_rest_find_nodes_property_filter(api):
     assert status == 200 and out == []
     _req(api, "DELETE", "/graph/nodes/pf1")
     _req(api, "DELETE", "/graph/nodes/pf2")
+
+
+def test_rest_search_pack_none_falls_to_distributed(api, monkeypatch):
+    """ADVICE r5: when pack_serving() returns None (over-threshold or
+    race with a concurrent commit), the handler must not score locally
+    against the None pack — it falls to the distributed plan."""
+    from fastpyvectordb_spark.catalog import Collection
+
+    status, _ = _req(
+        api, "POST", "/collections",
+        {"name": "nopack", "dimensions": 4, "metric": "l2"},
+    )
+    assert status == 200
+    status, _ = _req(
+        api, "POST", "/collections/nopack/vectors/batch",
+        {
+            "ids": [f"v{i}" for i in range(4)],
+            "vectors": [[float(i), 1, 0, 0] for i in range(4)],
+        },
+    )
+    assert status == 200
+    monkeypatch.setattr(Collection, "pack_serving", lambda self: None)
+    status, r = _req(
+        api, "POST", "/collections/nopack/search",
+        {"vector": [2.0, 1, 0, 0], "k": 2},
+    )
+    assert status == 200
+    assert [h["id"] for h in r["results"]] == ["v2", "v1"]
+    monkeypatch.undo()
+    _req(api, "DELETE", "/collections/nopack")
