@@ -280,13 +280,16 @@ def ivf_search_local(
 
     out_d = np.full((nq, nprobe * k), np.inf, dtype=np.float32)
     out_i = np.full((nq, nprobe * k), -1, dtype=np.int64)
-    fill = np.zeros(nq, dtype=np.int64)
-    qrows_cache = np.arange(nq)
-    for lid in np.unique(probe):
+    from fastpyvectordb_spark.operators.knn import topk_rows_tied
+
+    def scan_list(lid: int) -> None:
+        # each (query, probe-position) pair names exactly one list, so
+        # lists write DISJOINT (row, slot) cells of the merge buffer —
+        # the loop is embarrassingly parallel with no fill counter
         s, e = int(packed.offsets[lid]), int(packed.offsets[lid + 1])
         if e <= s:
-            continue
-        qidx = qrows_cache[(probe == lid).any(axis=1)]
+            return
+        qidx, jidx = np.nonzero(probe == lid)
         d = qn[qidx] @ packed.vmat[s:e].T  # (Q_l, n_l)
         if metric == "cosine":
             d /= packed.norms[s:e][None, :]
@@ -301,14 +304,30 @@ def ivf_search_local(
         kk = min(k, e - s)
         # tie-aware cut: argpartition speed, (dist, id) exactness when
         # a distance tie crosses the boundary
-        from fastpyvectordb_spark.operators.knn import topk_rows_tied
-
         p = topk_rows_tied(d, packed.ids[s:e], kk)
         rows = np.arange(len(qidx))[:, None]
-        cols = (fill[qidx] * k)[:, None] + np.arange(p.shape[1])[None, :]
+        cols = (jidx * k)[:, None] + np.arange(p.shape[1])[None, :]
         out_d[qidx[:, None], cols] = d[rows, p]
         out_i[qidx[:, None], cols] = packed.ids[s:e][p]
-        fill[qidx] += 1
+
+    # probed lists fan across a thread pool: the GEMM, the elementwise
+    # distance fixup, and argpartition all release the GIL, and this
+    # container's BLAS caps at 2 threads per GEMM — list-level blocking
+    # is what restores the multi-core speedup (same lesson as the NSW
+    # packed kernel's query blocks). Per-list math is schedule-
+    # independent, so results are bit-identical to the serial loop.
+    import os as _os
+
+    uniq = [int(x) for x in np.unique(probe)]
+    nt = max(1, min(16, (_os.cpu_count() or 2) // 2, len(uniq)))
+    if nt <= 1 or nq * nprobe < 64:
+        for lid in uniq:
+            scan_list(lid)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=nt) as pool:
+            list(pool.map(scan_list, uniq))
 
     kk = min(k, out_d.shape[1])
     rows = np.arange(nq)[:, None]

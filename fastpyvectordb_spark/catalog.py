@@ -10,8 +10,20 @@ DML strategy: parquet has no MERGE, so upsert/delete rewrite via
 anti-join — the same logical plan a Delta MERGE executes; on a Delta
 lakehouse these methods map 1:1 to ``MERGE INTO``/``DELETE`` with the
 rewrite confined to matched files. Mutations write to a new version
-directory and flip a pointer file, so readers never see partial state
+and flip a pointer file, so readers never see partial state
 (poor-man's snapshot isolation; Delta's transaction log in prod).
+
+Commit metadata is MANIFEST-based (Delta/Iceberg actions-log shape):
+immutable data files live once in a shared ``_files/_bucket=N/`` pool;
+each version directory holds only a ``manifest.json`` — either a
+checkpoint (full file + deletion-vector lists) or a delta against its
+base version (adds/removes/dv_adds/dv_removes), checkpointed every
+``_CHECKPOINT_EVERY`` commits. A commit therefore touches O(changed
+files), never O(total live files) — at 100 TB / ~10⁶ files the old
+hard-link-every-file snapshot capped commit rate on metadata alone.
+Reads resolve the manifest chain to an explicit file list and scan it
+with ``basePath`` partition inference, so ``_bucket`` pruning is now a
+manifest lookup instead of a filesystem listing (the Iceberg win).
 """
 
 from __future__ import annotations
@@ -29,6 +41,9 @@ from fastpyvectordb_spark.filters import Filter, from_dict
 from fastpyvectordb_spark.operators.knn import knn as knn_op
 
 _POINTER = "_current"
+_FILES = "_files"  # shared immutable data-file pool (manifest layout)
+_CHECKPOINT_EVERY = 16  # delta-chain depth before a full checkpoint
+_DV_COMPACT_AT = 64  # fold deletion vectors into one file past this
 
 class CommitConflictError(RuntimeError):
     """Another writer committed between this op's snapshot read and
@@ -108,6 +123,12 @@ class Collection:
         # version (and prime it at commit time, where the writer already
         # knows the schema) — sequential DML then never lists footers.
         self._schema_cache: dict[str, object] = {}
+        # version name → resolved (data_files, dv_files). Versions are
+        # immutable after commit (vacuum invalidates), so folding a
+        # manifest delta chain happens once per version per handle.
+        self._mf_cache: dict[str, tuple[list[str], list[str]]] = {}
+        # legacy version → pooled lists after a one-time migration link
+        self._mig_cache: dict[str, tuple[list[str], list[str]]] = {}
         os.makedirs(path, exist_ok=True)
         cfg = os.path.join(path, "config.json")
         if not os.path.exists(cfg):
@@ -126,6 +147,209 @@ class Collection:
     def _data_path(self) -> str | None:
         v = self._current_version()
         return os.path.join(self.path, v) if v else None
+
+    # -- manifest layer (Delta/Iceberg actions-log snapshots) ----------
+    #
+    # Reference parity note: the reference persists whole snapshots
+    # (binary_persistence.py full-file saves); the Spark-first scale
+    # answer is the lakehouse transaction-log shape instead — commit
+    # cost must not grow with table size.
+
+    def _pool_root(self) -> str:
+        return os.path.join(self.path, _FILES)
+
+    def _manifest_file(self, version: str) -> str:
+        return os.path.join(self.path, version, "manifest.json")
+
+    def _load_manifest(self, version: str) -> dict | None:
+        p = self._manifest_file(version)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _resolve(self, version: str) -> tuple[list[str], list[str]]:
+        """``(data_files, dv_files)`` of a version as collection-path-
+        relative paths, folding the manifest delta chain from the
+        nearest checkpoint. Legacy (pre-manifest) version dirs resolve
+        by walking the dir itself — they stay self-contained."""
+        cached = self._mf_cache.get(version)
+        if cached is not None:
+            return cached
+        m = self._load_manifest(version)
+        if m is None:
+            vdir = os.path.join(self.path, version)
+            files: list[str] = []
+            dv: list[str] = []
+            for root, dirs, fns in os.walk(vdir):
+                dirs[:] = [d for d in dirs if d != "_events_staged"]
+                rel = os.path.relpath(root, self.path)
+                sink = dv if os.path.basename(root) == "_dv" else files
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        sink.append(os.path.join(rel, fn))
+            out = (sorted(files), sorted(dv))
+        elif m["kind"] == "checkpoint":
+            out = (list(m["files"]), list(m["dv"]))
+        else:
+            bf, bdv = self._resolve(m["base"])
+            rm, dvrm = set(m["removes"]), set(m["dv_removes"])
+            out = (
+                [f for f in bf if f not in rm] + list(m["adds"]),
+                [f for f in bdv if f not in dvrm] + list(m["dv_adds"]),
+            )
+        self._mf_cache[version] = out
+        return out
+
+    @staticmethod
+    def _bucket_of_path(rel: str) -> int:
+        for seg in rel.split(os.sep):
+            if seg.startswith("_bucket="):
+                return int(seg.split("=", 1)[1])
+        return -1
+
+    def _stage_dir(self, version: str) -> str:
+        return os.path.join(self.path, "_stage", version)
+
+    def _pool_stage(self, stage: str, version: str) -> list[str]:
+        """Move a staged Spark write's data files into the shared pool
+        under ``{version}-``-prefixed unique names (same-filesystem
+        renames — O(new files)). Pool files are invisible until a
+        committed manifest references them, so a crash here leaves only
+        orphans for vacuum."""
+        import shutil
+
+        adds: list[str] = []
+        if not os.path.isdir(stage):
+            return adds
+        for entry in sorted(os.listdir(stage)):
+            if not entry.startswith("_bucket="):
+                continue
+            src = os.path.join(stage, entry)
+            dstd = os.path.join(self._pool_root(), entry)
+            os.makedirs(dstd, exist_ok=True)
+            for fn in sorted(os.listdir(src)):
+                if fn.endswith(".parquet"):
+                    dst = os.path.join(dstd, f"{version}-{fn}")
+                    os.rename(os.path.join(src, fn), dst)
+                    adds.append(os.path.relpath(dst, self.path))
+        shutil.rmtree(stage, ignore_errors=True)
+        return adds
+
+    def _pool_dv(self, vdir: str, version: str) -> list[str]:
+        """Move kill files staged under ``<vdir>/_dv`` (written by the
+        driver or by the commit job's own tasks) into the DV pool."""
+        import shutil
+
+        src = os.path.join(vdir, "_dv")
+        out: list[str] = []
+        if not os.path.isdir(src):
+            return out
+        dstd = os.path.join(self._pool_root(), "_dv")
+        os.makedirs(dstd, exist_ok=True)
+        for fn in sorted(os.listdir(src)):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(dstd, f"{version}-{fn}")
+                os.rename(os.path.join(src, fn), dst)
+                out.append(os.path.relpath(dst, self.path))
+        shutil.rmtree(src, ignore_errors=True)
+        return out
+
+    def _base_state(self, base_version: str | None) -> tuple[list[str], list[str]]:
+        """Pooled ``(files, dv)`` of a commit's base snapshot. A legacy
+        (pre-manifest) bucketed version is migrated into the pool ONCE
+        via hard links — O(files) paid a single time, after which every
+        commit is O(changed files)."""
+        if base_version is None:
+            return [], []
+        if self._load_manifest(base_version) is not None:
+            return self._resolve(base_version)
+        cached = self._mig_cache.get(base_version)
+        if cached is not None:
+            return cached
+        files, dv = self._resolve(base_version)
+        tok = f"mig{uuid.uuid4().hex[:8]}"
+        pooled_files: list[str] = []
+        pooled_dv: list[str] = []
+        for rel in files:
+            b = self._bucket_of_path(rel)
+            dstd = os.path.join(self._pool_root(), f"_bucket={b}")
+            os.makedirs(dstd, exist_ok=True)
+            dst = os.path.join(dstd, f"{tok}-{os.path.basename(rel)}")
+            os.link(os.path.join(self.path, rel), dst)
+            pooled_files.append(os.path.relpath(dst, self.path))
+        for rel in dv:
+            dstd = os.path.join(self._pool_root(), "_dv")
+            os.makedirs(dstd, exist_ok=True)
+            dst = os.path.join(dstd, f"{tok}-{os.path.basename(rel)}")
+            os.link(os.path.join(self.path, rel), dst)
+            pooled_dv.append(os.path.relpath(dst, self.path))
+        self._mig_cache[base_version] = (pooled_files, pooled_dv)
+        return pooled_files, pooled_dv
+
+    def _compact_dv(self, dv: list[str], version: str) -> list[str]:
+        """Fold accumulated kill files into one (tiny id lists — a
+        driver-side pyarrow merge), bounding the read path's DV file
+        count under sustained point DML."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        merged = pa.concat_tables(
+            [
+                papq.read_table(os.path.join(self.path, f))
+                for f in dv
+            ]
+        )
+        dstd = os.path.join(self._pool_root(), "_dv")
+        os.makedirs(dstd, exist_ok=True)
+        name = f"{version}-kills_compacted_{uuid.uuid4().hex[:8]}.parquet"
+        dst = os.path.join(dstd, name)
+        papq.write_table(merged, dst)
+        return [os.path.relpath(dst, self.path)]
+
+    def _write_manifest(
+        self,
+        version: str,
+        base_version: str | None,
+        adds: list[str],
+        removes: list[str],
+        dv_adds: list[str],
+    ) -> None:
+        """Record the new version: a delta against its base, or a full
+        checkpoint every ``_CHECKPOINT_EVERY`` commits / on legacy
+        migration / when the DV set needs compaction. The manifest is
+        written atomically (tmp + rename) inside the version dir."""
+        vdir = os.path.join(self.path, version)
+        os.makedirs(vdir, exist_ok=True)
+        bm = self._load_manifest(base_version) if base_version else None
+        if base_version is None:
+            m = {"kind": "checkpoint", "depth": 0, "files": adds, "dv": dv_adds}
+            resolved = (list(adds), list(dv_adds))
+        else:
+            bf, bdv = self._base_state(base_version)
+            files = [f for f in bf if f not in set(removes)] + adds
+            dv = list(bdv) + dv_adds
+            compact = len(dv) > _DV_COMPACT_AT
+            if compact:
+                dv = self._compact_dv(dv, version)
+            if bm is not None and bm["depth"] + 1 < _CHECKPOINT_EVERY and not compact:
+                m = {
+                    "kind": "delta",
+                    "base": base_version,
+                    "depth": bm["depth"] + 1,
+                    "adds": adds,
+                    "removes": removes,
+                    "dv_adds": dv_adds,
+                    "dv_removes": [],
+                }
+            else:
+                m = {"kind": "checkpoint", "depth": 0, "files": files, "dv": dv}
+            resolved = (files, dv)
+        tmp = os.path.join(vdir, f".manifest.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.rename(tmp, self._manifest_file(version))
+        self._mf_cache[version] = resolved
 
     def df(self, version: str | None = None) -> DataFrame:
         """The collection as a DataFrame (S1). ``version`` time-travels
@@ -151,12 +375,27 @@ class Collection:
         return self._apply_dv(self._read_snapshot(p), p).drop("_bucket")
 
     def _read_snapshot(self, p: str) -> DataFrame:
-        """Read a snapshot dir with its merged schema, resolving that
+        """Read a snapshot with its merged schema, resolving that
         schema from the per-version cache when possible (an explicit
         ``.schema(...)`` read skips the driver-side footer sweep that
         ``mergeSchema=true`` does on every call; files missing a cached
-        column read it as NULL, same as mergeSchema)."""
+        column read it as NULL, same as mergeSchema).
+
+        Manifest versions scan their resolved explicit file list with
+        ``basePath`` pointing at the pool root, so ``_bucket`` stays a
+        partition column and bucket-pruned reads plan against the
+        manifest's file set — no filesystem listing at all."""
+        version = os.path.basename(p)
         cached = self._schema_cache.get(p)
+        if self._load_manifest(version) is not None:
+            files, _ = self._resolve(version)
+            paths = [os.path.join(self.path, f) for f in files]
+            rd = self.spark.read.option("basePath", self._pool_root())
+            if cached is not None:
+                return rd.schema(cached).parquet(*paths)
+            df = rd.option("mergeSchema", "true").parquet(*paths)
+            self._schema_cache[p] = df.schema
+            return df
         if cached is not None:
             return self.spark.read.schema(cached).parquet(p)
         df = self.spark.read.option("mergeSchema", "true").parquet(p)
@@ -186,14 +425,16 @@ class Collection:
                     return
         self._schema_cache[vdir] = StructType(list(fields.values()))
 
-    @staticmethod
-    def _has_parquet(p: str) -> bool:
-        """Any DATA .parquet file under ``p`` (early-exit walk — O(1)
-        for any non-empty snapshot). Deletion-vector files under
-        ``_dv/`` are metadata, not data — a snapshot whose every row
-        was deleted holds only DV files and must read as empty."""
+    def _has_parquet(self, p: str) -> bool:
+        """Any live DATA file in the snapshot at ``p`` — a manifest
+        lookup for manifest versions, an early-exit walk for legacy
+        dirs. Deletion-vector files are metadata, not data — a snapshot
+        whose every row was deleted must read as empty."""
         if not os.path.isdir(p):
             return False
+        version = os.path.basename(p)
+        if self._load_manifest(version) is not None:
+            return bool(self._resolve(version)[0])
         for root, dirs, files in os.walk(p):
             dirs[:] = [d for d in dirs if d != "_dv"]
             if any(f.endswith(".parquet") for f in files):
@@ -217,39 +458,23 @@ class Collection:
     def _seq_next(self) -> int:
         return len(self.history()) + 1
 
-    def _dv_files(self, p: str) -> list[str]:
+    def _dv_paths(self, p: str) -> list[str]:
+        """Absolute paths of the snapshot's deletion-vector files —
+        from the manifest for manifest versions, from ``<p>/_dv`` for
+        legacy dirs."""
+        version = os.path.basename(p)
+        if self._load_manifest(version) is not None:
+            return [
+                os.path.join(self.path, f) for f in self._resolve(version)[1]
+            ]
         dvp = os.path.join(p, "_dv")
         if not os.path.isdir(dvp):
             return []
-        return [f for f in os.listdir(dvp) if f.endswith(".parquet")]
-
-    def _link_dv(self, cur: str | None, vdir: str) -> None:
-        """Carry the base snapshot's deletion vectors into a new
-        version (hard links — O(1) per file)."""
-        if cur is None:
-            return
-        files = self._dv_files(cur)
-        if not files:
-            return
-        dst = os.path.join(vdir, "_dv")
-        os.makedirs(dst, exist_ok=True)
-        if len(files) <= 64:
-            for fn in files:
-                os.link(os.path.join(cur, "_dv", fn), os.path.join(dst, fn))
-            return
-        # DV fragmentation bound: fold the accumulated kill files into
-        # one (they are tiny id lists — a driver-side pyarrow merge),
-        # so sustained point-DML can't degrade the read path's listing
-        import pyarrow as pa
-        import pyarrow.parquet as papq
-
-        merged = pa.concat_tables(
-            [papq.read_table(os.path.join(cur, "_dv", f)) for f in files]
-        )
-        papq.write_table(
-            merged,
-            os.path.join(dst, f"kills_compacted_{uuid.uuid4().hex[:8]}.parquet"),
-        )
+        return [
+            os.path.join(dvp, f)
+            for f in sorted(os.listdir(dvp))
+            if f.endswith(".parquet")
+        ]
 
     def _write_kills(self, vdir: str, ids, seq: int) -> None:
         """Append one kill file. ``ids`` is a Python list (written
@@ -283,10 +508,11 @@ class Collection:
         """Suppress killed rows: keep a row iff it has no kill entry or
         was (re)written at/after the kill. The DV side is tiny relative
         to the table — broadcast join, never a shuffle of the data."""
-        if not self._dv_files(p):
+        dv_paths = self._dv_paths(p)
+        if not dv_paths:
             return df.drop("_seq")
         dv = (
-            self.spark.read.parquet(os.path.join(p, "_dv"))
+            self.spark.read.parquet(*dv_paths)
             .groupBy("id")
             .agg(F.max("kill_seq").alias("_kill"))
         )
@@ -356,7 +582,11 @@ class Collection:
         return _held()
 
     def _finish_commit(
-        self, version: str, op: str, base: str | None = None
+        self,
+        version: str,
+        op: str,
+        base: str | None = None,
+        pooled: list[str] | None = None,
     ) -> None:
         """Atomically point the collection at ``version``.
 
@@ -383,6 +613,14 @@ class Collection:
                 shutil.rmtree(
                     os.path.join(self.path, version), ignore_errors=True
                 )
+                # this commit's pool files reference a stale base —
+                # unlink them so the conflict leaves no orphans
+                for rel in pooled or []:
+                    try:
+                        os.unlink(os.path.join(self.path, rel))
+                    except OSError:
+                        pass
+                self._mf_cache.pop(version, None)
                 was = base if base is not None else "<empty>"
                 raise CommitConflictError(
                     f"collection advanced from {was} to {cur} while "
@@ -433,11 +671,15 @@ class Collection:
             df = df.drop("_zorder")
         if fpb > 1:
             d = d.drop("_fsplit")
+        stage = self._stage_dir(version)
         d.write.options(**_BLOOM_OPTS).mode("overwrite").partitionBy(
             "_bucket"
-        ).parquet(vdir)
+        ).parquet(stage)
+        adds = self._pool_stage(stage, version)
+        # full rewrite = fresh checkpoint: only live rows, no DV carry
+        self._write_manifest(version, None, adds, [], [])
         self._prime_schema(vdir, df, base=None)
-        self._finish_commit(version, op, base=base)
+        self._finish_commit(version, op, base=base, pooled=adds)
 
     def _snapshot_bucketed(self) -> bool:
         """True when the current snapshot has ``_bucket=`` partition
@@ -447,6 +689,8 @@ class Collection:
         cur = self._data_path()
         if cur is None or not os.path.isdir(cur):
             return True  # empty collection: first commit will bucket it
+        if self._load_manifest(os.path.basename(cur)) is not None:
+            return True  # manifest versions are always pool-bucketed
         return any(e.startswith("_bucket=") for e in os.listdir(cur))
 
     def _commit_delta(
@@ -454,10 +698,10 @@ class Collection:
     ) -> None:
         """File-pruned commit (Delta MERGE mechanics): ``changed`` is
         the FULL new content of the ``touched`` buckets; every other
-        bucket's files are hard-linked from the current snapshot into
-        the new version dir — O(changed data) write, O(1) per
-        untouched file. This is what keeps a 1k-row MERGE from
-        rewriting a 100 TB table."""
+        bucket's files carry forward as manifest references — O(changed
+        data) write, O(changed files) metadata. This is what keeps a
+        1k-row MERGE from rewriting (or even re-listing) a 100 TB
+        table."""
         cur = self._data_path()
         if not self._snapshot_bucketed():
             # legacy non-bucketed snapshot: `changed` is the full new
@@ -468,38 +712,32 @@ class Collection:
             if cur is None:
                 self._commit(changed, op)
             return
+        base_v = os.path.basename(cur)
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, version)
-        os.makedirs(vdir, exist_ok=True)
         touched_set = {int(t) for t in touched}
-        for entry in os.listdir(cur):
-            if not entry.startswith("_bucket="):
-                continue
-            if int(entry.split("=", 1)[1]) in touched_set:
-                continue
-            src_dir = os.path.join(cur, entry)
-            dst_dir = os.path.join(vdir, entry)
-            os.makedirs(dst_dir, exist_ok=True)
-            for fn in os.listdir(src_dir):
-                if fn.endswith(".parquet"):
-                    os.link(
-                        os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
-                    )
-        # carried-over buckets may still hold killed rows
-        self._link_dv(cur, vdir)
+        base_files, _base_dv = self._base_state(base_v)
+        removes = [
+            f for f in base_files if self._bucket_of_path(f) in touched_set
+        ]
         changed = changed.withColumn(
             "_seq", F.lit(self._seq_next()).cast("long")
         )
+        stage = self._stage_dir(version)
         (
             changed.withColumn("_bucket", self._bucket())
             .repartition(max(1, len(touched_set)), "_bucket")
             .write.options(**_BLOOM_OPTS)
-            .mode("append")
+            .mode("overwrite")
             .partitionBy("_bucket")
-            .parquet(vdir)
+            .parquet(stage)
         )
+        adds = self._pool_stage(stage, version)
+        # base DV refs carry forward in the manifest: rewritten buckets
+        # hold only live rows at a fresh _seq, so stale kills are inert
+        self._write_manifest(version, base_v, adds, removes, [])
         self._prime_schema(vdir, changed, base=cur)
-        self._finish_commit(version, op, base=os.path.basename(cur))
+        self._finish_commit(version, op, base=base_v, pooled=adds)
 
     def _commit_append(
         self,
@@ -510,14 +748,13 @@ class Collection:
         kill_event: str | None = None,
     ) -> None:
         """Append-only commit (Delta blind APPEND + deletion vectors):
-        hard-link EVERY existing file into the new version, record
-        ``kill_ids`` (list or DataFrame) as a deletion-vector file, and
-        write only ``batch`` rows as additional files in their bucket
-        dirs — the current snapshot is never read, so a 1k-row
-        insert/upsert/delete into a 100 TB table costs O(1k rows) +
-        O(#files) link syscalls. Inserts pass batch only (ids
-        dup-checked absent); upserts pass batch + kills; deletes pass
-        kills only. Repeated commits accumulate small files and DV
+        the manifest records the batch's new files as adds over the base
+        version, plus ``kill_ids`` (list or DataFrame) as deletion-
+        vector adds — the current snapshot is never read OR re-listed,
+        so a 1k-row insert/upsert/delete into a 100 TB table costs
+        O(1k rows) + O(new files) metadata. Inserts pass batch only
+        (ids dup-checked absent); upserts pass batch + kills; deletes
+        pass kills only. Repeated commits accumulate small files and DV
         entries; :meth:`optimize` compacts both."""
         cur = self._data_path()
         if cur is None or not self._has_parquet(cur) or not self._snapshot_bucketed():
@@ -531,21 +768,10 @@ class Collection:
                 fpb = max(1, min(8, (n_rows or 0) // 50_000))
                 self._commit(batch, op, files_per_bucket=fpb)
             return
+        base_v = os.path.basename(cur)
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, version)
         os.makedirs(vdir, exist_ok=True)
-        for entry in os.listdir(cur):
-            if not entry.startswith("_bucket="):
-                continue
-            src_dir = os.path.join(cur, entry)
-            dst_dir = os.path.join(vdir, entry)
-            os.makedirs(dst_dir, exist_ok=True)
-            for fn in os.listdir(src_dir):
-                if fn.endswith(".parquet"):
-                    os.link(
-                        os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
-                    )
-        self._link_dv(cur, vdir)
         seq = self._seq_next()
         if kill_ids is not None and not (
             isinstance(kill_ids, DataFrame) and kill_event is not None
@@ -596,13 +822,17 @@ class Collection:
                     out = out.observe(obs, F.count(F.lit(1)).alias("n"))
                 except ImportError:
                     obs = None
+            stage = self._stage_dir(version)
             try:
-                out.write.options(**_BLOOM_OPTS).mode("append").partitionBy(
-                    "_bucket"
-                ).parquet(vdir)
+                out.write.options(**_BLOOM_OPTS).mode(
+                    "overwrite"
+                ).partitionBy("_bucket").parquet(stage)
             except Exception as ex:
                 import re as _re
+                import shutil
 
+                shutil.rmtree(stage, ignore_errors=True)
+                shutil.rmtree(vdir, ignore_errors=True)
                 m = _re.search(
                     r"(dimension mismatch|null id in batch"
                     r"|duplicate id in upsert batch)[^\"\n]*",
@@ -615,17 +845,23 @@ class Collection:
                 n_out = int(obs.get["n"])
                 if n_out == 0 and kill_event is not None:
                     # empty upsert batch: nothing was written or killed
-                    # — don't flip to a pointless full-relink version
-                    # (a streaming upsert sink sees empty micro-batches
+                    # — don't flip to a pointless no-op version (a
+                    # streaming upsert sink sees empty micro-batches
                     # routinely and must not bloat the version chain)
                     import shutil
 
+                    shutil.rmtree(stage, ignore_errors=True)
                     shutil.rmtree(vdir, ignore_errors=True)
                     return 0
+            adds = self._pool_stage(stage, version)
             self._prime_schema(vdir, batch, base=cur)
-        elif cur in self._schema_cache:
-            self._schema_cache[vdir] = self._schema_cache[cur]
-        self._finish_commit(version, op, base=os.path.basename(cur))
+        else:
+            adds = []
+            if cur in self._schema_cache:
+                self._schema_cache[vdir] = self._schema_cache[cur]
+        dv_adds = self._pool_dv(vdir, version)
+        self._write_manifest(version, base_v, adds, [], dv_adds)
+        self._finish_commit(version, op, base=base_v, pooled=adds + dv_adds)
         self._publish_staged_events(vdir)
         return n_out
 
@@ -641,21 +877,10 @@ class Collection:
         cur = self._data_path()
         if cur is None or not self._has_parquet(cur):
             return False  # empty collection: nothing can match
+        base_v = os.path.basename(cur)
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, version)
         os.makedirs(vdir, exist_ok=True)
-        for entry in os.listdir(cur):
-            if not entry.startswith("_bucket="):
-                continue
-            src_dir = os.path.join(cur, entry)
-            dst_dir = os.path.join(vdir, entry)
-            os.makedirs(dst_dir, exist_ok=True)
-            for fn in os.listdir(src_dir):
-                if fn.endswith(".parquet"):
-                    os.link(
-                        os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
-                    )
-        self._link_dv(cur, vdir)
         seq = self._seq_next()
         dv_dir = os.path.join(vdir, "_dv")
         # stage events in the version dir; published after the flip
@@ -706,7 +931,9 @@ class Collection:
             return False
         if cur in self._schema_cache:
             self._schema_cache[vdir] = self._schema_cache[cur]
-        self._finish_commit(version, op, base=os.path.basename(cur))
+        dv_adds = self._pool_dv(vdir, version)
+        self._write_manifest(version, base_v, [], [], dv_adds)
+        self._finish_commit(version, op, base=base_v, pooled=dv_adds)
         self._publish_staged_events(vdir)
         return True
 
@@ -896,12 +1123,19 @@ class Collection:
             p = self._data_path()
             on_disk = 0
             if p and os.path.isdir(p):
-                for root, _dirs, files in os.walk(p):
-                    on_disk += sum(
-                        os.path.getsize(os.path.join(root, fn))
-                        for fn in files
-                        if fn.endswith(".parquet")
+                ver = os.path.basename(p)
+                if self._load_manifest(ver) is not None:
+                    on_disk = sum(
+                        os.path.getsize(os.path.join(self.path, rel))
+                        for rel in self._resolve(ver)[0]
                     )
+                else:
+                    for root, _dirs, files in os.walk(p):
+                        on_disk += sum(
+                            os.path.getsize(os.path.join(root, fn))
+                            for fn in files
+                            if fn.endswith(".parquet")
+                        )
             target_partitions = max(1, -(-on_disk // target_file_bytes))
         # _commit lays files out as n_buckets × files_per_bucket — a
         # bare coalesce() here would be overridden by its bucket
@@ -923,9 +1157,19 @@ class Collection:
         self._commit(out, op="optimize", files_per_bucket=fpb)
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
-        """Drop snapshot dirs older than the last ``keep_last`` history
+        """Drop snapshots older than the last ``keep_last`` history
         entries (never the current pointer) — Delta ``VACUUM``. Returns
-        the removed version names; time travel to them is gone."""
+        the removed version names; time travel to them is gone.
+
+        Manifest mechanics: every RETAINED manifest version is first
+        rewritten as a full checkpoint, so no kept chain folds through
+        a dropped version dir. Pool files are then garbage-collected
+        when they belong to a dropped version (``{version}-`` filename
+        prefix) and no retained manifest references them. Files staged
+        by an IN-FLIGHT commit carry a version not yet in history, so
+        they are never GC'd from under a concurrent writer; orphans
+        from crashed commits (never-committed versions) are likewise
+        left alone — bounded by crash count, not commit count."""
         import shutil
 
         hist = self.history()
@@ -933,13 +1177,46 @@ class Collection:
         cur = self._current_version()
         if cur:
             keep.add(cur)
+        # checkpoint kept manifest versions (self-contained chains)
+        referenced: set[str] = set()
+        for v in sorted(keep):
+            if self._load_manifest(v) is None:
+                continue
+            files, dv = self._resolve(v)
+            m = {"kind": "checkpoint", "depth": 0, "files": files, "dv": dv}
+            tmp = os.path.join(
+                self.path, v, f".manifest.{uuid.uuid4().hex[:8]}.tmp"
+            )
+            with open(tmp, "w") as f:
+                f.write(json.dumps(m))
+            os.rename(tmp, self._manifest_file(v))
+            referenced.update(files)
+            referenced.update(dv)
         removed = []
+        dropped: set[str] = set()
         for h in hist:
             v = h["version"]
             vp = os.path.join(self.path, v)
             if v not in keep and os.path.isdir(vp):
                 shutil.rmtree(vp)
                 removed.append(v)
+            if v not in keep:
+                dropped.add(v)
+                self._mf_cache.pop(v, None)
+        # GC pool files of dropped versions that nothing kept references
+        pool = self._pool_root()
+        if os.path.isdir(pool):
+            for root, _dirs, fns in os.walk(pool):
+                for fn in fns:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    owner = fn.split("-", 1)[0]
+                    rel = os.path.relpath(os.path.join(root, fn), self.path)
+                    if owner in dropped and rel not in referenced:
+                        try:
+                            os.unlink(os.path.join(root, fn))
+                        except OSError:
+                            pass
         return removed
 
     # -- change feed (R5: ObservableCollection, realtime.py:325-442) --
@@ -1302,21 +1579,13 @@ class Collection:
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path, version)
         os.makedirs(vdir, exist_ok=True)
-        for entry in os.listdir(cur):
-            if not entry.startswith("_bucket="):
-                continue
-            src_dir = os.path.join(cur, entry)
-            dst_dir = os.path.join(vdir, entry)
-            os.makedirs(dst_dir, exist_ok=True)
-            for fn in os.listdir(src_dir):
-                if fn.endswith(".parquet"):
-                    os.link(
-                        os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
-                    )
-        self._link_dv(cur, vdir)
+        base_v = os.path.basename(cur)
         seq = self._seq_next()
         tok = uuid.uuid4().hex[:8]
 
+        # new data files go straight into the pool (invisible until the
+        # manifest references them); the base snapshot's files carry
+        # forward as manifest references — zero per-file syscalls
         data = tbl.append_column(
             "_seq", pa.array([seq] * n, pa.int64())
         )
@@ -1325,16 +1594,19 @@ class Collection:
         by_bucket: dict[int, list[int]] = {}
         for idx, b in enumerate(bvals):
             by_bucket.setdefault(int(b), []).append(idx)
+        adds: list[str] = []
         for b, idxs in sorted(by_bucket.items()):
-            dst_dir = os.path.join(vdir, f"_bucket={b}")
+            dst_dir = os.path.join(self._pool_root(), f"_bucket={b}")
             os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, f"{version}-part-local-{tok}.parquet")
             papq.write_table(
-                data.take(pa.array(idxs, pa.int64())),
-                os.path.join(dst_dir, f"part-local-{tok}.parquet"),
+                data.take(pa.array(idxs, pa.int64())), dst
             )
+            adds.append(os.path.relpath(dst, self.path))
 
-        dv_dir = os.path.join(vdir, "_dv")
+        dv_dir = os.path.join(self._pool_root(), "_dv")
         os.makedirs(dv_dir, exist_ok=True)
+        dv_dst = os.path.join(dv_dir, f"{version}-kills_{seq}_{tok}.parquet")
         papq.write_table(
             pa.table(
                 {
@@ -1342,8 +1614,9 @@ class Collection:
                     "kill_seq": pa.array([seq] * n, pa.int64()),
                 }
             ),
-            os.path.join(dv_dir, f"kills_{seq}_{tok}.parquet"),
+            dv_dst,
         )
+        dv_adds = [os.path.relpath(dv_dst, self.path)]
         from datetime import datetime, timezone
 
         ev_dir = os.path.join(vdir, "_events_staged")
@@ -1366,8 +1639,11 @@ class Collection:
             ),
             os.path.join(ev_dir, f"ev_{tok}.parquet"),
         )
+        self._write_manifest(version, base_v, adds, [], dv_adds)
         self._prime_schema(vdir, batch, base=cur)
-        self._finish_commit(version, "upsert", base=os.path.basename(cur))
+        self._finish_commit(
+            version, "upsert", base=base_v, pooled=adds + dv_adds
+        )
         self._publish_staged_events(vdir)
         return n
 
@@ -1391,28 +1667,24 @@ class Collection:
             return  # empty collection: nothing can match (and a where
             # predicate on absent metadata columns could not resolve)
         if not verify_existing and ids and where is None and self._snapshot_bucketed():
+            # zero-job O(ids) commit: one pooled kill file + a manifest
+            # delta — no scan, no listing, no per-file metadata
             id_list = [str(i) for i in ids]
             version = f"v_{uuid.uuid4().hex[:12]}"
             vdir = os.path.join(self.path, version)
             os.makedirs(vdir, exist_ok=True)
-            for entry in os.listdir(cur_p):
-                if not entry.startswith("_bucket="):
-                    continue
-                src_dir = os.path.join(cur_p, entry)
-                dst_dir = os.path.join(vdir, entry)
-                os.makedirs(dst_dir, exist_ok=True)
-                for fn in os.listdir(src_dir):
-                    if fn.endswith(".parquet"):
-                        os.link(
-                            os.path.join(src_dir, fn),
-                            os.path.join(dst_dir, fn),
-                        )
-            self._link_dv(cur_p, vdir)
             self._write_kills(vdir, id_list, self._seq_next())
+            dv_adds = self._pool_dv(vdir, version)
+            self._write_manifest(
+                version, os.path.basename(cur_p), [], [], dv_adds
+            )
             if cur_p in self._schema_cache:
                 self._schema_cache[vdir] = self._schema_cache[cur_p]
             self._finish_commit(
-                version, op="delete", base=os.path.basename(cur_p)
+                version,
+                op="delete",
+                base=os.path.basename(cur_p),
+                pooled=dv_adds,
             )
             self._emit_ids("delete", id_list)
             return
@@ -1520,22 +1792,33 @@ class Collection:
         cur = self._data_path()
         rows = []
         if cur and os.path.isdir(cur):
-            for root, _dirs, fns in os.walk(cur):
-                # metadata dirs (DV kill files, staged stream batches)
-                # are not live data — same exclusion as _has_parquet
-                _dirs[:] = [
-                    d for d in _dirs if d not in ("_dv", "_events_staged")
-                ]
-                seg = os.path.basename(root)
-                bucket = (
-                    int(seg.split("=", 1)[1])
-                    if seg.startswith("_bucket=")
-                    else -1
-                )
-                for fn in fns:
-                    if fn.endswith(".parquet"):
-                        p = os.path.join(root, fn)
-                        rows.append((p, bucket, os.path.getsize(p)))
+            ver = os.path.basename(cur)
+            if self._load_manifest(ver) is not None:
+                # manifest version: the inventory IS the resolved
+                # manifest (DV refs excluded by construction)
+                for rel in self._resolve(ver)[0]:
+                    p = os.path.join(self.path, rel)
+                    rows.append(
+                        (p, self._bucket_of_path(rel), os.path.getsize(p))
+                    )
+            else:
+                for root, _dirs, fns in os.walk(cur):
+                    # metadata dirs (DV kill files, staged stream
+                    # batches) are not live data — same exclusion as
+                    # _has_parquet
+                    _dirs[:] = [
+                        d for d in _dirs if d not in ("_dv", "_events_staged")
+                    ]
+                    seg = os.path.basename(root)
+                    bucket = (
+                        int(seg.split("=", 1)[1])
+                        if seg.startswith("_bucket=")
+                        else -1
+                    )
+                    for fn in fns:
+                        if fn.endswith(".parquet"):
+                            p = os.path.join(root, fn)
+                            rows.append((p, bucket, os.path.getsize(p)))
         listing_schema = "path string, bucket int, n_bytes long"
         out_schema = (
             listing_schema + ", n_rows long, n_row_groups int"

@@ -758,3 +758,132 @@ def pq_adc_search_local(
             for f in futs:
                 f.result()
     return out_d, out_i
+
+
+# ---------------------------------------------------------------------------
+# Trained-state persistence + reference .npz interop (the reference
+# saves trained quantizers — quantization.py:196-215 SQ save/load via
+# np.savez — so a restart/migration never retrains). Trained states
+# here are SMALL tables (SQ: dims rows; BQ: dims rows; PQ: m×k rows),
+# persisted as one-file parquet artifacts keyed to the collection
+# version they were trained against.
+# ---------------------------------------------------------------------------
+
+_QUANT_SCHEMAS = {
+    "sq": ("dim int, vmin double, vmax double, scale double", ["dim"]),
+    "bq": ("dim int, threshold double", ["dim"]),
+    "pq": ("m int, cidx int, cvec array<double>", ["m", "cidx"]),
+}
+
+
+def save_quantizer(
+    stats: DataFrame, path: str, kind: str, version: str | None = None
+) -> None:
+    """Persist a trained quantizer state table (``sq_train`` /
+    ``bq_train`` / ``pq_train_kmeans`` output) as a single parquet file
+    plus a JSON sidecar recording the kind and the collection version
+    it was trained against — the restart/migration path the reference
+    covers with ``ScalarQuantizer.save`` (quantization.py:196-202)."""
+    import json
+    import os
+
+    if kind not in _QUANT_SCHEMAS:
+        raise ValueError(f"unknown quantizer kind: {kind!r}")
+    os.makedirs(path, exist_ok=True)
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "state")
+    )
+    with open(os.path.join(path, "quantizer.json"), "w") as f:
+        json.dump({"kind": kind, "format": 1, "version": version}, f)
+
+
+def load_quantizer(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a saved quantizer: ``(state_df, meta)``. The state comes
+    back ordered on its key columns, so downstream ``collect()`` into
+    per-dim literal arrays is deterministic."""
+    import json
+    import os
+
+    with open(os.path.join(path, "quantizer.json")) as f:
+        meta = json.load(f)
+    schema, keys = _QUANT_SCHEMAS[meta["kind"]]
+    df = (
+        spark.read.schema(schema)
+        .parquet(os.path.join(path, "state"))
+        .orderBy(*keys)
+    )
+    return df, meta
+
+
+def collection_quantizer_path(collection, name: str) -> str:
+    """Artifact home for a collection's trained quantizer — keyed under
+    ``_artifacts/`` (invisible to version resolution and
+    ``list_collections``)."""
+    import os
+
+    return os.path.join(collection.path, "_artifacts", name)
+
+
+def save_collection_quantizer(
+    collection, stats: DataFrame, kind: str, name: str | None = None
+) -> str:
+    """Persist a quantizer trained on ``collection``'s CURRENT version;
+    :func:`load_collection_quantizer` reports staleness when the
+    collection has advanced past it."""
+    p = collection_quantizer_path(collection, name or kind)
+    save_quantizer(stats, p, kind, version=collection._current_version())
+    return p
+
+
+def load_collection_quantizer(
+    collection, name: str
+) -> tuple[DataFrame, dict, bool]:
+    """``(state_df, meta, stale)`` — ``stale`` is True when the
+    collection advanced since training (retrain or accept drift)."""
+    df, meta = load_quantizer(
+        collection.spark, collection_quantizer_path(collection, name)
+    )
+    stale = meta.get("version") != collection._current_version()
+    return df, meta, stale
+
+
+def import_sq_npz(spark: SparkSession, path: str) -> DataFrame:
+    """Import a reference ``ScalarQuantizer.save`` archive
+    (quantization.py:196-202: ``min_vals``/``max_vals``/``scale``/
+    ``dimensions``) into the ``sq_train`` state shape — migration
+    without retraining."""
+    import numpy as np
+
+    data = np.load(path)
+    dims = int(data["dimensions"])
+    vmin = np.asarray(data["min_vals"], dtype=np.float64)
+    vmax = np.asarray(data["max_vals"], dtype=np.float64)
+    scale = np.asarray(data["scale"], dtype=np.float64)
+    if not (len(vmin) == len(vmax) == len(scale) == dims):
+        raise ValueError(
+            f"npz arrays disagree with dimensions={dims}: "
+            f"{len(vmin)}/{len(vmax)}/{len(scale)}"
+        )
+    rows = [
+        (d, float(vmin[d]), float(vmax[d]), float(scale[d]))
+        for d in range(dims)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, vmin double, vmax double, scale double"
+    )
+
+
+def export_sq_npz(stats: DataFrame, path: str) -> None:
+    """Write ``sq_train`` state as a reference-loadable ``.npz``
+    (byte-compatible with ``ScalarQuantizer.load``,
+    quantization.py:205-215) — the reverse migration."""
+    import numpy as np
+
+    rows = stats.orderBy("dim").collect()
+    np.savez(
+        path,
+        min_vals=np.asarray([r["vmin"] for r in rows], dtype=np.float32),
+        max_vals=np.asarray([r["vmax"] for r in rows], dtype=np.float32),
+        scale=np.asarray([r["scale"] for r in rows], dtype=np.float32),
+        dimensions=len(rows),
+    )

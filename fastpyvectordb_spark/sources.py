@@ -550,3 +550,121 @@ def import_reference_graph_embeddings(
             db, cname, int(mat.shape[1]), metric, rows(), batch_size
         )
     return out
+
+
+def import_reference_mmap(
+    db: "VectorDB",
+    src_dir: str,
+    name: str,
+    metric: str = "cosine",
+    batch_size: int = 50_000,
+) -> "Collection":
+    """Import a reference memory-mapped store
+    (``parallel_search.py:441-555``): ``vectors.mmap`` with a 64-byte
+    header — ``PYVEC001`` magic then ``<III`` version/n_vectors/dims —
+    followed by a contiguous float32 array (possibly over-allocated
+    beyond n_vectors), plus ``ids.json`` and ``metadata.json``
+    sidecars. The data region is itself read via ``np.memmap``, so the
+    import streams chunks without materializing the matrix."""
+    import struct as _struct
+
+    import numpy as np
+
+    data_path = os.path.join(src_dir, "vectors.mmap")
+    with open(data_path, "rb") as f:
+        header = f.read(64)
+    if header[:8] != b"PYVEC001":
+        raise ValueError(f"invalid mmap store magic: {header[:8]!r}")
+    version, n_vectors, dims = _struct.unpack("<III", header[8:20])
+    if version != 1:
+        raise ValueError(f"unsupported mmap store version {version}")
+    ids: list[str] = []
+    ids_path = os.path.join(src_dir, "ids.json")
+    if os.path.exists(ids_path):
+        with open(ids_path) as f:
+            ids = json.load(f)
+    metadata: dict = {}
+    meta_path = os.path.join(src_dir, "metadata.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    if len(ids) < n_vectors:
+        # the reference's appender names unnamed rows vec_<i>
+        ids = ids + [f"vec_{i}" for i in range(len(ids), n_vectors)]
+
+    def rows():
+        if n_vectors == 0:
+            return
+        mm = np.memmap(
+            data_path,
+            dtype=np.float32,
+            mode="r",
+            offset=64,
+            shape=(n_vectors, dims),
+        )
+        for i in range(n_vectors):
+            vid = str(ids[i])
+            yield {
+                **(metadata.get(vid) or {}),
+                "id": vid,
+                "embedding": [float(x) for x in mm[i]],
+            }
+
+    return _ingest_rows(db, name, int(dims), metric, rows(), batch_size)
+
+
+def import_reference_stream(
+    db: "VectorDB",
+    src_dir: str,
+    name: str,
+    metric: str = "cosine",
+    batch_size: int = 50_000,
+) -> "Collection":
+    """Import a reference ``StreamingBinaryWriter`` directory
+    (``binary_persistence.py:212-275``): ``header.json``
+    (count/dimensions + config), ``ids.pkl``, ``metadata.pkl``, and
+    ``vectors_stream.bin`` as a raw float32 append stream in id order.
+    Read sequentially in bounded chunks — the same memory profile as
+    the reference's ``StreamingBinaryReader.iterate``."""
+    import pickle
+
+    import numpy as np
+
+    with open(os.path.join(src_dir, "header.json")) as f:
+        header = json.load(f)
+    count = int(header["count"])
+    dims = int(header["dimensions"])
+    with open(os.path.join(src_dir, "ids.pkl"), "rb") as f:
+        ids = pickle.load(f)
+    metadata: dict = {}
+    mp = os.path.join(src_dir, "metadata.pkl")
+    if os.path.exists(mp):
+        with open(mp, "rb") as f:
+            metadata = pickle.load(f)
+    if len(ids) != count:
+        raise ValueError(
+            f"ids.pkl has {len(ids)} entries but header count is {count}"
+        )
+
+    def rows():
+        with open(os.path.join(src_dir, "vectors_stream.bin"), "rb") as f:
+            done = 0
+            while done < count:
+                n = min(4096, count - done)
+                flat = np.fromfile(f, dtype=np.float32, count=n * dims)
+                if flat.size != n * dims:
+                    raise ValueError(
+                        "vectors_stream.bin truncated: expected "
+                        f"{count * dims} floats, stream ended at row {done}"
+                    )
+                mat = flat.reshape(n, dims)
+                for j in range(n):
+                    vid = str(ids[done + j])
+                    yield {
+                        **(metadata.get(vid) or {}),
+                        "id": vid,
+                        "embedding": [float(x) for x in mat[j]],
+                    }
+                done += n
+
+    return _ingest_rows(db, name, dims, metric, rows(), batch_size)

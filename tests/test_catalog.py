@@ -177,23 +177,17 @@ def test_optimize_compacts_small_files(spark, tmp_path):
             )
         )
     before_v = c.history()[-1]["version"]
-    n_before = len(
-        glob.glob(str(tmp_path / "opt" / before_v / "**" / "*.parquet"),
-                  recursive=True)
-    )
+    files_before = c._resolve(before_v)[0]
     c.optimize()
     after_v = c.history()[-1]["version"]
     assert after_v != before_v and c.history()[-1]["op"] == "optimize"
-    # bucketed layout: compaction is per bucket dir — one file per
+    # bucketed layout: compaction is per bucket — one file per
     # non-empty bucket, never more files than the fragmented snapshot
-    n_after = len(
-        glob.glob(str(tmp_path / "opt" / after_v / "**" / "*.parquet"),
-                  recursive=True)
-    )
+    files_after = c._resolve(after_v)[0]
     n_buckets_used = len(
-        glob.glob(str(tmp_path / "opt" / after_v / "_bucket=*"))
+        {c._bucket_of_path(f) for f in files_after}
     )
-    assert n_after == n_buckets_used <= n_before
+    assert len(files_after) == n_buckets_used <= len(files_before)
     assert sorted(r["id"] for r in c.df().collect()) == [f"id{i}" for i in range(4)]
     c.optimize(target_partitions=2)
     assert sorted(r["id"] for r in c.df().collect()) == [f"id{i}" for i in range(4)]
@@ -273,14 +267,13 @@ def test_collection_config_knobs_roundtrip(spark, tmp_path):
     assert (cfg.dimensions, cfg.metric) == (8, "l2")
 
 
-def test_upsert_commit_links_all_files_and_records_kills(spark, tmp_path):
-    """Deletion-vector upsert (Delta DV MERGE fast path): EVERY data
-    file of the previous snapshot is hard-linked (same inode) into the
-    new version, the batch lands as one appended file, and the old row
-    is suppressed by a kill record under _dv/ — no data is read or
-    rewritten, which is what keeps a 1k-row MERGE O(batch) on a
-    100 TB table."""
-    import glob
+def test_upsert_commit_is_manifest_delta_not_per_file_links(spark, tmp_path):
+    """Deletion-vector upsert (Delta DV MERGE fast path) over manifest
+    metadata: the new version REFERENCES every previous data file (same
+    physical file, no copy, no per-file link), adds exactly one batch
+    file and one kill file, and the version dir holds nothing but the
+    manifest — commit metadata is O(changed files), which is what keeps
+    a 1k-row MERGE O(batch) on a 100 TB / 10⁶-file table."""
     import os
 
     from fastpyvectordb_spark.catalog import Collection, CollectionConfig
@@ -295,27 +288,32 @@ def test_upsert_commit_links_all_files_and_records_kills(spark, tmp_path):
         )
     )
     v1 = c.history()[-1]["version"]
+    f1, dv1 = c._resolve(v1)
+    ino_before = {
+        os.stat(os.path.join(c.path, f)).st_ino for f in f1
+    }
+    nlink_before = {
+        f: os.stat(os.path.join(c.path, f)).st_nlink for f in f1
+    }
     c.upsert(
         spark.createDataFrame(
             [("id0", [9.0, 9.0])], "id string, embedding array<float>"
         )
     )
     v2 = c.history()[-1]["version"]
-
-    def inodes(version):
-        return {
-            os.stat(p).st_ino
-            for p in glob.glob(
-                str(tmp_path / "dl" / version / "_bucket=*" / "*.parquet")
-            )
-        }
-
-    i1, i2 = inodes(v1), inodes(v2)
-    assert i1 <= i2, "every previous data file must be hard-linked forward"
-    assert len(i2) == len(i1) + 1, "exactly one appended batch file"
-    dv = glob.glob(str(tmp_path / "dl" / v2 / "_dv" / "*.parquet"))
-    assert len(dv) == 1, "one kill file records the replaced id"
-    assert not glob.glob(str(tmp_path / "dl" / v1 / "_dv" / "*.parquet"))
+    f2, dv2 = c._resolve(v2)
+    assert set(f1) <= set(f2), "previous files carry forward by reference"
+    assert len(f2) == len(f1) + 1, "exactly one appended batch file"
+    assert not dv1 and len(dv2) == 1, "one kill file records the replaced id"
+    # NO per-file linking happened: same inodes, unchanged link counts
+    for f in f1:
+        st = os.stat(os.path.join(c.path, f))
+        assert st.st_ino in ino_before
+        assert st.st_nlink == nlink_before[f], "no hard links added"
+    # the version dir holds only commit metadata, not a file tree
+    entries = set(os.listdir(os.path.join(c.path, v2)))
+    assert "manifest.json" in entries
+    assert not any(e.startswith("_bucket=") for e in entries)
     # content correct: old row suppressed, new row visible
     rows = {r["id"]: list(r["embedding"]) for r in c.df().collect()}
     assert len(rows) == 200 and rows["id0"] == [9.0, 9.0]
@@ -346,7 +344,9 @@ def test_delete_then_reinsert_and_optimize_compacts_dv(spark, tmp_path):
     assert c.count() == 18
     v_del = c.history()[-1]["version"]
     # delete commit wrote a DV but no new data files
-    assert glob.glob(str(tmp_path / "dv2" / v_del / "_dv" / "*.parquet"))
+    f_pre, _ = c._resolve(c.history()[-2]["version"])
+    f_del, dv_del = c._resolve(v_del)
+    assert dv_del and f_del == f_pre
     c.insert_batch(
         spark.createDataFrame(
             [("k3", [9.0, 9.0])], "id string, embedding array<float>"
@@ -357,7 +357,7 @@ def test_delete_then_reinsert_and_optimize_compacts_dv(spark, tmp_path):
     assert rows["k3"] == [9.0, 9.0] and "k7" not in rows
     c.optimize()
     v_opt = c.history()[-1]["version"]
-    assert not glob.glob(str(tmp_path / "dv2" / v_opt / "_dv" / "*.parquet"))
+    assert not c._resolve(v_opt)[1], "optimize folds deletion vectors"
     rows2 = {r["id"]: list(r["embedding"]) for r in c.df().collect()}
     assert rows2 == rows
 
@@ -652,9 +652,7 @@ def test_optimize_respects_target_partitions(spark, db):
     c = db.create_collection("optsize", dimensions=4)
     c.insert_batch(_batch(spark, _vecs(2000)))
     c.optimize(target_partitions=64)
-    files = _glob.glob(
-        f"{c.path}/{c._current_version()}/_bucket=*/*.parquet"
-    )
+    files = c._resolve(c._current_version())[0]
     # 16 buckets × 4 sub-splits ≈ 64 nonempty (bucket, split) cells
     assert len(files) > 20, f"only {len(files)} files"
 
@@ -750,8 +748,8 @@ def test_upsert_local_fast_path_full_contract(spark, db, monkeypatch):
     old = {r["id"]: r for r in c.df(version=v_before).collect()}
     assert [round(x) for x in old["v1"]["embedding"]] == [1, 1, 1, 1]
     # DV kill file + published CDC events exist
-    cur = c._data_path()
-    assert any(f.startswith("kills_") for f in os.listdir(os.path.join(cur, "_dv")))
+    dv = c._resolve(c._current_version())[1]
+    assert any("kills_" in os.path.basename(f) for f in dv)
     ev = os.path.join(c.path, "_events")
     assert any(f.endswith(".parquet") for f in os.listdir(ev))
     # error surface identical to the distributed path
@@ -830,12 +828,12 @@ def test_upsert_local_conflict_on_concurrent_commit(spark, db, monkeypatch):
     orig_finish = cat.Collection._finish_commit
     state = {"raced": False}
 
-    def racing_finish(self, version, op, base=None):
+    def racing_finish(self, version, op, base=None, pooled=None):
         if op == "upsert" and not state["raced"]:
             state["raced"] = True
             other = cat.Collection(spark, c.path, c.config)
             other.insert_batch(_batch(spark, [("zz", [7.0] * 4, "A")]))
-        return orig_finish(self, version, op, base=base)
+        return orig_finish(self, version, op, base=base, pooled=pooled)
 
     monkeypatch.setattr(cat.Collection, "_finish_commit", racing_finish)
     with _pytest.raises(cat.CommitConflictError, match="advanced"):
@@ -852,3 +850,168 @@ def test_upsert_local_conflict_on_concurrent_commit(spark, db, monkeypatch):
         round(x)
         for x in {r["id"]: r for r in c.df().collect()}["v0"]["embedding"]
     ] == [9, 9, 9, 9]
+
+
+def test_manifest_chain_checkpoints_and_version_dirs_stay_metadata_only(
+    spark, tmp_path
+):
+    """Sustained point DML builds a delta chain that (a) keeps every
+    version dir metadata-only (no per-file links — commit cost is
+    O(changed files) regardless of table size), and (b) folds into a
+    full checkpoint every _CHECKPOINT_EVERY commits so reads never
+    chase an unbounded chain."""
+    import json as _json
+    import os
+
+    from fastpyvectordb_spark.catalog import (
+        _CHECKPOINT_EVERY, Collection, CollectionConfig,
+    )
+
+    c = Collection(
+        spark, str(tmp_path / "chain"),
+        CollectionConfig(dimensions=2, n_buckets=4),
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"c{i}", [float(i), 0.0]) for i in range(40)],
+            "id string, embedding array<float>",
+        )
+    )
+    for i in range(_CHECKPOINT_EVERY + 3):
+        c.upsert(
+            spark.createDataFrame(
+                [(f"c{i}", [9.0, float(i)])],
+                "id string, embedding array<float>",
+            )
+        )
+    kinds = []
+    for h in c.history():
+        v = h["version"]
+        mp = os.path.join(c.path, v, "manifest.json")
+        assert os.path.exists(mp), f"{v} missing manifest"
+        with open(mp) as f:
+            kinds.append(_json.load(f)["kind"])
+        entries = os.listdir(os.path.join(c.path, v))
+        assert not any(e.startswith("_bucket=") for e in entries), (
+            f"{v} holds a data-file tree — commit was not metadata-only"
+        )
+    assert "checkpoint" in kinds[1:], "chain never checkpointed"
+    assert kinds.count("delta") >= _CHECKPOINT_EVERY - 2
+    rows = {r["id"]: list(r["embedding"]) for r in c.df().collect()}
+    assert len(rows) == 40
+    for i in range(_CHECKPOINT_EVERY + 3):
+        assert rows[f"c{i}"] == [9.0, float(i)]
+
+
+def test_vacuum_gcs_unreferenced_pool_files(spark, tmp_path):
+    """vacuum() must GC pool files owned by dropped versions that no
+    retained manifest references, keep every referenced file, and
+    checkpoint retained manifests so their chains stay resolvable."""
+    import glob
+    import os
+
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(
+        spark, str(tmp_path / "gc"),
+        CollectionConfig(dimensions=2, n_buckets=4),
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"g{i}", [float(i), 0.0]) for i in range(40)],
+            "id string, embedding array<float>",
+        )
+    )
+    c.upsert(
+        spark.createDataFrame(
+            [("g0", [7.0, 7.0])], "id string, embedding array<float>"
+        )
+    )
+    # full rewrite: old pool files now referenced ONLY by old versions
+    c.optimize()
+    pool_before = set(glob.glob(str(tmp_path / "gc" / "_files" / "**" / "*.parquet"), recursive=True))
+    removed = c.vacuum(keep_last=1)
+    assert removed, "old versions should drop"
+    pool_after = set(glob.glob(str(tmp_path / "gc" / "_files" / "**" / "*.parquet"), recursive=True))
+    assert pool_after < pool_before, "dropped versions' files GC'd"
+    live = {
+        os.path.join(c.path, f)
+        for f in c._resolve(c._current_version())[0]
+    }
+    assert live <= pool_after, "every referenced file survives"
+    rows = {r["id"]: list(r["embedding"]) for r in c.df().collect()}
+    assert len(rows) == 40 and rows["g0"] == [7.0, 7.0]
+
+
+def test_dv_compaction_bounds_kill_files(spark, tmp_path):
+    """Past _DV_COMPACT_AT accumulated kill files, the next commit
+    folds them into one — the read path's DV set stays bounded under
+    sustained point deletes."""
+    from fastpyvectordb_spark.catalog import (
+        _DV_COMPACT_AT, Collection, CollectionConfig,
+    )
+
+    c = Collection(
+        spark, str(tmp_path / "dvc"),
+        CollectionConfig(dimensions=2, n_buckets=4),
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"d{i}", [float(i), 0.0]) for i in range(100)],
+            "id string, embedding array<float>",
+        )
+    )
+    for i in range(_DV_COMPACT_AT + 6):
+        c.delete(ids=[f"d{i}"], verify_existing=False)
+    dv = c._resolve(c._current_version())[1]
+    assert len(dv) <= _DV_COMPACT_AT, f"{len(dv)} DV files — never compacted"
+    assert c.count() == 100 - (_DV_COMPACT_AT + 6)
+
+
+def test_legacy_dir_version_migrates_into_pool_once(spark, tmp_path):
+    """A collection whose current version is a pre-manifest directory
+    snapshot (hard-link era) must keep working: the first manifest
+    commit hard-links the legacy files into the pool once, and both the
+    legacy version (time travel) and the new chain read correctly."""
+    import json as _json
+    import os
+    import time
+
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(
+        spark, str(tmp_path / "leg"),
+        CollectionConfig(dimensions=2, n_buckets=4),
+    )
+    # hand-build a legacy-layout version: bucketed file tree INSIDE the
+    # version dir, no manifest.json
+    legacy = "v_legacy0000"
+    df = spark.createDataFrame(
+        [(f"L{i}", [float(i), 1.0], 1) for i in range(20)],
+        "id string, embedding array<float>, _seq long",
+    )
+    from fastpyvectordb_spark.catalog import Collection as _C
+
+    df.withColumn("_bucket", c._bucket()).repartition(4, "_bucket").write.partitionBy(
+        "_bucket"
+    ).parquet(os.path.join(c.path, legacy))
+    with open(os.path.join(c.path, "_current"), "w") as f:
+        f.write(legacy)
+    with open(os.path.join(c.path, "_versions"), "a") as f:
+        f.write(_json.dumps({"version": legacy, "op": "insert", "ts": time.time()}) + "\n")
+
+    assert c.count() == 20
+    c.upsert(
+        spark.createDataFrame(
+            [("L0", [9.0, 9.0])], "id string, embedding array<float>"
+        )
+    )
+    v2 = c._current_version()
+    assert os.path.exists(os.path.join(c.path, v2, "manifest.json"))
+    files, dv = c._resolve(v2)
+    assert all(f.startswith("_files/") or f.startswith("_files" + os.sep) for f in files)
+    rows = {r["id"]: list(r["embedding"]) for r in c.df().collect()}
+    assert len(rows) == 20 and rows["L0"] == [9.0, 9.0]
+    # legacy version dir untouched — time travel still reads it
+    old = {r["id"]: list(r["embedding"]) for r in c.df(version=legacy).collect()}
+    assert old["L0"] == [0.0, 1.0]

@@ -320,3 +320,130 @@ def test_pq_local_matches_spark_adc(embeddings):
         ).collect()
         assert [r["vec_id"] for r in want] == list(i[qi]), qi
         assert np.allclose([r["dist"] for r in want], d[qi], atol=1e-9), qi
+
+
+def test_quantizer_save_load_roundtrip_all_kinds(spark, tmp_path):
+    """Verdict r5 #4: train → save → load must reproduce the identical
+    trained state (and identical codes) for SQ, BQ, and PQ — the
+    reference persists quantizers (quantization.py:196-215) so a
+    restart never retrains."""
+    from fastpyvectordb_spark.operators.quantization import (
+        bq_train,
+        load_quantizer,
+        pq_train_kmeans,
+        save_quantizer,
+        sq_encode_expr,
+        sq_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0, float(i % 5), float(i) / 10, 1.0])
+         for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    sq = sq_train(df)
+    save_quantizer(sq, str(tmp_path / "sq"), "sq")
+    sq2, meta = load_quantizer(spark, str(tmp_path / "sq"))
+    assert meta["kind"] == "sq"
+    assert [tuple(r) for r in sq.collect()] == [tuple(r) for r in sq2.collect()]
+    # identical codes through the loaded state
+    rows = sq2.collect()
+    vmins = [r["vmin"] for r in rows]
+    scales = [r["scale"] for r in rows]
+    codes = df.select(
+        sq_encode_expr(F.col("embedding"), vmins, scales).alias("c")
+    ).collect()
+    rows0 = sq.collect()
+    codes0 = df.select(
+        sq_encode_expr(
+            F.col("embedding"),
+            [r["vmin"] for r in rows0],
+            [r["scale"] for r in rows0],
+        ).alias("c")
+    ).collect()
+    assert [r["c"] for r in codes] == [r["c"] for r in codes0]
+
+    bq = bq_train(df)
+    save_quantizer(bq, str(tmp_path / "bq"), "bq")
+    bq2, meta = load_quantizer(spark, str(tmp_path / "bq"))
+    assert meta["kind"] == "bq"
+    assert [tuple(r) for r in bq.collect()] == [tuple(r) for r in bq2.collect()]
+
+    pq = pq_train_kmeans(df, m_subspaces=2, n_centroids=4, dims=4)
+    save_quantizer(pq, str(tmp_path / "pq"), "pq")
+    pq2, meta = load_quantizer(spark, str(tmp_path / "pq"))
+    assert meta["kind"] == "pq"
+    assert sorted(
+        (r["m"], r["cidx"], tuple(r["cvec"])) for r in pq.collect()
+    ) == sorted((r["m"], r["cidx"], tuple(r["cvec"])) for r in pq2.collect())
+
+
+def test_collection_quantizer_staleness(spark, tmp_path):
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+    from fastpyvectordb_spark.operators.quantization import (
+        load_collection_quantizer,
+        save_collection_quantizer,
+        sq_train,
+    )
+
+    c = Collection(
+        spark, str(tmp_path / "qc"), CollectionConfig(dimensions=2, n_buckets=4)
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"q{i}", [float(i), 0.5]) for i in range(20)],
+            "id string, embedding array<float>",
+        )
+    )
+    save_collection_quantizer(c, sq_train(c.df()), "sq")
+    _df, meta, stale = load_collection_quantizer(c, "sq")
+    assert not stale and meta["version"] == c._current_version()
+    c.insert_batch(
+        spark.createDataFrame(
+            [("qq", [9.0, 9.0])], "id string, embedding array<float>"
+        )
+    )
+    _df, _meta, stale = load_collection_quantizer(c, "sq")
+    assert stale, "collection advanced past the trained version"
+
+
+def test_sq_npz_import_export_reference_format(spark, tmp_path):
+    """The .npz interop must read exactly what the reference's
+    ScalarQuantizer.save writes (min_vals/max_vals/scale/dimensions,
+    quantization.py:196-202) and write what its load reads."""
+    import numpy as np
+
+    from fastpyvectordb_spark.operators.quantization import (
+        export_sq_npz,
+        import_sq_npz,
+        sq_train,
+    )
+
+    # file laid out byte-for-byte like the reference writer
+    ref = str(tmp_path / "ref_sq.npz")
+    np.savez(
+        ref,
+        min_vals=np.asarray([-1.0, 0.0, 2.5], np.float32),
+        max_vals=np.asarray([1.0, 4.0, 2.5], np.float32),
+        scale=np.asarray([2.0, 4.0, 1.0], np.float32),
+        dimensions=3,
+    )
+    stats = import_sq_npz(spark, ref)
+    got = {r["dim"]: (r["vmin"], r["vmax"], r["scale"]) for r in stats.collect()}
+    assert got == {0: (-1.0, 1.0, 2.0), 1: (0.0, 4.0, 4.0), 2: (2.5, 2.5, 1.0)}
+
+    # reverse: train → export → numpy sees the reference keys
+    df = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    out = str(tmp_path / "out_sq.npz")
+    export_sq_npz(sq_train(df), out)
+    data = np.load(out)
+    assert set(data.files) == {"min_vals", "max_vals", "scale", "dimensions"}
+    assert int(data["dimensions"]) == 2
+    assert data["min_vals"].dtype == np.float32
+    assert float(data["max_vals"][0]) == 9.0 and float(data["min_vals"][1]) == -9.0
+    # import of our own export folds back to the trained state
+    back = {r["dim"]: r["scale"] for r in import_sq_npz(spark, out).collect()}
+    assert back[0] == 9.0 and back[1] == 9.0

@@ -320,3 +320,74 @@ def test_import_reference_graph_embeddings(spark, vdb, tmp_path):
         vdb, str(d2), node_collection="n2c", edge_collection="e2c"
     )
     assert out2["edges"] is None and out2["nodes"].count() == 1
+
+
+def test_import_reference_mmap_store(spark, vdb, tmp_path):
+    """Byte-layout round trip for the reference mmap store
+    (parallel_search.py:441-555): 64-byte PYVEC001 header, over-
+    allocated float32 region, ids.json / metadata.json sidecars."""
+    import os
+
+    from fastpyvectordb_spark.sources import import_reference_mmap
+
+    src = tmp_path / "mmapstore"
+    src.mkdir()
+    dims, n, cap = 4, 3, 8  # over-allocated beyond n_vectors
+    vecs = np.arange(n * dims, dtype=np.float32).reshape(n, dims)
+    header = b"PYVEC001" + struct.pack("<III", 1, n, dims)
+    header += b"\x00" * (64 - len(header))
+    with open(src / "vectors.mmap", "wb") as f:
+        f.write(header)
+        f.write(vecs.tobytes())
+        f.write(b"\x00" * ((cap - n) * dims * 4))  # pre-allocated tail
+    # two named ids, one auto-named (reference appends vec_<idx>)
+    with open(src / "ids.json", "w") as f:
+        json.dump(["a", "b"], f)
+    with open(src / "metadata.json", "w") as f:
+        json.dump({"a": {"tag": "x"}}, f)
+
+    c = import_reference_mmap(vdb, str(src), "frommmap")
+    rows = {r["id"]: r for r in c.df().collect()}
+    assert set(rows) == {"a", "b", "vec_2"}
+    assert [round(x) for x in rows["a"]["embedding"]] == [0, 1, 2, 3]
+    assert [round(x) for x in rows["vec_2"]["embedding"]] == [8, 9, 10, 11]
+    assert rows["a"]["tag"] == "x" and rows["b"]["tag"] is None
+
+    # bad magic rejected
+    with open(src / "vectors.mmap", "r+b") as f:
+        f.write(b"NOTPYVEC")
+    with pytest.raises(ValueError, match="magic"):
+        import_reference_mmap(vdb, str(src), "bad")
+
+
+def test_import_reference_streaming_binary(spark, vdb, tmp_path):
+    """Byte-layout round trip for StreamingBinaryWriter output
+    (binary_persistence.py:212-275): header.json + ids.pkl +
+    metadata.pkl + raw float32 vectors_stream.bin in id order."""
+    from fastpyvectordb_spark.sources import import_reference_stream
+
+    src = tmp_path / "streambin"
+    src.mkdir()
+    dims, n = 3, 5
+    vecs = (np.arange(n * dims, dtype=np.float32) / 2).reshape(n, dims)
+    with open(src / "vectors_stream.bin", "wb") as f:
+        for row in vecs:  # exactly the writer's per-row tofile stream
+            row.tofile(f)
+    with open(src / "header.json", "w") as f:
+        json.dump({"count": n, "dimensions": dims, "note": "cfg"}, f)
+    with open(src / "ids.pkl", "wb") as f:
+        pickle.dump([f"s{i}" for i in range(n)], f, protocol=pickle.HIGHEST_PROTOCOL)
+    with open(src / "metadata.pkl", "wb") as f:
+        pickle.dump({"s1": {"lang": "en"}}, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    c = import_reference_stream(vdb, str(src), "fromstream", batch_size=2)
+    rows = {r["id"]: r for r in c.df().collect()}
+    assert set(rows) == {f"s{i}" for i in range(n)}
+    assert [float(x) for x in rows["s0"]["embedding"]] == [0.0, 0.5, 1.0]
+    assert rows["s1"]["lang"] == "en" and rows["s0"]["lang"] is None
+
+    # truncated stream is a hard error, not silent short data
+    with open(src / "vectors_stream.bin", "r+b") as f:
+        f.truncate(n * dims * 4 - 8)
+    with pytest.raises(ValueError, match="truncated"):
+        import_reference_stream(vdb, str(src), "trunc")

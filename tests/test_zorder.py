@@ -95,8 +95,10 @@ def test_optimize_zorder_by(spark, tmp_path):
     # pyarrow that the morton sequence per file is non-decreasing
     import pyarrow.parquet as pq
 
-    data_dir = c._data_path()
-    files = glob.glob(os.path.join(data_dir, "_bucket=*", "*.parquet"))
+    files = [
+        os.path.join(c.path, rel)
+        for rel in c._resolve(c._current_version())[0]
+    ]
     assert files
     checked = 0
     for f in files:
