@@ -584,7 +584,7 @@ def embedding_neardup_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     centroids: str = "seed",
     seed: int = 42,
     kmeans_max_iter: int = 10,
@@ -620,14 +620,17 @@ def embedding_neardup_topk(
     by construction (pruning only discards pairs provably below the
     kth-best), which the parity tests pin.
 
-    ``n_clusters`` scales like √N (driver holds K² bound rows only;
-    all collects here are K-row or k-row — bounded)."""
+    ``n_clusters=None`` auto-sizes to ``≈ √N`` capped at 256 (driver
+    holds K² bound rows only; all collects here are K-row or k-row —
+    bounded). Pass an explicit value to pin the blocking."""
     import math
 
     import numpy as np
 
     from fastpyvectordb_spark.functions.distances import cosine_similarity
 
+    if n_clusters is None:
+        n_clusters = max(2, min(256, math.isqrt(max(emb.count(), 1))))
     cents = _centroid_rows(
         emb, n_clusters, id_col, vec_col, centroids, seed, kmeans_max_iter
     )

@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None = None):
 # now the stalest; the 50 names re-verified in r5 go last.
 _PRIORITY = [
     # round-6 code changes first (new plan shapes need fresh green rows)
-    # (appended as round-6 work touches registered plan shapes)
+    "dedup_embedding_topk",  # auto-sized n_clusters (√N) changed the plan
     # never re-checked since ROUND 1 (fell past the r4/r5 prefix cap)
     "text_quality", "text_scrub_audit", "text_token_counts",
     # last verified round 2
@@ -81,7 +81,7 @@ _PRIORITY = [
     "text_moore_lewis_selection", "text_word_entropy",
     "window_running_revenue",
     # freshest: re-verified by the driver in rounds 4 AND 5
-    "dedup_embedding_topk", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_embedding_lsh_threshold", "dedup_lines_reconstruct",
     "pipeline_upsample_mixture",
     "agg_count_by_source", "agg_embedding_dim_stats",

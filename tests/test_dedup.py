@@ -615,3 +615,82 @@ def test_upsample_copies_sql_contract():
     assert duckdb.sql(f"SELECT {sql} AS n").fetchone()[0] == 1
     with pytest.raises(ValueError):
         upsample_copies_sql({"web": -0.5})
+
+
+def test_embedding_neardup_auto_cluster_sizing(spark):
+    """VERDICT r5 #6: n_clusters=None auto-sizes to ~sqrt(N) (capped),
+    and the pruning-efficacy hook reports the block stats the bench
+    row records."""
+    import math
+
+    n, dims = 2_500, 8
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda d: (
+                F.sin(F.col("id") * 0.7 + d * 1.3 + F.col("id") * d * 0.0137)
+            ).cast("float"),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    stats: dict = {}
+    out = D.embedding_neardup_topk(
+        emb, k=5, centroids="seed", _stats_out=stats
+    ).collect()
+    assert len(out) == 5
+    want_k = max(2, min(256, math.isqrt(n)))  # = 50
+    assert stats["total_blocks"] == want_k * (want_k + 1) // 2
+    assert 0 < stats["kept_blocks"] <= stats["total_blocks"]
+
+
+def test_embedding_lsh_threshold_at_100k(spark):
+    """The threshold-regime scale default (README: SemDeDup shape) at
+    100k vectors: sign-band candidates + exact cosine verify completes
+    as pure equi-join work and recovers the planted near-duplicates.
+    (The exact top-k path is the bounded-k curation tool; on weakly
+    clustered corpora its angular bound keeps most blocks — this path
+    is what runs at corpus scale.)"""
+    n, dims = 100_000, 16
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda d: (
+                F.sin(F.col("id") * 0.7 + d * 1.3 + F.col("id") * d * 0.0137)
+                + F.sin(F.col("id") * 91.7 + d * 47.111) * 0.1
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    # plant 1% near-duplicates (slightly perturbed copies)
+    dups = base.filter(F.pmod("vec_id", 100) == 0).select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.98 + 0.005).alias("embedding"),
+    )
+    corpus = (
+        base.unionByName(dups)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .repartition(32)
+        .localCheckpoint()
+    )
+    # 4 bands x 16 bits: 65k keys per band keeps buckets O(1) at 100k
+    # docs (at 4-bit bands the buckets would hold ~6k docs each and the
+    # candidate join would be quadratic again — band WIDTH is the knob
+    # that scales this operator). Planes are DECORRELATED from the
+    # manifold (corpus vectors as planes give skewed sign buckets —
+    # the same lesson as picking good LSH projections).
+    planes = spark.range(64).select(
+        F.col("id").alias("plane_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda d: F.sin(F.col("id") * 13.7 + d * 5.1 + F.col("id") * d * 0.91),
+        ).alias("plane_vec"),
+    )
+    pairs = D.embedding_lsh_threshold_pairs(
+        corpus, planes, min_cos=0.999, rows_per_band=16, round_digits=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(v, v + n) for v in range(0, n, 100)}
+    found = len(got & planted)
+    # banding recall on near-identical pairs is geometric in bands — at
+    # cos≈0.9998 and 4 bands of 4 essentially all planted pairs land
+    assert found >= 0.95 * len(planted), f"{found}/{len(planted)} planted found"
