@@ -1015,7 +1015,9 @@ def main() -> None:
         k
         for k in extras
         if k.endswith(("_qps", "_recall_at_k", "_per_sec", "_gbps", "_gflops"))
-    ] + ["norm_per_gflops", "norm_per_gbps"]
+    ] + ["norm_per_gflops", "norm_per_gbps"] + [
+        k for k in ("neardup_kept_block_frac",) if k in extras
+    ]
     compact = {
         "metric": "suite_total_runtime",
         "value": total,

@@ -1015,3 +1015,40 @@ def test_legacy_dir_version_migrates_into_pool_once(spark, tmp_path):
     # legacy version dir untouched — time travel still reads it
     old = {r["id"]: list(r["embedding"]) for r in c.df(version=legacy).collect()}
     assert old["L0"] == [0.0, 1.0]
+
+
+def test_restore_then_dml_builds_on_restored_manifest(spark, tmp_path):
+    """DML after restore() must build its manifest delta on the
+    RESTORED version (not the abandoned head) — content reflects the
+    restored snapshot plus the new change."""
+    from fastpyvectordb_spark.catalog import Collection, CollectionConfig
+
+    c = Collection(
+        spark, str(tmp_path / "rst"),
+        CollectionConfig(dimensions=2, n_buckets=4),
+    )
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"r{i}", [float(i), 0.0]) for i in range(10)],
+            "id string, embedding array<float>",
+        )
+    )
+    v1 = c.history()[-1]["version"]
+    c.upsert(
+        spark.createDataFrame(
+            [("r0", [5.0, 5.0]), ("rx", [6.0, 6.0])],
+            "id string, embedding array<float>",
+        )
+    )
+    assert c.count() == 11
+    c.restore(v1)
+    assert c.count() == 10
+    c.upsert(
+        spark.createDataFrame(
+            [("r1", [9.0, 9.0])], "id string, embedding array<float>"
+        )
+    )
+    rows = {r["id"]: list(r["embedding"]) for r in c.df().collect()}
+    assert len(rows) == 10  # rx from the abandoned head is NOT here
+    assert "rx" not in rows and rows["r1"] == [9.0, 9.0]
+    assert rows["r0"] == [0.0, 0.0]  # pre-fork value restored

@@ -18,10 +18,16 @@ Prints one JSON line; paste the numbers into README's scale table.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# 1M-row single-JVM run: the default 8g driver heap can fail an AQE
+# auto-broadcast mid-join (the whole "cluster" lives in one process
+# here — on a real cluster executors hold these builds)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "28g")
 
 from pyspark.sql import functions as F  # noqa: E402
 
