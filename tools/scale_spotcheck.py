@@ -73,21 +73,24 @@ def main() -> None:
     out["knn_batch_gemm_sec"] = round(time.perf_counter() - t0, 1)
     assert cnt == len(qpdf) * 10
 
-    # -- text corpus: seeded sentences, 10% planted near-dups ----------
-    words = (
-        "the of data spark shuffle vector index query graph join "
-        "stream text token batch scan merge sort hash range prune"
-    ).split()
-    word_arr = F.array(*[F.lit(w) for w in words])
+    # -- text corpus: seeded sentences, 10% planted near-dups.
+    # Vocabulary must be LARGE (50k pseudo-words): a toy vocab makes
+    # every doc share most shingles, LSH bands all collide, and the
+    # verify stage degenerates to ~N² — a corpus-generation artifact,
+    # not an operator property.
     base = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
             " ",
             F.transform(
                 F.sequence(F.lit(0), (F.pmod(F.col("id"), 40) + 20)),
-                lambda i: word_arr[
-                    F.pmod(F.col("id") * 31 + i * 17 + i * i, len(words))
-                ],
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.col("id") * 1315423911 + i * 2654435761),
+                        F.lit(50_000),
+                    ),
+                ),
             ),
         ).alias("text"),
     )
@@ -116,10 +119,12 @@ def main() -> None:
     idx = BM25Index.build(docs)
     out["bm25_build_sec"] = round(time.perf_counter() - t0, 1)
 
-    queries = [
-        f"{words[i % len(words)]} {words[(i * 7) % len(words)]}"
-        for i in range(20)
+    # query terms drawn from the same pseudo-word distribution
+    qterms = [
+        r["text"].split(" ")[:2]
+        for r in base.filter(F.pmod("doc_id", n // 20) == 3).limit(20).collect()
     ]
+    queries = [" ".join(t) for t in qterms]
     t0 = time.perf_counter()
     nq = idx.search_batch(queries, k=10).count()
     out["bm25_query20_sec"] = round(time.perf_counter() - t0, 1)
