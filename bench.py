@@ -314,6 +314,37 @@ def main() -> None:
     extras["server_search_qps"] = round(
         N_SERVE / timings["q_server_search_300"], 1
     )
+
+    # serving-pack refresh under point DML (round 6): the manifest
+    # delta lets pack_serving() refresh incrementally — pyarrow reads
+    # of only the ADDED pool files + the kill map, zero Spark jobs —
+    # vs the full Spark rebuild a cold handle pays. At 100 TB the
+    # full rebuild is off the table entirely; the incremental number
+    # is the one that scales with the DML, not the collection.
+    _h = _db.get_collection("vecs")
+    assert _h.pack_serving() is not None
+    _inc_times, _full_times = [], []
+    for _i in range(3):
+        _h.upsert(
+            big.filter(F.col("vec_id") == 7 + _i).select(
+                F.col("vec_id").cast("string").alias("id"),
+                F.transform("embedding", lambda x: x * 3).alias("embedding"),
+            )
+        )
+        t0 = time.perf_counter()
+        assert _h.pack_serving() is not None  # incremental (cached handle)
+        _inc_times.append(time.perf_counter() - t0)
+        # a genuinely cold handle (get_collection caches, and sharing
+        # _h would wipe the incremental cache under test)
+        from fastpyvectordb_spark.catalog import Collection as _Coll
+
+        _cold = _Coll(spark, _h.path, _h.config)
+        t0 = time.perf_counter()
+        assert _cold.pack_serving() is not None  # full Spark rebuild
+        _full_times.append(time.perf_counter() - t0)
+    extras["pack_refresh_incremental_ms"] = round(min(_inc_times) * 1e3, 2)
+    extras["pack_refresh_full_ms"] = round(min(_full_times) * 1e3, 2)
+
     _srv.shutdown()
     _srv.server_close()
     _thr.join(timeout=10)

@@ -39,6 +39,24 @@ quality against the exact operator.
 Cosine note: vectors are searched by L2 over unit-normalized copies
 when ``metric='cosine'`` (ordering-equivalent), matching the
 reference's normalize-at-ingest behavior.
+
+Serving-twin strategy note (round 6, measured): a *merged* multi-entry
+traversal over the packed components — one lockstep beam per query
+seeded with every component entry, shared ``ef`` budget — was
+prototyped and REJECTED. Because :func:`nsw_build` partitions by id
+hash, every component is a uniform random sample of the corpus, so the
+true top-k of any query is spread across ~all components; a shared
+ef=96 beam starves 31 of 32 descents and recall@10 collapsed to ~0.10
+on the bench corpus (vs 1.00 per-component; forced entry expansion,
+wider beams, and w up to 16 moved it only to ~0.12). Per-component
+traversal of every component keeps recall 1.00 but pays ~32× the
+gather traffic of one GEMM at 3k-node components (~200 QPS measured).
+The exact-GEMM fallback below ``GRAPH_MIN_NODES`` is therefore the
+*optimal* serving strategy for hash-partitioned packs at bench scale —
+its throughput is capped by full-scan memory bandwidth, which is why
+``ivf_local`` (spatially-coherent lists + nprobe pruning) is the
+documented serving default (README §Serving) and the graph path is
+reserved for the ≥10⁵-node-per-partition regime it was built for.
 """
 
 from __future__ import annotations

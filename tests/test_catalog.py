@@ -1052,3 +1052,142 @@ def test_restore_then_dml_builds_on_restored_manifest(spark, tmp_path):
     assert len(rows) == 10  # rx from the abandoned head is NOT here
     assert "rx" not in rows and rows["r1"] == [9.0, 9.0]
     assert rows["r0"] == [0.0, 0.0]  # pre-fork value restored
+
+
+def _pack_equal(a, b):
+    import numpy as np
+
+    assert list(a["ids"]) == list(b["ids"])
+    assert np.allclose(a["vmat"], b["vmat"])
+    assert np.array_equal(a["seq"], b["seq"])
+    assert np.allclose(a["sqnorms"], b["sqnorms"])
+    assert a["rows"] == b["rows"]
+    ta = {c: a["tbl"][c].to_pylist() for c in a["tbl"].column_names}
+    tb = {c: b["tbl"][c].to_pylist() for c in b["tbl"].column_names}
+    assert ta == tb
+
+
+def test_pack_serving_incremental_equals_full_rebuild(spark, db):
+    """Round 6: after DML commits the serving pack refreshes via the
+    manifest delta (added pool files + current kill map) — the result
+    must be identical to a from-scratch rebuild on a fresh handle,
+    including under upsert-overwrite, delete, and a new metadata
+    column appearing mid-stream (schema drift promotes to NULL)."""
+    c = db.create_collection("incpack", dimensions=4, metric="cosine")
+    c.insert_batch(_batch(spark, _vecs(300)))
+    assert c.pack_serving() is not None  # prime the cache
+    # upsert: overwrite 20 existing + 20 new ids
+    c.upsert(_batch(spark, _vecs(20, offset=100)))
+    c.upsert(
+        _batch(
+            spark,
+            [(f"n{i}", [float(i), 1.0, 2.0, 3.0], "C") for i in range(20)],
+        )
+    )
+    c.delete(ids=["v3", "v7", "n4"])
+    # new metadata column only present in this commit's files
+    c.insert_batch(
+        spark.createDataFrame(
+            [(f"x{i}", [float(i + 7)] * 4, "D", "drifted") for i in range(15)],
+            "id string, embedding array<float>, category string, note string",
+        )
+    )
+    inc = c.pack_serving()
+    fresh = db.get_collection("incpack")
+    full = fresh.pack_serving()
+    assert inc is not None and full is not None
+    _pack_equal(inc, full)
+    assert len(inc["ids"]) == 300 + 20 - 3 + 15
+    # drifted column reads NULL for pre-drift rows in BOTH packs
+    note = dict(zip(inc["tbl"]["id"].to_pylist(), inc["tbl"]["note"].to_pylist()))
+    assert note["x0"] == "drifted" and note["v1"] is None
+
+
+def test_pack_serving_incremental_runs_zero_spark_jobs(spark, db, monkeypatch):
+    """The delta refresh must not touch Spark at all: with the full
+    rebuild path (and count()) booby-trapped, a post-DML pack_serving
+    still succeeds off pyarrow reads of the added pool files."""
+    from fastpyvectordb_spark.catalog import Collection
+
+    c = db.create_collection("zerojob", dimensions=4, metric="l2")
+    c.insert_batch(_batch(spark, _vecs(100)))
+    assert c.pack_serving() is not None
+    c.upsert(_batch(spark, _vecs(5, offset=50)))
+    c.delete(ids=["v9"])
+
+    def boom(self, *a, **kw):
+        raise AssertionError("full rebuild path used")
+
+    monkeypatch.setattr(Collection, "_df_live", boom)
+    monkeypatch.setattr(Collection, "count", boom)
+    pack = c.pack_serving()
+    assert pack is not None
+    # upsert reused ids v0-v4 (offset changes values only) → still 100
+    # ids, minus the deleted v9
+    assert len(pack["ids"]) == 99 and "v9" not in pack["rows"]
+    assert pack["rows"].get("v0") is not None
+    monkeypatch.undo()
+    _pack_equal(pack, db.get_collection("zerojob").pack_serving())
+
+
+def test_pack_serving_falls_back_on_optimize_and_restore(spark, db):
+    """File-removing shapes (optimize rewrite, restore) can't be
+    expressed as a pack delta — the refresh must detect them and fall
+    back to the full rebuild, still correct."""
+    c = db.create_collection("fbpack", dimensions=4, metric="cosine")
+    c.insert_batch(_batch(spark, _vecs(60)))
+    v1 = c.history()[-1]["version"]
+    assert c.pack_serving() is not None
+    c.upsert(_batch(spark, _vecs(10, offset=30)))
+    c.optimize()
+    p = c.pack_serving()
+    assert p is not None
+    _pack_equal(p, db.get_collection("fbpack").pack_serving())
+    c.restore(v1)
+    p2 = c.pack_serving()
+    assert len(p2["ids"]) == 60
+    _pack_equal(p2, db.get_collection("fbpack").pack_serving())
+
+
+def test_pack_serving_incremental_respects_size_refusal(spark, db):
+    """Growth past SERVING_PACK_MAX_FLOATS through the delta path must
+    flip the pack to the None refusal, not keep serving stale data."""
+    import fastpyvectordb_spark.catalog as cat
+
+    c = db.create_collection("growpack", dimensions=4, metric="cosine")
+    c.insert_batch(_batch(spark, _vecs(50)))
+    assert c.pack_serving() is not None
+    old = cat.Collection.SERVING_PACK_MAX_FLOATS
+    try:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = 60 * 4  # next insert overflows
+        c.insert_batch(
+            _batch(
+                spark,
+                [(f"g{i}", [float(i + 500)] * 4, "A") for i in range(20)],
+            )
+        )
+        assert c.pack_serving() is None
+    finally:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = old
+
+
+def test_pack_serving_vacuumed_base_version_falls_back(spark, db):
+    """vacuum() drops old version dirs AND pops their manifest-cache
+    entries — a pack cached at a now-vacuumed base version must NOT
+    treat the empty resolution as 'everything was added' (which would
+    duplicate every cached row); it falls back to the full rebuild."""
+    c = db.create_collection("vacpack", dimensions=4, metric="cosine")
+    c.insert_batch(_batch(spark, _vecs(40)))
+    assert c.pack_serving() is not None
+    packed_ver = c._serving_pack[0]
+    c.upsert(_batch(spark, _vecs(5, offset=9)))
+    c.insert_batch(
+        _batch(spark, [(f"w{i}", [float(i + 3)] * 4, "B") for i in range(10)])
+    )
+    c.vacuum(keep_last=1)
+    assert c._serving_pack[0] == packed_ver  # still the stale pack
+    assert c._load_manifest(packed_ver) is None  # base truly gone
+    c._mf_cache.pop(packed_ver, None)
+    p = c.pack_serving()
+    assert p is not None and len(p["ids"]) == 50  # no duplication
+    _pack_equal(p, db.get_collection("vacpack").pack_serving())
