@@ -345,6 +345,34 @@ def main() -> None:
     extras["pack_refresh_incremental_ms"] = round(min(_inc_times) * 1e3, 2)
     extras["pack_refresh_full_ms"] = round(min(_full_times) * 1e3, 2)
 
+    # collection-integrated ANN serving (round 6): the catalog's own
+    # IVF index lifecycle (train once, persist centroids, assignments
+    # track every commit via the incremental pack — the reference's
+    # add_items/mark_deleted regime). Batch QPS is the serving number;
+    # recall is measured against the exact serving twin on the SAME
+    # collection state.
+    t0 = time.perf_counter()
+    _h.build_ann_index(n_lists=64, max_iter=20)
+    extras["collection_ann_build_sec"] = round(time.perf_counter() - t0, 3)
+    _qvl = [list(v) for v in qpdf_big["query_vec"]]
+    _h.search_ann_batch(_qvl[:8], k=K, nprobe=8)  # warm: assign + pack
+
+    @bench("q_collection_ann_batch", repeats=3)
+    def _():
+        res = _h.search_ann_batch(_qvl, k=K, nprobe=8)
+        assert res["query_id"].nunique() == n_queries
+
+    extras["collection_ann_batch_qps"] = round(
+        n_queries / timings["q_collection_ann_batch"], 1
+    )
+    _hits = _tot = 0
+    for _q in _qvl[:32]:
+        _ex = {i for i, _ in _h.search_local(_q, k=K)}
+        _an = {i for i, _ in _h.search_ann(_q, k=K, nprobe=8)}
+        _hits += len(_ex & _an)
+        _tot += K
+    extras["collection_ann_recall_at_k"] = round(_hits / _tot, 4)
+
     _srv.shutdown()
     _srv.server_close()
     _thr.join(timeout=10)
@@ -1006,6 +1034,7 @@ def main() -> None:
         "sq_local_qps", "pq_local_qps", "ivfpq_local_qps",
         "hybrid_local_qps", "bm25_local_qps", "nsw_local_qps",
         "nsw_qps", "partitioned_batch_qps", "server_search_qps",
+        "collection_ann_batch_qps",
     ]
     _IO_ROWS = [
         "ingest_vec_per_sec", "collection_ingest_vec_per_sec",

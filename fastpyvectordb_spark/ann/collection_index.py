@@ -1,0 +1,253 @@
+"""Collection-integrated ANN index lifecycle (reference parity:
+``vectordb_optimized.py:271-309`` keeps a live hnswlib index per
+collection — ``add_items`` on insert (``:356,405``), ``mark_deleted``
+on delete (``:474,492``), ``index.bin``/state persistence
+(``:284-309``) — so DML never forces a rebuild and a restart never
+forces a retrain).
+
+The Spark-first translation keeps the same contract with IVF (the
+serving default, README §Serving) and gets the maintenance almost for
+free from two existing pieces:
+
+- **data**: the driver serving pack (``Collection.pack_serving``) is
+  already refreshed incrementally per commit — O(changed rows), zero
+  Spark jobs — and already excludes killed rows, which IS the
+  ``mark_deleted`` semantics.
+- **assignment**: IVF list membership is per-row independent
+  (nearest centroid), so re-deriving assignments from the refreshed
+  pack under FIXED centroids is exactly equivalent to incrementally
+  ``add_items``-ing the new rows — one driver GEMM over the pack, no
+  retrain, no job.
+
+Centroids retrain only when the corpus has drifted past
+``rebuild_threshold`` since training (rows added/updated/removed as a
+fraction of the live set) — the merge-policy shape (Lucene/FAISS):
+bounded staleness, amortized rebuilds. Training itself is the
+distributed :func:`ann.ivf.ivf_build` (MLlib KMeans) — correct at any
+scale; only the packed serving twin is size-gated (oversize
+collections serve through the distributed IVF operators instead).
+
+Persistence mirrors the reference's ``index.bin``+state: centroids as
+``.npy`` plus a ``meta.json`` keyed to the trained collection version
+under ``<collection>/_ann/`` — a fresh handle serves without
+retraining. Assignments are deliberately NOT persisted: they are a
+deterministic function of (centroids, live rows), and at lakehouse
+scale the persisted form is the list-partitioned table
+(:meth:`ann.ivf.IVFIndex.save`), not a driver artifact.
+
+String ids: the packed kernel ranks by int64 ids, so rows carry their
+POSITION in the label array (the reference's ``_id_to_label`` mapping,
+``vectordb_optimized.py:227``); positions are assigned in (list,
+id-ascending) order so in-list distance ties still resolve by id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+
+from fastpyvectordb_spark.ann.ivf import IVFPacked, ivf_search_local
+
+REBUILD_THRESHOLD = 0.3  # retrain centroids past this drift fraction
+
+
+class CollectionANN:
+    """Driver-resident ANN index state for one Collection handle."""
+
+    def __init__(self, collection):
+        self.c = collection
+        self.centroids: np.ndarray | None = None
+        self.meta: dict | None = None
+        self.packed: IVFPacked | None = None
+        self.labels: np.ndarray | None = None
+        self.pack_version: str | None = None
+
+    # -- persistence --------------------------------------------------
+
+    @property
+    def _dir(self) -> str:
+        return os.path.join(self.c.path, "_ann")
+
+    def save(self) -> None:
+        os.makedirs(self._dir, exist_ok=True)
+        tok = uuid.uuid4().hex[:8]
+        cp = os.path.join(self._dir, "centroids.npy")
+        # np.save appends .npy to names without the suffix — keep it
+        tmp = os.path.join(self._dir, f".centroids.{tok}.tmp.npy")
+        np.save(tmp, self.centroids)
+        os.rename(tmp, cp)
+        mp = os.path.join(self._dir, "meta.json")
+        tmp = mp + f".{tok}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.rename(tmp, mp)
+
+    def load(self) -> bool:
+        mp = os.path.join(self._dir, "meta.json")
+        cp = os.path.join(self._dir, "centroids.npy")
+        if not (os.path.exists(mp) and os.path.exists(cp)):
+            return False
+        with open(mp) as f:
+            self.meta = json.load(f)
+        self.centroids = np.load(cp)
+        return True
+
+    def drop(self) -> None:
+        import shutil
+
+        shutil.rmtree(self._dir, ignore_errors=True)
+        self.centroids = self.meta = self.packed = self.labels = None
+        self.pack_version = None
+
+    # -- training -----------------------------------------------------
+
+    def train(
+        self,
+        n_lists: int | None = None,
+        max_iter: int = 20,
+        seed: int = 42,
+        train_rows: int | None = 200_000,
+    ) -> dict:
+        """Fit coarse centroids over the live rows (distributed MLlib
+        KMeans via :func:`ivf_build`; the fit is bounded to a sample at
+        scale) and persist them keyed to the current version."""
+        from pyspark.sql import functions as F
+
+        from fastpyvectordb_spark.ann.ivf import ivf_build
+
+        # row count and the train-time seq watermark come from the
+        # serving pack when it exists (zero jobs — the pack is already
+        # version-current via the incremental refresh); only oversize
+        # collections pay the footer count + one tiny agg
+        pack = self.c.pack_serving()
+        if pack is not None:
+            n = len(pack["ids"])
+            seq_max = int(pack["seq"].max()) if n else 0
+        else:
+            n = self.c.count()
+            row = self.c._df_live(keep_seq=True).agg(
+                F.coalesce(F.max("_seq"), F.lit(0)).alias("s")
+            ).collect()
+            seq_max = int(row[0]["s"]) if row else 0
+        if n_lists is None:
+            n_lists = int(max(8, min(256, round(np.sqrt(max(n, 1))))))
+        n_lists = min(n_lists, max(1, n))
+        idx = ivf_build(
+            self.c.df(),
+            n_lists=n_lists,
+            vec_col="embedding",
+            seed=seed,
+            max_iter=max_iter,
+            # n is already known — don't make ivf_build re-count just
+            # to conclude no sampling is needed
+            train_rows=None if n <= (train_rows or 0) else train_rows,
+        )
+        self.centroids = idx.centroids
+        self.meta = {
+            "kind": "ivf",
+            "metric": self.c.config.metric,
+            "dims": self.c.config.dimensions,
+            "n_lists": int(self.centroids.shape[0]),
+            "train_version": self.c._current_version(),
+            "train_seq_max": seq_max,
+            "n_train": int(n),
+        }
+        self.packed = None  # force re-assignment against new centroids
+        self.pack_version = None
+        self.save()
+        return dict(self.meta)
+
+    # -- assignment / refresh ----------------------------------------
+
+    def _drift(self, pack) -> float:
+        """Fraction of the live set that changed since training: rows
+        written after the train commit (adds + upsert rewrites) plus
+        net removals of trained rows."""
+        n = len(pack["ids"])
+        if n == 0:
+            return 0.0
+        ts = self.meta["train_seq_max"]
+        newer = int((pack["seq"] > ts).sum())
+        surviving = n - newer
+        removed = max(0, self.meta["n_train"] - surviving)
+        return (newer + removed) / n
+
+    def _assign_pack(self, pack) -> None:
+        """Group the serving pack's rows by nearest centroid — the
+        fixed-centroid equivalent of ``add_items`` for every row that
+        arrived since the last refresh (per-row independent, so the
+        re-derivation is exact, and killed rows are already absent
+        from the pack = ``mark_deleted``)."""
+        vmat = pack["vmat"]  # (N, D) f32, id-ascending
+        n = vmat.shape[0]
+        c32 = self.centroids.astype(np.float32)
+        csq = np.einsum("ij,ij->i", c32, c32)
+        lists = np.empty(n, dtype=np.int64)
+        for lo in range(0, n, 65536):
+            hi = min(lo + 65536, n)
+            d = vmat[lo:hi] @ c32.T
+            d *= np.float32(-2.0)
+            d += csq[None, :]
+            lists[lo:hi] = np.argmin(d, axis=1)
+        # stable sort by list keeps the pack's id-ascending order
+        # inside each list — ivf_pack's (list, id) contract
+        order = np.argsort(lists, kind="stable")
+        lists = lists[order]
+        vmat = np.ascontiguousarray(vmat[order])
+        n_lists = self.centroids.shape[0]
+        offsets = np.searchsorted(lists, np.arange(n_lists + 1))
+        sqnorms = np.einsum("ij,ij->i", vmat, vmat)
+        self.packed = IVFPacked(
+            centroids=self.centroids,
+            vmat=vmat,
+            ids=np.arange(n, dtype=np.int64),  # positions → labels
+            offsets=offsets,
+            norms=np.sqrt(sqnorms).astype(np.float32) + np.float32(1e-10),
+            sqnorms=sqnorms.astype(np.float32),
+        )
+        self.labels = pack["ids"][order]
+
+    def ensure(self, auto_build: bool = True) -> bool:
+        """Bring the index to the current committed version. Returns
+        False when serving is unavailable (no data, oversize pack, or
+        no index and ``auto_build=False``)."""
+        if self.centroids is None and not self.load():
+            if not auto_build:
+                return False
+            if self.c._current_version() is None:
+                return False
+            self.train()
+        ver = self.c._current_version()
+        if ver is None:
+            return False
+        if self.packed is not None and self.pack_version == ver:
+            return True
+        pack = self.c.pack_serving()
+        if pack is None:
+            return False
+        if self._drift(pack) > REBUILD_THRESHOLD:
+            self.train()
+        self._assign_pack(pack)
+        self.pack_version = ver
+        return True
+
+    # -- search -------------------------------------------------------
+
+    def search_batch(self, queries_pdf, k: int = 10, nprobe: int = 8):
+        """(query_id, rank, id, dist) with string ids; probed packed
+        kernel (:func:`ivf_search_local`), distances rounded like
+        ``search_local``."""
+        res = ivf_search_local(
+            self.packed,
+            queries_pdf,
+            k=k,
+            nprobe=min(nprobe, self.packed.centroids.shape[0]),
+            metric=self.meta["metric"],
+            id_col="_pos",
+        )
+        res["id"] = self.labels[res["_pos"].to_numpy()]
+        res["dist"] = res["dist"].round(6)
+        return res[["query_id", "rank", "id", "dist"]]

@@ -2271,6 +2271,96 @@ class Collection:
             (str(i), float(v)) for i, v in zip(pack["ids"][sel], dr[order])
         ]
 
+    # -- ANN index lifecycle (reference vectordb_optimized.py:271-309:
+    # a live per-collection index maintained through DML and persisted
+    # across restarts; see ann/collection_index.py for the design) ----
+
+    def _ann(self):
+        from fastpyvectordb_spark.ann.collection_index import CollectionANN
+
+        st = getattr(self, "_ann_state", None)
+        if st is None:
+            st = CollectionANN(self)
+            self._ann_state = st
+        return st
+
+    def build_ann_index(
+        self,
+        n_lists: int | None = None,
+        max_iter: int = 20,
+        seed: int = 42,
+        train_rows: int | None = 200_000,
+    ) -> dict:
+        """Train (or retrain) the collection's IVF index and persist
+        its centroids+meta under ``<path>/_ann/`` keyed to the current
+        version (the reference's ``index.bin`` save). Serving state
+        re-derives lazily on the next search."""
+        return self._ann().train(
+            n_lists=n_lists, max_iter=max_iter, seed=seed,
+            train_rows=train_rows,
+        )
+
+    def drop_ann_index(self) -> None:
+        self._ann().drop()
+
+    def search_ann(
+        self,
+        query_vec: Sequence[float],
+        k: int = 10,
+        nprobe: int = 8,
+        auto_build: bool = True,
+    ) -> list[tuple[str, float]] | None:
+        """ANN single-query search through the collection's IVF index
+        (trained on first use; assignments track every commit via the
+        incremental serving pack). Returns ``[(id, dist), ...]`` like
+        :meth:`search_local`, or None when packed serving is
+        unavailable (no data / oversize) — callers fall back to the
+        distributed plans."""
+        import pandas as pd
+
+        if len(query_vec) != self.config.dimensions:
+            raise ValueError(
+                f"query dimension {len(query_vec)} != {self.config.dimensions}"
+            )
+        st = self._ann()
+        if not st.ensure(auto_build=auto_build):
+            return None
+        qpdf = pd.DataFrame(
+            {"query_id": [0], "query_vec": [list(query_vec)]}
+        )
+        res = st.search_batch(qpdf, k=k, nprobe=nprobe)
+        return [
+            (str(i), float(d)) for i, d in zip(res["id"], res["dist"])
+        ]
+
+    def search_ann_batch(
+        self,
+        query_vecs: Sequence[Sequence[float]],
+        k: int = 10,
+        nprobe: int = 8,
+        auto_build: bool = True,
+    ):
+        """Batch ANN search: pandas ``(query_id, rank, id, dist)`` with
+        query_id = input position, or None when packed serving is
+        unavailable."""
+        import pandas as pd
+
+        for v in query_vecs:
+            if len(v) != self.config.dimensions:
+                raise ValueError(
+                    f"query dimension {len(v)} != {self.config.dimensions}"
+                )
+        st = self._ann()
+        if not st.ensure(auto_build=auto_build):
+            return None
+        qpdf = pd.DataFrame(
+            {
+                "query_id": range(len(query_vecs)),
+                "query_vec": [list(v) for v in query_vecs],
+            }
+        )
+        return st.search_batch(qpdf, k=k, nprobe=nprobe)
+
     def search_batch(
         self,
         query_vecs: Sequence[Sequence[float]],

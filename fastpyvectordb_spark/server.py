@@ -293,7 +293,51 @@ class _Handler(BaseHTTPRequestHandler):
             c.delete(ids=[vec_id])
         self._send(200, {"deleted": vec_id, "success": True})
 
-    def _run_search(self, c, vector, k, where, include_vectors):
+    def _run_search(self, c, vector, k, where, include_vectors, ann=False):
+        # opt-in ANN: route through the collection's IVF index (the
+        # reference server always serves its hnswlib index, i.e.
+        # approximate — here exact stays the default and "ann": true
+        # selects the index path; index trains on first use and tracks
+        # every commit via the incremental serving pack)
+        if ann and where is None:
+            pack = c.pack_serving()
+            hits = (
+                c.search_ann(vector, k=k) if pack is not None else None
+            )
+            if hits is not None:
+                return self._enrich_pack_hits(c, pack, hits, include_vectors)
+        return self._run_search_exact(c, vector, k, where, include_vectors)
+
+    @staticmethod
+    def _enrich_pack_hits(c, pack, hits, include_vectors):
+        """Metadata/vector enrichment of (id, dist) hits against the
+        handler-held pack snapshot (commit-race-safe). On the exact
+        path the hits were scored against this same snapshot; on the
+        ANN path search_ann refreshes its own state, so a concurrent
+        commit can surface an id the handler's snapshot predates —
+        such a hit is skipped rather than KeyErroring the request."""
+        tbl, idx = pack["tbl"], pack["rows"]
+        out = []
+        for rid, dist in hits:
+            pos = idx.get(rid)
+            if pos is None:
+                continue
+            row = tbl.slice(pos, 1).to_pylist()[0]
+            out.append(
+                {
+                    "id": rid,
+                    "score": float(dist),
+                    "metadata": _meta(row),
+                    **(
+                        {"vector": [float(x) for x in row["embedding"]]}
+                        if include_vectors
+                        else {}
+                    ),
+                }
+            )
+        return out
+
+    def _run_search_exact(self, c, vector, k, where, include_vectors):
         # Unfiltered single-query search serves from the driver-resident
         # pack (Collection.search_local): zero Spark jobs per request —
         # the interactive-serving regime where per-query distributed
@@ -318,27 +362,7 @@ class _Handler(BaseHTTPRequestHandler):
                 else None
             )
             if hits is not None:
-                tbl, idx = pack["tbl"], pack["rows"]
-                out = []
-                for rid, dist in hits:
-                    row = tbl.slice(idx[rid], 1).to_pylist()[0]
-                    out.append(
-                        {
-                            "id": rid,
-                            "score": float(dist),
-                            "metadata": _meta(row),
-                            **(
-                                {
-                                    "vector": [
-                                        float(x) for x in row["embedding"]
-                                    ]
-                                }
-                                if include_vectors
-                                else {}
-                            ),
-                        }
-                    )
-                return out
+                return self._enrich_pack_hits(c, pack, hits, include_vectors)
         # the kNN plan prunes to (id, dist) — the right scan shape; the
         # response's metadata/vector enrichment is a k-row lookup by id
         # afterwards (reference server.py:374-390 returns metadata per
@@ -384,6 +408,7 @@ class _Handler(BaseHTTPRequestHandler):
             int(b.get("k", 10)),
             b.get("filter"),
             bool(b.get("include_vectors", False)),
+            ann=bool(b.get("ann", False)),
         )
         self._send(
             200,

@@ -1,0 +1,180 @@
+"""Collection-integrated ANN index lifecycle (ref
+vectordb_optimized.py:271-309,356,405,474,492: live per-collection
+index maintained through DML, persisted across restarts)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from fastpyvectordb_spark.catalog import VectorDB
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return VectorDB(spark, str(tmp_path / "anndb"))
+
+
+def _rows(n, d=8, seed=0, prefix="r"):
+    rng = random.Random(seed)
+    return [
+        (f"{prefix}{i}", [rng.uniform(-1, 1) for _ in range(d)], "A")
+        for i in range(n)
+    ]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, embedding array<float>, category string"
+    )
+
+
+def _mk(db, spark, n=300, seed=0, metric="cosine", name="c"):
+    c = db.create_collection(name, dimensions=8, metric=metric)
+    c.insert_batch(_batch(spark, _rows(n, seed=seed)))
+    return c
+
+
+def test_search_ann_exhaustive_probe_matches_exact(spark, db):
+    """nprobe = n_lists probes every list — identical id set to the
+    exact serving twin (distances agree to float32 rounding)."""
+    c = _mk(db, spark)
+    c.build_ann_index(n_lists=8, max_iter=10)
+    q = _rows(1, seed=99)[0][1]
+    exact = c.search_local(q, k=10)
+    ann = c.search_ann(q, k=10, nprobe=8)
+    assert ann is not None
+    assert {i for i, _ in ann} == {i for i, _ in exact}
+    assert np.allclose(
+        sorted(d for _, d in ann), sorted(d for _, d in exact), atol=2e-6
+    )
+
+
+def test_search_ann_recall_at_reduced_probe(spark, db):
+    """Recall@10 over a query sample stays high at nprobe < n_lists."""
+    c = _mk(db, spark, n=500, name="rc")
+    c.build_ann_index(n_lists=16, max_iter=20)
+    rng = random.Random(3)
+    hits = tot = 0
+    for _ in range(20):
+        q = [rng.uniform(-1, 1) for _ in range(8)]
+        exact = {i for i, _ in c.search_local(q, k=10)}
+        ann = {i for i, _ in c.search_ann(q, k=10, nprobe=6)}
+        hits += len(exact & ann)
+        tot += 10
+    assert hits / tot >= 0.9
+
+
+def test_search_ann_tracks_dml_without_retrain(spark, db, monkeypatch):
+    """Upserted/inserted vectors are findable and deleted ids vanish
+    right after the commit, with the trainer booby-trapped — the
+    index must refresh via assignment only (the add_items /
+    mark_deleted parity path)."""
+    from fastpyvectordb_spark.ann.collection_index import CollectionANN
+
+    c = _mk(db, spark, name="dml")
+    c.build_ann_index(n_lists=8, max_iter=10)
+    q = _rows(1, seed=7)[0][1]
+    assert c.search_ann(q, k=5) is not None  # prime serving state
+
+    def boom(self, *a, **kw):
+        raise AssertionError("retrain triggered for small drift")
+
+    monkeypatch.setattr(CollectionANN, "train", boom)
+    # upsert an exact match for the query → must become the top hit
+    c.upsert(_batch(spark, [("hot", list(q), "A")]))
+    res = c.search_ann(q, k=5)
+    assert res[0][0] == "hot" and res[0][1] == 0.0
+    # delete it → gone from results
+    c.delete(ids=["hot"])
+    res2 = c.search_ann(q, k=5)
+    assert all(i != "hot" for i, _ in res2)
+    # brand-new insert → findable
+    far = [9.0] * 8
+    c.insert_batch(_batch(spark, [("newpt", far, "A")]))
+    res3 = c.search_ann(far, k=1)
+    assert res3[0][0] == "newpt"
+
+
+def test_search_ann_retrains_past_drift_threshold(spark, db, monkeypatch):
+    """Churning more than REBUILD_THRESHOLD of the corpus retrains the
+    coarse centroids (merge-policy rebuild)."""
+    from fastpyvectordb_spark.ann import collection_index as ci
+
+    c = _mk(db, spark, n=100, name="drift")
+    c.build_ann_index(n_lists=8, max_iter=5)
+    q = _rows(1, seed=11)[0][1]
+    assert c.search_ann(q, k=5) is not None
+    calls = []
+    orig = ci.CollectionANN.train
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ci.CollectionANN, "train", spy)
+    # rewrite half the corpus (> 0.3 drift)
+    c.upsert(_batch(spark, _rows(50, seed=77)))
+    assert c.search_ann(q, k=5) is not None
+    assert calls, "expected a retrain after 50% churn"
+
+
+def test_search_ann_persists_across_handles(spark, db, monkeypatch):
+    """A fresh handle must serve from the persisted centroids without
+    retraining (reference index.bin load)."""
+    import fastpyvectordb_spark.ann.collection_index as ci
+
+    c = _mk(db, spark, name="persist")
+    c.build_ann_index(n_lists=8, max_iter=10)
+    q = _rows(1, seed=5)[0][1]
+    want = c.search_ann(q, k=5, nprobe=8)
+
+    from fastpyvectordb_spark.catalog import Collection
+
+    fresh = Collection(spark, c.path, c.config)
+
+    def boom(self, *a, **kw):
+        raise AssertionError("fresh handle retrained")
+
+    monkeypatch.setattr(ci.CollectionANN, "train", boom)
+    got = fresh.search_ann(q, k=5, nprobe=8)
+    assert got == want
+
+
+def test_search_ann_auto_builds_on_first_use(spark, db):
+    c = _mk(db, spark, n=120, name="auto")
+    res = c.search_ann(_rows(1, seed=2)[0][1], k=5)
+    assert res is not None and len(res) == 5
+    import os
+
+    assert os.path.exists(os.path.join(c.path, "_ann", "meta.json"))
+
+
+def test_search_ann_oversize_returns_none(spark, db):
+    import fastpyvectordb_spark.catalog as cat
+
+    c = _mk(db, spark, n=50, name="big")
+    c.build_ann_index(n_lists=4, max_iter=5)
+    old = cat.Collection.SERVING_PACK_MAX_FLOATS
+    try:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = 10
+        c._serving_pack = None
+        del c._serving_pack
+        assert c.search_ann([0.0] * 8, k=5) is None
+    finally:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = old
+
+
+def test_search_ann_batch_matches_singles(spark, db):
+    c = _mk(db, spark, n=200, name="bat", metric="l2")
+    c.build_ann_index(n_lists=8, max_iter=10)
+    qs = [r[1] for r in _rows(4, seed=31, prefix="q")]
+    bat = c.search_ann_batch(qs, k=5, nprobe=8)
+    assert bat is not None
+    for i, q in enumerate(qs):
+        single = c.search_ann(q, k=5, nprobe=8)
+        sub = bat[bat.query_id == i]
+        assert list(sub["id"]) == [s[0] for s in single]
+        assert np.allclose(sub["dist"].to_numpy(), [s[1] for s in single])

@@ -366,3 +366,47 @@ def test_rest_search_pack_none_falls_to_distributed(api, monkeypatch):
     assert [h["id"] for h in r["results"]] == ["v2", "v1"]
     monkeypatch.undo()
     _req(api, "DELETE", "/collections/nopack")
+
+
+def test_rest_search_ann_flag(api):
+    """"ann": true routes through the collection IVF index (the
+    reference server's always-index regime, opt-in here); results on
+    an exhaustive-probe-sized collection match the exact path, and a
+    post-index upsert is immediately findable (add_items parity over
+    HTTP)."""
+    import random
+
+    rng = random.Random(13)
+    _req(api, "POST", "/collections", {"name": "annc", "dimensions": 8})
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(150)]
+    _req(
+        api, "POST", "/collections/annc/vectors/batch",
+        {"ids": [f"p{i}" for i in range(150)], "vectors": vecs},
+    )
+    q = vecs[37]
+    s1, exact = _req(
+        api, "POST", "/collections/annc/search", {"vector": q, "k": 5}
+    )
+    s2, ann = _req(
+        api, "POST", "/collections/annc/search",
+        {"vector": q, "k": 5, "ann": True},
+    )
+    assert s1 == s2 == 200
+    assert ann["results"][0]["id"] == "p37"
+    assert {x["id"] for x in ann["results"]} == {
+        x["id"] for x in exact["results"]
+    }
+    # DML then ANN search again: the index must track the commit
+    _req(
+        api, "POST", "/collections/annc/vectors",
+        {"id": "fresh", "vector": q, "metadata": {"tag": "new"}},
+    )
+    s3, ann2 = _req(
+        api, "POST", "/collections/annc/search",
+        {"vector": q, "k": 2, "ann": True},
+    )
+    assert s3 == 200
+    ids = [x["id"] for x in ann2["results"]]
+    assert "fresh" in ids and "p37" in ids
+    meta = {x["id"]: x["metadata"] for x in ann2["results"]}
+    assert meta["fresh"] == {"tag": "new"}
