@@ -190,13 +190,16 @@ class VectorDBClient:
     # -- search (client.py:192-262) ------------------------------------
     def search(self, collection: str, vector: list[float], k: int = 10,
                filter: dict | None = None, include_vectors: bool = False,
-               ef_search: int | None = None) -> list[SearchResult]:
+               ef_search: int | None = None,
+               ann: bool = False) -> list[SearchResult]:
         data: dict = {"vector": vector, "k": k,
                       "include_vectors": include_vectors}
         if filter:
             data["filter"] = filter
         if ef_search:  # accepted-but-advisory, as in the server
             data["ef_search"] = ef_search
+        if ann:  # route through the collection's IVF index (round 6)
+            data["ann"] = True
         js = self._ok(
             "POST", f"/collections/{urllib.parse.quote(collection)}/search",
             data,

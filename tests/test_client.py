@@ -130,3 +130,22 @@ def test_client_non_dict_json_error_body(monkeypatch):
         c.health()
     assert ei.value.status == 422
     assert "field x is required" in str(ei.value)
+
+
+def test_client_search_ann_flag(client):
+    """ann=True routes the request through the collection's IVF index
+    (round 6 server opt-in); on a small collection with exhaustive
+    probes the hits match the exact path."""
+    import random
+
+    rng = random.Random(21)
+    client.create_collection("annclient", dimensions=6)
+    vecs = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(80)]
+    client.insert_batch(
+        "annclient", vecs, ids=[f"v{i}" for i in range(80)]
+    )
+    q = vecs[11]
+    exact = client.search("annclient", q, k=5)
+    ann = client.search("annclient", q, k=5, ann=True)
+    assert ann[0].id == "v11" and ann[0].score == 0.0
+    assert {r.id for r in ann} == {r.id for r in exact}
