@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 
 import numpy as np
@@ -55,15 +56,26 @@ REBUILD_THRESHOLD = 0.3  # retrain centroids past this drift fraction
 
 
 class CollectionANN:
-    """Driver-resident ANN index state for one Collection handle."""
+    """Driver-resident ANN index state for one Collection handle.
+
+    Thread-safety contract (the REST server is ThreadingHTTPServer, so
+    concurrent ``search_ann`` calls share this object): the derived
+    serving state is ONE attribute, ``_serving = (packed, labels,
+    version)``, swapped atomically — readers snapshot it once and never
+    see a new pack with old labels. Refresh/train serialize on
+    ``_refresh_lock``; searches stay lock-free (a thread that snapshot
+    an older consistent state linearizes before the concurrent commit,
+    the same contract as ``Collection.pack_serving``)."""
 
     def __init__(self, collection):
         self.c = collection
         self.centroids: np.ndarray | None = None
         self.meta: dict | None = None
-        self.packed: IVFPacked | None = None
-        self.labels: np.ndarray | None = None
-        self.pack_version: str | None = None
+        # (IVFPacked, labels ndarray, committed version) — publish/read
+        # as a unit; None until first ensure() or after a retrain
+        self._serving: tuple | None = None
+        # RLock: ensure() holds it across a nested train() call
+        self._refresh_lock = threading.RLock()
 
     # -- persistence --------------------------------------------------
 
@@ -98,9 +110,9 @@ class CollectionANN:
     def drop(self) -> None:
         import shutil
 
-        shutil.rmtree(self._dir, ignore_errors=True)
-        self.centroids = self.meta = self.packed = self.labels = None
-        self.pack_version = None
+        with self._refresh_lock:
+            shutil.rmtree(self._dir, ignore_errors=True)
+            self.centroids = self.meta = self._serving = None
 
     # -- training -----------------------------------------------------
 
@@ -145,20 +157,27 @@ class CollectionANN:
             # to conclude no sampling is needed
             train_rows=None if n <= (train_rows or 0) else train_rows,
         )
-        self.centroids = idx.centroids
-        self.meta = {
-            "kind": "ivf",
-            "metric": self.c.config.metric,
-            "dims": self.c.config.dimensions,
-            "n_lists": int(self.centroids.shape[0]),
-            "train_version": self.c._current_version(),
-            "train_seq_max": seq_max,
-            "n_train": int(n),
-        }
-        self.packed = None  # force re-assignment against new centroids
-        self.pack_version = None
-        self.save()
-        return dict(self.meta)
+        # swap centroids+meta and invalidate the derived state under
+        # the refresh lock (RLock — ensure() may already hold it):
+        # _assign_pack reads self.centroids more than once, so a public
+        # build_ann_index() racing a locked refresh must serialize
+        with self._refresh_lock:
+            self.centroids = idx.centroids
+            self.meta = {
+                "kind": "ivf",
+                "metric": self.c.config.metric,
+                "dims": self.c.config.dimensions,
+                "n_lists": int(self.centroids.shape[0]),
+                "train_version": self.c._current_version(),
+                "train_seq_max": seq_max,
+                "n_train": int(n),
+            }
+            # force re-assignment against the new centroids; readers
+            # that already snapshot the old (packed, labels) pair stay
+            # consistent
+            self._serving = None
+            self.save()
+            return dict(self.meta)
 
     # -- assignment / refresh ----------------------------------------
 
@@ -175,12 +194,13 @@ class CollectionANN:
         removed = max(0, self.meta["n_train"] - surviving)
         return (newer + removed) / n
 
-    def _assign_pack(self, pack) -> None:
+    def _assign_pack(self, pack) -> tuple:
         """Group the serving pack's rows by nearest centroid — the
         fixed-centroid equivalent of ``add_items`` for every row that
         arrived since the last refresh (per-row independent, so the
         re-derivation is exact, and killed rows are already absent
-        from the pack = ``mark_deleted``)."""
+        from the pack = ``mark_deleted``). Returns ``(packed, labels)``
+        for the caller to publish atomically."""
         vmat = pack["vmat"]  # (N, D) f32, id-ascending
         n = vmat.shape[0]
         c32 = self.centroids.astype(np.float32)
@@ -200,7 +220,7 @@ class CollectionANN:
         n_lists = self.centroids.shape[0]
         offsets = np.searchsorted(lists, np.arange(n_lists + 1))
         sqnorms = np.einsum("ij,ij->i", vmat, vmat)
-        self.packed = IVFPacked(
+        packed = IVFPacked(
             centroids=self.centroids,
             vmat=vmat,
             ids=np.arange(n, dtype=np.int64),  # positions → labels
@@ -208,46 +228,65 @@ class CollectionANN:
             norms=np.sqrt(sqnorms).astype(np.float32) + np.float32(1e-10),
             sqnorms=sqnorms.astype(np.float32),
         )
-        self.labels = pack["ids"][order]
+        return packed, pack["ids"][order]
 
-    def ensure(self, auto_build: bool = True) -> bool:
-        """Bring the index to the current committed version. Returns
-        False when serving is unavailable (no data, oversize pack, or
-        no index and ``auto_build=False``)."""
-        if self.centroids is None and not self.load():
-            if not auto_build:
-                return False
-            if self.c._current_version() is None:
-                return False
-            self.train()
+    def ensure(self, auto_build: bool = True) -> tuple | None:
+        """Bring the index to the current committed version and return
+        the ``(packed, labels, version)`` snapshot the caller should
+        search against (pass it to :meth:`search_batch` — holding the
+        snapshot, not re-reading it, is what makes a concurrent retrain
+        invisible). Returns None when serving is unavailable (no data,
+        oversize pack, or no index and ``auto_build=False``). Lock-free
+        when current; refreshes serialize on ``_refresh_lock`` (one
+        thread trains / re-assigns, the rest wait and reuse its
+        published state)."""
         ver = self.c._current_version()
-        if ver is None:
-            return False
-        if self.packed is not None and self.pack_version == ver:
-            return True
-        pack = self.c.pack_serving()
-        if pack is None:
-            return False
-        if self._drift(pack) > REBUILD_THRESHOLD:
-            self.train()
-        self._assign_pack(pack)
-        self.pack_version = ver
-        return True
+        s = self._serving
+        if s is not None and s[2] == ver:
+            return s
+        with self._refresh_lock:
+            ver = self.c._current_version()
+            if ver is None:
+                return None
+            s = self._serving
+            if s is not None and s[2] == ver:  # refreshed while waiting
+                return s
+            if self.centroids is None and not self.load():
+                if not auto_build:
+                    return None
+                self.train()
+            pack = self.c.pack_serving()
+            if pack is None:
+                return None
+            if self._drift(pack) > REBUILD_THRESHOLD:
+                self.train()
+            packed, labels = self._assign_pack(pack)
+            s = (packed, labels, ver)
+            self._serving = s
+            return s
 
     # -- search -------------------------------------------------------
 
-    def search_batch(self, queries_pdf, k: int = 10, nprobe: int = 8):
+    def search_batch(
+        self, queries_pdf, k: int = 10, nprobe: int = 8, serving=None
+    ):
         """(query_id, rank, id, dist) with string ids; probed packed
         kernel (:func:`ivf_search_local`), distances rounded like
-        ``search_local``."""
+        ``search_local``. ``serving`` is the snapshot from
+        :meth:`ensure`; reading the state ONCE (and never re-reading
+        ``self._serving`` mid-search) is what guarantees a concurrent
+        refresh/retrain can never pair a new pack with old labels."""
+        packed, labels, _ = (
+            serving if serving is not None else self._serving
+        )
         res = ivf_search_local(
-            self.packed,
+            packed,
             queries_pdf,
             k=k,
-            nprobe=min(nprobe, self.packed.centroids.shape[0]),
+            nprobe=min(nprobe, packed.centroids.shape[0]),
             metric=self.meta["metric"],
             id_col="_pos",
         )
-        res["id"] = self.labels[res["_pos"].to_numpy()]
+        res["id"] = labels[res["_pos"].to_numpy()]
         res["dist"] = res["dist"].round(6)
         return res[["query_id", "rank", "id", "dist"]]

@@ -2278,10 +2278,12 @@ class Collection:
     def _ann(self):
         from fastpyvectordb_spark.ann.collection_index import CollectionANN
 
+        # dict.setdefault is atomic under the GIL — two ThreadingHTTPServer
+        # handlers racing first use share ONE CollectionANN (its refresh
+        # lock only serializes threads that see the same instance)
         st = getattr(self, "_ann_state", None)
         if st is None:
-            st = CollectionANN(self)
-            self._ann_state = st
+            st = self.__dict__.setdefault("_ann_state", CollectionANN(self))
         return st
 
     def build_ann_index(
@@ -2323,12 +2325,13 @@ class Collection:
                 f"query dimension {len(query_vec)} != {self.config.dimensions}"
             )
         st = self._ann()
-        if not st.ensure(auto_build=auto_build):
+        serving = st.ensure(auto_build=auto_build)
+        if serving is None:
             return None
         qpdf = pd.DataFrame(
             {"query_id": [0], "query_vec": [list(query_vec)]}
         )
-        res = st.search_batch(qpdf, k=k, nprobe=nprobe)
+        res = st.search_batch(qpdf, k=k, nprobe=nprobe, serving=serving)
         return [
             (str(i), float(d)) for i, d in zip(res["id"], res["dist"])
         ]
@@ -2351,7 +2354,8 @@ class Collection:
                     f"query dimension {len(v)} != {self.config.dimensions}"
                 )
         st = self._ann()
-        if not st.ensure(auto_build=auto_build):
+        serving = st.ensure(auto_build=auto_build)
+        if serving is None:
             return None
         qpdf = pd.DataFrame(
             {
@@ -2359,7 +2363,7 @@ class Collection:
                 "query_vec": [list(v) for v in query_vecs],
             }
         )
-        return st.search_batch(qpdf, k=k, nprobe=nprobe)
+        return st.search_batch(qpdf, k=k, nprobe=nprobe, serving=serving)
 
     def search_batch(
         self,

@@ -178,3 +178,65 @@ def test_search_ann_batch_matches_singles(spark, db):
         sub = bat[bat.query_id == i]
         assert list(sub["id"]) == [s[0] for s in single]
         assert np.allclose(sub["dist"].to_numpy(), [s[1] for s in single])
+
+
+def test_serving_snapshot_survives_concurrent_retrain(spark, db):
+    """ThreadingHTTPServer contract: a handler that obtained the
+    (packed, labels, version) snapshot from ensure() keeps searching a
+    CONSISTENT pack+labels pair even if another thread retrains (which
+    nulls the published state) between ensure() and search_batch()."""
+    import pandas as pd
+
+    c = _mk(db, spark, n=200, name="snap")
+    c.build_ann_index(n_lists=8, max_iter=10)
+    st = c._ann()
+    serving = st.ensure()
+    assert serving is not None
+    want = c.search_ann(_rows(1, seed=7)[0][1], k=5, nprobe=8)
+
+    # another thread retrains: the published serving state is dropped
+    c.build_ann_index(n_lists=8, max_iter=10)
+    assert st._serving is None
+
+    # the held snapshot still serves, values unchanged
+    qpdf = pd.DataFrame(
+        {"query_id": [0], "query_vec": [list(_rows(1, seed=7)[0][1])]}
+    )
+    res = st.search_batch(qpdf, k=5, nprobe=8, serving=serving)
+    assert list(res["id"]) == [i for i, _ in want]
+
+    # and the public path re-derives fresh state transparently
+    again = c.search_ann(_rows(1, seed=7)[0][1], k=5, nprobe=8)
+    assert [i for i, _ in again] == [i for i, _ in want]
+
+
+def test_ensure_publishes_atomically_under_threads(spark, db):
+    """Hammer search_ann from N threads while DML commits land: every
+    result must be internally consistent (ids exist in the collection,
+    k results, sorted distances) — no torn pack/labels pairing, no
+    AttributeError from a mid-retrain None state."""
+    import threading
+
+    c = _mk(db, spark, n=150, name="thr")
+    c.build_ann_index(n_lists=8, max_iter=5)
+    q = _rows(1, seed=11)[0][1]
+    errs: list = []
+
+    def searcher():
+        try:
+            for _ in range(12):
+                res = c.search_ann(q, k=5, nprobe=8)
+                assert res is not None and len(res) == 5
+                ds = [d for _, d in res]
+                assert ds == sorted(ds)
+        except Exception as e:  # pragma: no cover - failure capture
+            errs.append(e)
+
+    threads = [threading.Thread(target=searcher) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for i in range(3):
+        c.upsert(_batch(spark, _rows(5, seed=40 + i, prefix=f"n{i}_")))
+    for t in threads:
+        t.join()
+    assert not errs, errs
