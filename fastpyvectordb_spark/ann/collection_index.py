@@ -267,6 +267,77 @@ class CollectionANN:
 
     # -- search -------------------------------------------------------
 
+    def _list_id_expr(self, vec_col, centroids):
+        """Nearest-centroid list id as a pure-codegen expression over
+        LITERAL centroids (L2 argmin, ties to the lower id — the MLlib
+        assignment rule): zero joins, zero shuffles, evaluated inside
+        the scan. Folded in 64-centroid chunks so each expression tree
+        stays modest (struct ``least`` compares (d², cid)
+        lexicographically)."""
+        from pyspark.sql import functions as F
+
+        structs = []
+        for cid, c in enumerate(centroids):
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(
+                    vec_col.cast("array<double>"),
+                    lit,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(
+                F.struct(d2.alias("d"), F.lit(cid).alias("cid"))
+            )
+        best = None
+        for lo in range(0, len(structs), 64):
+            m = F.array_min(F.array(*structs[lo : lo + 64]))
+            best = m if best is None else F.least(best, m)
+        return best["cid"]
+
+    def search_distributed(
+        self, query_vecs, k: int = 10, nprobe: int = 8
+    ) -> list[list[tuple[str, float]]]:
+        """Probed search for collections ABOVE the serving-pack
+        threshold — the regime the packed kernel refuses. Same trained
+        centroids, applied as a compute-pruned distributed scan: the
+        nearest-centroid filter is pure codegen inside the scan (no
+        assignment table, no shuffle), survivors flow into the exact
+        ``knn`` TakeOrdered plan — only k rows per partition ever move.
+        Correct at ANY committed version with ZERO index maintenance
+        (assignment is recomputed in the scan). At 100 TB pair this
+        with the at-rest layouts that turn the probe into IO pruning:
+        :meth:`ann.ivf.IVFIndex.save` (list-partitioned parquet) or
+        ``optimize(zorder_by=...)`` row-group skipping — this fallback
+        prunes compute, those prune reads."""
+        from pyspark.sql import functions as F
+
+        from fastpyvectordb_spark.operators.knn import knn
+
+        # snapshot shared state once (concurrent retrain safety)
+        cents, meta = self.centroids, self.meta
+        nprobe = min(nprobe, cents.shape[0])
+        df = self.c.df()
+        lid = self._list_id_expr(F.col("embedding"), cents)
+        out: list[list[tuple[str, float]]] = []
+        for qv in query_vecs:
+            q = np.asarray(qv, dtype=np.float64)
+            d = ((cents - q) ** 2).sum(axis=1)
+            probes = [int(i) for i in np.argsort(d)[:nprobe]]
+            cand = (
+                df.withColumn("_lid", lid)
+                .filter(F.col("_lid").isin(probes))
+                .drop("_lid")
+            )
+            hits = knn(
+                cand, list(qv), k=k, metric=meta["metric"],
+                id_col="id", vec_col="embedding",
+            ).collect()  # bounded: k rows
+            out.append([(str(r["id"]), float(r["dist"])) for r in hits])
+        return out
+
     def search_batch(
         self, queries_pdf, k: int = 10, nprobe: int = 8, serving=None
     ):

@@ -2315,9 +2315,12 @@ class Collection:
         """ANN single-query search through the collection's IVF index
         (trained on first use; assignments track every commit via the
         incremental serving pack). Returns ``[(id, dist), ...]`` like
-        :meth:`search_local`, or None when packed serving is
-        unavailable (no data / oversize) — callers fall back to the
-        distributed plans."""
+        :meth:`search_local`. Collections ABOVE the serving-pack size
+        threshold serve through the index too — the same centroids as
+        a compute-pruned distributed probed scan
+        (:meth:`CollectionANN.search_distributed`), so ``ann=True``
+        keeps meaning "probed" at any scale. Returns None only when
+        there is no data, or no index and ``auto_build=False``."""
         import pandas as pd
 
         if len(query_vec) != self.config.dimensions:
@@ -2327,7 +2330,9 @@ class Collection:
         st = self._ann()
         serving = st.ensure(auto_build=auto_build)
         if serving is None:
-            return None
+            if st.centroids is None or self._current_version() is None:
+                return None
+            return st.search_distributed([query_vec], k=k, nprobe=nprobe)[0]
         qpdf = pd.DataFrame(
             {"query_id": [0], "query_vec": [list(query_vec)]}
         )
@@ -2344,8 +2349,12 @@ class Collection:
         auto_build: bool = True,
     ):
         """Batch ANN search: pandas ``(query_id, rank, id, dist)`` with
-        query_id = input position, or None when packed serving is
-        unavailable."""
+        query_id = input position. Oversize collections serve through
+        the distributed probed fallback (one bounded k-row job per
+        query — the amortized batch shape at that scale is
+        :func:`ann.ivf.ivf_search_batch` over a saved list-partitioned
+        index). Returns None only when there is no data, or no index
+        and ``auto_build=False``."""
         import pandas as pd
 
         for v in query_vecs:
@@ -2356,7 +2365,17 @@ class Collection:
         st = self._ann()
         serving = st.ensure(auto_build=auto_build)
         if serving is None:
-            return None
+            if st.centroids is None or self._current_version() is None:
+                return None
+            per_q = st.search_distributed(query_vecs, k=k, nprobe=nprobe)
+            return pd.DataFrame(
+                [
+                    (qi, r + 1, i, d)
+                    for qi, hits in enumerate(per_q)
+                    for r, (i, d) in enumerate(hits)
+                ],
+                columns=["query_id", "rank", "id", "dist"],
+            )
         qpdf = pd.DataFrame(
             {
                 "query_id": range(len(query_vecs)),

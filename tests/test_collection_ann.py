@@ -152,17 +152,27 @@ def test_search_ann_auto_builds_on_first_use(spark, db):
     assert os.path.exists(os.path.join(c.path, "_ann", "meta.json"))
 
 
-def test_search_ann_oversize_returns_none(spark, db):
+def test_search_ann_oversize_serves_distributed(spark, db):
+    """Above the serving-pack threshold ann search stays available:
+    the same centroids run as a compute-pruned distributed probed
+    scan. Exhaustive probes == the exact distributed top-k; the batch
+    shape agrees with singles."""
     import fastpyvectordb_spark.catalog as cat
 
-    c = _mk(db, spark, n=50, name="big")
+    c = _mk(db, spark, n=60, name="big")
     c.build_ann_index(n_lists=4, max_iter=5)
+    q = _rows(1, seed=5)[0][1]
+    exact = [i for i, _ in c.search_local(q, k=5)]
     old = cat.Collection.SERVING_PACK_MAX_FLOATS
     try:
         cat.Collection.SERVING_PACK_MAX_FLOATS = 10
-        c._serving_pack = None
         del c._serving_pack
-        assert c.search_ann([0.0] * 8, k=5) is None
+        c._ann()._serving = None
+        got = c.search_ann(q, k=5, nprobe=4)  # exhaustive probes
+        assert got is not None and [i for i, _ in got] == exact
+        bat = c.search_ann_batch([q, q], k=5, nprobe=4)
+        assert list(bat[bat.query_id == 1]["id"]) == exact
+        assert list(bat["rank"][:5]) == [1, 2, 3, 4, 5]
     finally:
         cat.Collection.SERVING_PACK_MAX_FLOATS = old
 
