@@ -734,3 +734,39 @@ def upsample_copies_sql(
             f"({base} + CASE WHEN {bucket} < {frac_bp} THEN 1 ELSE 0 END)"
         )
     return "CASE " + " ".join(cases) + " ELSE 1 END"
+
+
+def cap_per_group(
+    df: "DataFrame",
+    group_col: str = "source",
+    cap: int = 10,
+    order_by: list | None = None,
+    rank_col: str = "_rank",
+):
+    """Per-group document cap — the C4/RefinedWeb "at most N documents
+    per domain" retention step (the domain-skew control every
+    web-corpus pipeline applies before mixing). Keeps the ``cap``
+    best-ranked rows of each group; rank is a ``row_number`` window
+    ordered by ``order_by`` (default: ``n_chars`` DESC then the id —
+    deterministic cross-engine, no sampling).
+
+    Plan: ONE shuffle on ``group_col`` + a per-group sort — the
+    canonical top-k-per-group shape. At 100 TB the only hazard is a
+    pathologically hot group (one domain = one window partition);
+    mitigate by pre-pruning per input partition first (each partition
+    can keep at most ``cap`` rows per group before the shuffle —
+    ``mapInPandas`` per-partition head) or salting the rank into a
+    two-stage cap. The suite-scale corpus has bounded groups, so the
+    single-window plan is the right default.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order_by = order_by or [F.desc("n_chars"), F.asc("doc_id")]
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= cap)
+        .drop(rank_col)
+    )

@@ -693,3 +693,54 @@ def pipeline_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Per-source document cap (C4/RefinedWeb "max N docs per domain"):
+# keep the 10 longest docs per source (ties by doc_id), report what
+# survived. ROW_NUMBER is deterministic in both engines under the
+# (n_chars DESC, doc_id) total order.
+_CAP_ORACLE = """
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+), base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+)
+SELECT b.source,
+       b.n_docs,
+       CAST(COUNT(r.doc_id) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(r.n_chars), 0) AS BIGINT) AS kept_chars
+FROM base b
+LEFT JOIN ranked r ON r.source = b.source AND r.rn <= 10
+GROUP BY b.source, b.n_docs
+ORDER BY b.source
+"""
+
+
+@register("pipeline_source_cap", _CAP_ORACLE)
+def pipeline_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap retention report: cap each source at its 10 longest
+    documents (``cap_per_group``), then per-source kept counts/chars —
+    the skew-control step a web corpus applies before mixing."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = T.cap_per_group(docs, group_col="source", cap=10)
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    return (
+        base.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -694,3 +694,30 @@ def test_embedding_lsh_threshold_at_100k(spark):
     # banding recall on near-identical pairs is geometric in bands — at
     # cos≈0.9998 and 4 bands of 4 essentially all planted pairs land
     assert found >= 0.95 * len(planted), f"{found}/{len(planted)} planted found"
+
+
+def test_cap_per_group_semantics(spark):
+    """Keeps exactly min(cap, group size) rows per group, chosen by the
+    (n_chars DESC, doc_id) total order; cap < 1 refuses."""
+    import pytest
+
+    from fastpyvectordb_spark.operators.textanalysis import cap_per_group
+
+    rows = [
+        # source a: 4 docs — cap 2 keeps the two longest (ties by id)
+        (1, "a", 100), (2, "a", 300), (3, "a", 300), (4, "a", 50),
+        # source b: 1 doc — under the cap, kept whole
+        (5, "b", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    kept = cap_per_group(docs, group_col="source", cap=2).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(by_src["a"]) == [2, 3]  # 300-char docs, tie by id
+    assert by_src["b"] == [5]
+    assert all("_rank" not in r.asDict() for r in kept)  # helper dropped
+    with pytest.raises(ValueError):
+        cap_per_group(docs, cap=0)
