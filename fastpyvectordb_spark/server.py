@@ -301,12 +301,45 @@ class _Handler(BaseHTTPRequestHandler):
         # every commit via the incremental serving pack)
         if ann and where is None:
             pack = c.pack_serving()
-            hits = (
-                c.search_ann(vector, k=k) if pack is not None else None
-            )
+            hits = c.search_ann(vector, k=k)
             if hits is not None:
-                return self._enrich_pack_hits(c, pack, hits, include_vectors)
+                if pack is not None:
+                    return self._enrich_pack_hits(
+                        c, pack, hits, include_vectors
+                    )
+                # oversize collection: search_ann served the distributed
+                # probed fallback — enrich through the distributed get
+                # (one bounded k-id job; no pack exists at this size)
+                return self._enrich_distributed_hits(
+                    c, hits, include_vectors
+                )
         return self._run_search_exact(c, vector, k, where, include_vectors)
+
+    @staticmethod
+    def _enrich_distributed_hits(c, hits, include_vectors):
+        dists = {rid: d for rid, d in hits}
+        rows = {
+            r["id"]: r.asDict()
+            for r in c.get(list(dists), include_vector=True).collect()
+        }
+        out = []
+        for rid, dist in hits:  # preserve rank order
+            row = rows.get(rid)
+            if row is None:  # deleted by a concurrent commit
+                continue
+            out.append(
+                {
+                    "id": rid,
+                    "score": float(dist),
+                    "metadata": _meta(row),
+                    **(
+                        {"vector": [float(x) for x in row["embedding"]]}
+                        if include_vectors
+                        else {}
+                    ),
+                }
+            )
+        return out
 
     @staticmethod
     def _enrich_pack_hits(c, pack, hits, include_vectors):

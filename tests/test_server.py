@@ -410,3 +410,44 @@ def test_rest_search_ann_flag(api):
     assert "fresh" in ids and "p37" in ids
     meta = {x["id"]: x["metadata"] for x in ann2["results"]}
     assert meta["fresh"] == {"tag": "new"}
+
+
+def test_rest_search_ann_oversize_distributed(api, monkeypatch):
+    """"ann": true on an over-threshold collection serves through the
+    distributed probed fallback and enriches via the distributed get —
+    no pack exists at this size, results still match exact."""
+    import random
+
+    from fastpyvectordb_spark.catalog import Collection
+
+    rng = random.Random(23)
+    _req(api, "POST", "/collections", {"name": "bigann", "dimensions": 8})
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(80)]
+    _req(
+        api, "POST", "/collections/bigann/vectors/batch",
+        {
+            "ids": [f"b{i}" for i in range(80)],
+            "vectors": vecs,
+            "metadatas": [{"n": i} for i in range(80)],
+        },
+    )
+    q = vecs[11]
+    s0, exact = _req(
+        api, "POST", "/collections/bigann/search", {"vector": q, "k": 5}
+    )
+    assert s0 == 200
+    monkeypatch.setattr(Collection, "SERVING_PACK_MAX_FLOATS", 10)
+    s1, ann = _req(
+        api, "POST", "/collections/bigann/search",
+        {"vector": q, "k": 5, "ann": True, "include_vectors": True},
+    )
+    assert s1 == 200
+    got = ann["results"]
+    # exhaustive recall isn't guaranteed at default nprobe, but the
+    # query IS a stored vector: its own list is always probed first
+    assert got[0]["id"] == "b11"
+    assert got[0]["metadata"] == {"n": 11}
+    assert len(got[0]["vector"]) == 8
+    assert {x["id"] for x in got} <= {f"b{i}" for i in range(80)}
+    monkeypatch.undo()
+    _req(api, "DELETE", "/collections/bigann")
