@@ -51,21 +51,22 @@ def main() -> None:
     # a QPS drop with a matching mem_bw drop is the host, not the code.
     import numpy as _np
 
-    _cal = _np.ones(50_000_000, dtype=_np.float32)  # 200 MB
-    _best = 0.0
-    for _ in range(3):
+    def _calibrate() -> tuple[float, float]:
+        _cal = _np.ones(50_000_000, dtype=_np.float32)  # 200 MB
+        _best = 0.0
+        for _ in range(3):
+            _t0 = time.perf_counter()
+            _cal.copy()
+            _best = max(_best, 0.4 / (time.perf_counter() - _t0))
+        _g = _np.ones((1024, 1024), dtype=_np.float32)
         _t0 = time.perf_counter()
-        _cal.copy()
-        _best = max(_best, 0.4 / (time.perf_counter() - _t0))
-    extras["cal_mem_bw_gbps"] = round(_best, 2)
-    _g = _np.ones((1024, 1024), dtype=_np.float32)
-    _t0 = time.perf_counter()
-    for _ in range(5):
-        _g @ _g
-    extras["cal_gemm_gflops"] = round(
-        5 * 2 * 1024**3 / (time.perf_counter() - _t0) / 1e9, 1
-    )
-    del _cal, _g
+        for _ in range(5):
+            _g @ _g
+        _gf = 5 * 2 * 1024**3 / (time.perf_counter() - _t0) / 1e9
+        del _cal, _g
+        return round(_best, 2), round(_gf, 1)
+
+    extras["cal_mem_bw_gbps"], extras["cal_gemm_gflops"] = _calibrate()
 
     def bench(name, repeats=1):
         """Time fn; with repeats>1 record the best pass (standard
@@ -386,6 +387,16 @@ def main() -> None:
     import gc as _gc
 
     _gc.collect()
+
+    # SECOND calibration, taken immediately before the local-kernel
+    # block: the start-of-run probe is minutes old by now and this
+    # host's bandwidth swings >100x within a run (round-6 session
+    # measured the SAME nsw kernel at 18,200 and 830 QPS two hours
+    # apart, code and data identical — mem bw 37 vs 7 GB/s). The
+    # norm_per_gflops/gbps blocks use THIS temporally-adjacent probe
+    # for the local rows so round-over-round deltas attribute to code,
+    # not to whichever neighbor the VM had at second 0.
+    extras["cal2_mem_bw_gbps"], extras["cal2_gemm_gflops"] = _calibrate()
 
     # IVF accelerator at 100K: build once, then probe
     from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_search
@@ -1026,8 +1037,10 @@ def main() -> None:
     # host-noise discounts. Compute-bound kernels normalize by GEMM
     # GFLOPS; ingest/DML rows are I/O-and-commit-bound and normalize by
     # memory bandwidth (the best available host-load proxy).
-    _gf = extras.get("cal_gemm_gflops") or 1.0
-    _bw = extras.get("cal_mem_bw_gbps") or 1.0
+    # normalize the local kernels by the SECOND probe (taken right
+    # before that block); fall back to the start-of-run probe
+    _gf = extras.get("cal2_gemm_gflops") or extras.get("cal_gemm_gflops") or 1.0
+    _bw = extras.get("cal2_mem_bw_gbps") or extras.get("cal_mem_bw_gbps") or 1.0
     _COMPUTE_ROWS = [
         "exact_local_qps", "exact_batch_local_qps", "gemm_100k_qps",
         "auto_100k_qps", "ivf_local_qps", "ivf_batch_qps", "bq_local_qps",

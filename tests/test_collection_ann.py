@@ -250,3 +250,32 @@ def test_ensure_publishes_atomically_under_threads(spark, db):
     for t in threads:
         t.join()
     assert not errs, errs
+
+
+def test_search_ann_distributed_reduced_probe_recall(spark, db):
+    """The distributed fallback at nprobe < n_lists keeps high recall
+    (same coarse-quantizer geometry as the packed path)."""
+    import fastpyvectordb_spark.catalog as cat
+
+    c = _mk(db, spark, n=400, name="bigrec", seed=4)
+    c.build_ann_index(n_lists=16, max_iter=20)
+    rng = random.Random(9)
+    queries = [
+        [rng.uniform(-1, 1) for _ in range(8)] for _ in range(6)
+    ]
+    exact = [
+        {i for i, _ in c.search_local(q, k=10)} for q in queries
+    ]
+    old = cat.Collection.SERVING_PACK_MAX_FLOATS
+    try:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = 10
+        del c._serving_pack
+        c._ann()._serving = None
+        hits = tot = 0
+        for q, ex in zip(queries, exact):
+            got = {i for i, _ in c.search_ann(q, k=10, nprobe=6)}
+            hits += len(got & ex)
+            tot += 10
+        assert hits / tot >= 0.9, hits / tot
+    finally:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = old
