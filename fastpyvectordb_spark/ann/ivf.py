@@ -160,13 +160,17 @@ def ivf_search_batch(
     for lid in np.unique(probe):
         probe_map[int(lid)] = np.nonzero((probe == lid).any(axis=1))[0]
 
+    # id column keeps ITS OWN type (string collection ids work, not
+    # just the synthetic bigint vec_id)
+    id_type = index.assigned.schema[id_col].dataType
     out_schema = StructType(
         [
             StructField("query_id", LongType()),
-            StructField(id_col, LongType()),
+            StructField(id_col, id_type),
             StructField("dist", DoubleType()),
         ]
     )
+    id_np = "int64" if id_type.typeName() in ("long", "integer") else "object"
 
     def per_list(key, pdf: pd.DataFrame) -> pd.DataFrame:
         lid = int(key[0])
@@ -174,17 +178,21 @@ def ivf_search_batch(
         if qidx is None or pdf.empty:
             return pd.DataFrame(
                 {"query_id": [], id_col: [], "dist": []}
-            ).astype({"query_id": "int64", id_col: "int64", "dist": "float64"})
+            ).astype({"query_id": "int64", id_col: id_np, "dist": "float64"})
         ids = pdf[id_col].to_numpy()
         vmat = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
         o = np.argsort(ids, kind="stable")  # ties-by-id in kernel cuts
         ids, vmat = ids[o], vmat[o]
         kk = min(k, len(ids))
-        d, i = _gemm_topk_chunked(qn[qidx], vmat, ids, kk, metric)
+        # the kernel ranks by (dist, POSITION): rows are id-ascending,
+        # so position ties == id ties, and the int64 position buffer
+        # works for string ids too (mapped back through ids[...])
+        pos = np.arange(len(ids), dtype=np.int64)
+        d, i = _gemm_topk_chunked(qn[qidx], vmat, pos, kk, metric)
         return pd.DataFrame(
             {
                 "query_id": np.repeat(qids[qidx], kk),
-                id_col: i.ravel(),
+                id_col: ids[i.ravel()],
                 "dist": d.ravel().astype("float64"),
             }
         )

@@ -618,3 +618,32 @@ def test_serving_default_recall_equivalence(spark):
     r_ivf, r_nsw = recall(ires), recall(nres)
     # serving default must not be the lower-recall path
     assert r_nsw >= 0.95 and r_ivf >= r_nsw - 1e-9, (r_ivf, r_nsw)
+
+
+def test_ivf_search_batch_string_ids(spark):
+    """The distributed batch kernel works on string-id tables (the
+    collection id type), ranking by (dist, id) with the id column
+    keeping its own type."""
+    import random
+
+    import pandas as pd
+
+    from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_search_batch
+
+    rng = random.Random(5)
+    rows = [
+        (f"s{i:03d}", [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    idx = ivf_build(df, n_lists=4, max_iter=5)
+    qpdf = pd.DataFrame(
+        {"query_id": [0, 1], "query_vec": [rows[3][1], rows[70][1]]}
+    )
+    out = ivf_search_batch(idx, qpdf, k=5, nprobe=4).toPandas()
+    assert out.dtypes["vec_id"] == object
+    top = out[(out.query_id == 0) & (out["rank"] == 1)]["vec_id"].iloc[0]
+    assert top == "s003"
+    top1 = out[(out.query_id == 1) & (out["rank"] == 1)]["vec_id"].iloc[0]
+    assert top1 == "s070"
+    assert len(out) == 10
