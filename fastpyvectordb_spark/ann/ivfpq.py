@@ -160,7 +160,8 @@ def ivfpq_build(
     sub = dims // m_subspaces
     out_schema = StructType(
         [
-            StructField(id_col, LongType()),
+            # ids pass through with their own type (string ids work)
+            StructField(id_col, residuals.schema[id_col].dataType),
             StructField("list_id", IntegerType()),
             StructField("codes", ArrayType(IntegerType())),
         ]
@@ -226,20 +227,22 @@ def ivfpq_search_batch(
     cents = index.codebooks
     coarse = index.centroids
 
+    id_type = index.codes.schema[id_col].dataType
     out_schema = StructType(
         [
             StructField("query_id", LongType()),
-            StructField(id_col, LongType()),
+            StructField(id_col, id_type),
             StructField("dist", DoubleType()),
         ]
     )
+    id_np = "int64" if id_type.typeName() in ("long", "integer") else "object"
 
     def per_list(key, pdf: pd.DataFrame) -> pd.DataFrame:
         lid = int(key[0])
         qidx = probe_map.get(lid)
         if qidx is None or pdf.empty:
             return pd.DataFrame({"query_id": [], id_col: [], "dist": []}).astype(
-                {"query_id": "int64", id_col: "int64", "dist": "float64"}
+                {"query_id": "int64", id_col: id_np, "dist": "float64"}
             )
         ids = pdf[id_col].to_numpy()
         codes = np.stack([np.asarray(c) for c in pdf["codes"]])  # (n, M)
@@ -268,10 +271,12 @@ def ivfpq_search_batch(
             d2 += lutf[:, cflat[:, m]]
         kk = min(n_fetch, len(ids))
         # tie-aware cut: boundary d2 ties (identical codes) keep the
-        # smaller id — argpartition speed otherwise
+        # smaller id — argpartition speed otherwise. Rows are
+        # id-ascending, so POSITION ties == id ties and the cut works
+        # for any id type (string ids don't enter the int kernel).
         from fastpyvectordb_spark.operators.knn import topk_rows_tied
 
-        p = topk_rows_tied(d2, ids, kk)
+        p = topk_rows_tied(d2, np.arange(len(ids), dtype=np.int64), kk)
         rows = np.arange(len(qidx))[:, None]
         return pd.DataFrame(
             {

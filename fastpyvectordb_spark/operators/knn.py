@@ -245,10 +245,12 @@ def knn_batch_gemm(
     else:
         qnorm = qmat
 
+    id_type = vectors.schema[id_col].dataType
     out_schema = StructType(
         [
             StructField("query_id", LongType()),
-            StructField(id_col, LongType()),
+            # the id column keeps its own type (string ids work)
+            StructField(id_col, id_type),
             StructField("dist", DoubleType()),
         ]
     )
@@ -262,11 +264,15 @@ def knn_batch_gemm(
                 [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
             )
             # ascending ids → the kernel's stable cuts break distance
-            # ties by id, matching the global window's ORDER BY
+            # ties by id, matching the global window's ORDER BY; the
+            # kernel itself ranks by POSITION (== id order here), so
+            # its int64 merge buffers serve any id type
             o = np.argsort(ids, kind="stable")
             ids, vmat = ids[o], vmat[o]
             kk = min(k, len(ids))
-            best_d, best_i = _gemm_topk_chunked(qnorm, vmat, ids, kk, metric)
+            pos = np.arange(len(ids), dtype=np.int64)
+            best_d, best_i = _gemm_topk_chunked(qnorm, vmat, pos, kk, metric)
+            best_i = ids[best_i]
             nq = len(qids)
             yield pd.DataFrame(
                 {

@@ -647,3 +647,31 @@ def test_ivf_search_batch_string_ids(spark):
     top1 = out[(out.query_id == 1) & (out["rank"] == 1)]["vec_id"].iloc[0]
     assert top1 == "s070"
     assert len(out) == 10
+
+
+def test_gemm_and_ivfpq_batch_string_ids(spark):
+    """knn_batch_gemm and ivfpq_search_batch on string-id tables: id
+    column keeps its type, top-1 of a stored query is itself."""
+    import random
+
+    import pandas as pd
+
+    from fastpyvectordb_spark.ann.ivfpq import ivfpq_build, ivfpq_search_batch
+    from fastpyvectordb_spark.operators.knn import knn_batch_gemm
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{i:03d}", [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    qpdf = pd.DataFrame({"query_id": [0], "query_vec": [rows[42][1]]})
+
+    out = knn_batch_gemm(df, qpdf, k=3, metric="cosine").toPandas()
+    assert out.dtypes["vec_id"] == object
+    assert out[out["rank"] == 1]["vec_id"].iloc[0] == "g042"
+
+    idx = ivfpq_build(df, n_lists=4, m_subspaces=4, max_iter=5)
+    adc = ivfpq_search_batch(idx, qpdf, k=3, nprobe=4).toPandas()
+    assert adc.dtypes["vec_id"] == object
+    assert adc[adc["rank"] == 1]["vec_id"].iloc[0] == "g042"
