@@ -116,6 +116,44 @@ class CollectionANN:
 
     # -- training -----------------------------------------------------
 
+    def _watermark(self) -> tuple[int, int]:
+        """(live row count, max _seq) — from the serving pack when it
+        exists (zero jobs — the pack is version-current via the
+        incremental refresh); only oversize collections pay the footer
+        count + one tiny agg."""
+        from pyspark.sql import functions as F
+
+        pack = self.c.pack_serving()
+        if pack is not None:
+            n = len(pack["ids"])
+            return n, (int(pack["seq"].max()) if n else 0)
+        n = self.c.count()
+        row = self.c._df_live(keep_seq=True).agg(
+            F.coalesce(F.max("_seq"), F.lit(0)).alias("s")
+        ).collect()
+        return n, (int(row[0]["s"]) if row else 0)
+
+    def refresh_watermark(self) -> None:
+        """Re-stamp the trained state to the CURRENT version without
+        retraining — for content-preserving rewrites (optimize): the
+        centroids still describe the same rows, but every rewritten row
+        carries a fresh ``_seq``, which the drift check would otherwise
+        read as 100% churn and trigger a pointless retrain (which would
+        also invalidate at-rest clustering stats)."""
+        with self._refresh_lock:
+            if self.meta is None:
+                return
+            n, seq_max = self._watermark()
+            self.meta.update(
+                {
+                    "train_version": self.c._current_version(),
+                    "train_seq_max": seq_max,
+                    "n_train": int(n),
+                }
+            )
+            self._serving = None  # positions changed with the rewrite
+            self.save()
+
     def train(
         self,
         n_lists: int | None = None,
@@ -126,24 +164,9 @@ class CollectionANN:
         """Fit coarse centroids over the live rows (distributed MLlib
         KMeans via :func:`ivf_build`; the fit is bounded to a sample at
         scale) and persist them keyed to the current version."""
-        from pyspark.sql import functions as F
-
         from fastpyvectordb_spark.ann.ivf import ivf_build
 
-        # row count and the train-time seq watermark come from the
-        # serving pack when it exists (zero jobs — the pack is already
-        # version-current via the incremental refresh); only oversize
-        # collections pay the footer count + one tiny agg
-        pack = self.c.pack_serving()
-        if pack is not None:
-            n = len(pack["ids"])
-            seq_max = int(pack["seq"].max()) if n else 0
-        else:
-            n = self.c.count()
-            row = self.c._df_live(keep_seq=True).agg(
-                F.coalesce(F.max("_seq"), F.lit(0)).alias("s")
-            ).collect()
-            seq_max = int(row[0]["s"]) if row else 0
+        n, seq_max = self._watermark()
         if n_lists is None:
             n_lists = int(max(8, min(256, round(np.sqrt(max(n, 1))))))
         n_lists = min(n_lists, max(1, n))
@@ -265,6 +288,84 @@ class CollectionANN:
             self._serving = s
             return s
 
+    # -- at-rest clustering (optimize(ann_cluster=True)) ---------------
+
+    @property
+    def _clustered_marker(self) -> str:
+        return os.path.join(self._dir, "clustered.json")
+
+    def mark_clustered(self, version: str, train_version: str) -> None:
+        """Record that ``version``'s files were list-clustered under
+        the centroids trained at ``train_version`` — file-skipping is
+        valid only while the SAME centroids are current (a retrain
+        changes every assignment, so stats from the old geometry must
+        be ignored)."""
+        os.makedirs(self._dir, exist_ok=True)
+        tmp = self._clustered_marker + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": version, "train_version": train_version}, f
+            )
+        os.rename(tmp, self._clustered_marker)
+
+    def _stats_usable(self) -> bool:
+        if not os.path.exists(self._clustered_marker):
+            return False
+        try:
+            with open(self._clustered_marker) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            return False
+        return (
+            self.meta is not None
+            and m.get("train_version") == self.meta.get("train_version")
+        )
+
+    def _file_list_ranges(self, files) -> dict:
+        """{relpath: (min_list, max_list)} from parquet footer column
+        stats of ``_ann_list`` — pool files are immutable, so entries
+        cache forever; files without the column (pre-cluster or
+        DML-rewritten) get no entry and are never skipped."""
+        import pyarrow.parquet as papq
+
+        cache = self.__dict__.setdefault("_range_cache", {})
+        out = {}
+        for rel in files:
+            if rel in cache:
+                if cache[rel] is not None:
+                    out[rel] = cache[rel]
+                continue
+            rng = None
+            try:
+                md = papq.ParquetFile(
+                    os.path.join(self.c.path, rel)
+                ).metadata
+                lo = hi = None
+                usable = md.num_row_groups > 0
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    gstat = None
+                    for ci in range(rg.num_columns):
+                        col = rg.column(ci)
+                        if col.path_in_schema == "_ann_list":
+                            gstat = col.statistics
+                            break
+                    # every row group must carry valid stats, else the
+                    # file's range is unknown → never skip it
+                    if gstat is None or not gstat.has_min_max:
+                        usable = False
+                        break
+                    lo = gstat.min if lo is None else min(lo, gstat.min)
+                    hi = gstat.max if hi is None else max(hi, gstat.max)
+                if usable and lo is not None:
+                    rng = (int(lo), int(hi))
+            except Exception:
+                rng = None
+            cache[rel] = rng
+            if rng is not None:
+                out[rel] = rng
+        return out
+
     # -- search -------------------------------------------------------
 
     def _list_id_expr(self, vec_col, centroids):
@@ -319,15 +420,52 @@ class CollectionANN:
         # snapshot shared state once (concurrent retrain safety)
         cents, meta = self.centroids, self.meta
         nprobe = min(nprobe, cents.shape[0])
-        df = self.c.df()
         lid = self._list_id_expr(F.col("embedding"), cents)
+        # at-rest clustering (optimize(ann_cluster=True)): plan the
+        # probe against footer stats — files whose [min,max] list
+        # interval misses every probe never get scanned, and the
+        # surviving scans take a pushed `_ann_list IN probes` filter
+        # (row-group skipping). Valid only while the clustering
+        # centroids are still the trained ones.
+        ver = self.c._current_version()
+        ranges: dict = {}
+        all_files: list[str] = []
+        if self._stats_usable():
+            all_files, _ = self.c._resolve(ver)
+            ranges = self._file_list_ranges(all_files)
+        df_all = self.c.df()
         out: list[list[tuple[str, float]]] = []
         for qv in query_vecs:
             q = np.asarray(qv, dtype=np.float64)
             d = ((cents - q) ** 2).sum(axis=1)
             probes = [int(i) for i in np.argsort(d)[:nprobe]]
+            if ranges:
+                pset = set(probes)
+                keep = [
+                    f for f in all_files
+                    if f not in ranges
+                    or any(
+                        ranges[f][0] <= p <= ranges[f][1] for p in pset
+                    )
+                ]
+                if not keep:  # every file provably misses every probe
+                    out.append([])
+                    continue
+                if len(keep) < len(all_files):
+                    sub = self.c._df_live_files(keep, ver)
+                    if "_ann_list" in sub.columns:
+                        # NULL = unclustered file rows: kept for the
+                        # exact codegen filter below
+                        sub = sub.filter(
+                            F.col("_ann_list").isNull()
+                            | F.col("_ann_list").isin(probes)
+                        ).drop("_ann_list")
+                else:
+                    sub = df_all
+            else:
+                sub = df_all
             cand = (
-                df.withColumn("_lid", lid)
+                sub.withColumn("_lid", lid)
                 .filter(F.col("_lid").isin(probes))
                 .drop("_lid")
             )

@@ -376,10 +376,30 @@ class Collection:
             )
         # mergeSchema: delta commits can leave per-bucket schema drift
         # (a new metadata column exists only in rewritten buckets);
-        # missing columns read as NULL — exactly the F7 contract
+        # missing columns read as NULL — exactly the F7 contract.
+        # _ann_list is the optimize(ann_cluster) stats column — internal
+        # like _seq, never user-visible
         return self._apply_dv(
             self._read_snapshot(p), p, keep_seq=keep_seq
-        ).drop("_bucket")
+        ).drop("_bucket", "_ann_list")
+
+    def _df_live_files(
+        self, files: list[str], version: str
+    ) -> DataFrame:
+        """Live rows of ``version`` read from an EXPLICIT file subset —
+        the ANN fallback's file-skipping scan (footer stats prune the
+        list first; kills still apply globally, and ``_ann_list`` stays
+        readable for the pushed probe filter)."""
+        paths = [os.path.join(self.path, f) for f in files]
+        p = os.path.join(self.path, version)
+        cached = self._schema_cache.get(p)
+        rd = self.spark.read.option("basePath", self._pool_root())
+        df = (
+            rd.schema(cached).parquet(*paths)
+            if cached is not None
+            else rd.option("mergeSchema", "true").parquet(*paths)
+        )
+        return self._apply_dv(df, p).drop("_bucket")
 
     def _read_snapshot(self, p: str) -> DataFrame:
         """Read a snapshot with its merged schema, resolving that
@@ -664,9 +684,21 @@ class Collection:
         fpb = max(1, int(files_per_bucket))
         d = df.withColumn("_bucket", self._bucket())
         if fpb > 1:
-            d = d.withColumn(
-                "_fsplit", F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(fpb))
-            ).repartition(self.config.n_buckets * fpb, "_bucket", "_fsplit")
+            if "_fsplit" in df.columns:
+                # caller-provided split (optimize(ann_cluster=…) groups
+                # files by IVF list range instead of id hash, so each
+                # file covers a contiguous list interval — file-level
+                # stats then prune ANN probes)
+                d = d.withColumn(
+                    "_fsplit",
+                    F.pmod(F.col("_fsplit").cast("long"), F.lit(fpb)),
+                )
+            else:
+                d = d.withColumn(
+                    "_fsplit",
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(fpb)),
+                )
+            d = d.repartition(self.config.n_buckets * fpb, "_bucket", "_fsplit")
         else:
             d = d.repartition(
                 # co-locate each bucket in one task: without this every
@@ -680,9 +712,9 @@ class Collection:
             # (with fpb>1 each file spans the z-range but its row
             # groups are sorted runs — row-group skipping holds)
             d = d.sortWithinPartitions("_bucket", "_zorder").drop("_zorder")
-            df = df.drop("_zorder")
-        if fpb > 1:
-            d = d.drop("_fsplit")
+        # sort/split helper columns are never stored or schema-primed
+        d = d.drop("_fsplit")
+        df = df.drop("_zorder", "_fsplit")
         stage = self._stage_dir(version)
         d.write.options(**_BLOOM_OPTS).mode("overwrite").partitionBy(
             "_bucket"
@@ -1069,14 +1101,20 @@ class Collection:
         p = self._data_path()
         if p is None or not self._has_parquet(p):
             return self.df()
+        # drop _ann_list: a DML rewrite mixes carried rows with new ones
+        # whose list id is unknown — a rewritten file carrying partial
+        # stats could be WRONGLY file-skipped by the ANN fallback, so
+        # rewritten buckets lose the column (they scan until the next
+        # optimize(ann_cluster=True), the standard clustering-erosion
+        # contract)
         if not self._snapshot_bucketed():
-            return self._apply_dv(self._read_snapshot(p), p)
+            return self._apply_dv(self._read_snapshot(p), p).drop("_ann_list")
         return self._apply_dv(
             self._read_snapshot(p).filter(
                 F.col("_bucket").isin([int(t) for t in touched])
             ),
             p,
-        ).drop("_bucket")
+        ).drop("_bucket", "_ann_list")
 
     def _touched_buckets(self, ids_df: DataFrame) -> list[int]:
         return [
@@ -1116,6 +1154,7 @@ class Collection:
         target_partitions: int | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
         zorder_by: list[str] | None = None,
+        ann_cluster: bool = False,
     ) -> None:
         """Compact the current snapshot (Delta ``OPTIMIZE``): rewrite
         the table into ``target_partitions`` files. Default target is
@@ -1153,6 +1192,47 @@ class Collection:
         # bare coalesce() here would be overridden by its bucket
         # repartition, silently ignoring the sizing
         fpb = max(1, -(-int(target_partitions) // self.config.n_buckets))
+        if ann_cluster:
+            # Cluster the rewrite by IVF list id (``OPTIMIZE ... BY
+            # ann``): rows carry their list id as a STORED internal
+            # column (``_ann_list``, hidden from reads like ``_seq``),
+            # files within each bucket split by contiguous list RANGE
+            # and rows sort by list id — so each file's parquet footer
+            # carries a tight [min,max] list interval. The distributed
+            # ANN fallback then prunes whole files driver-side from
+            # footer stats (Iceberg-style planning) and pushes an
+            # ``_ann_list IN probes`` filter into the surviving scans
+            # (row-group skipping) — IO pruning on top of the codegen
+            # compute pruning. Later DML rewrites drop the column from
+            # touched buckets (those files just stop skipping until the
+            # next optimize) and a centroid retrain disables stats use
+            # entirely via the train-version marker.
+            if zorder_by:
+                raise ValueError(
+                    "ann_cluster and zorder_by are mutually exclusive "
+                    "(one physical sort order per rewrite)"
+                )
+            st = self._ann()
+            if st.centroids is None and not st.load():
+                st.train()
+            n_lists = int(st.centroids.shape[0])
+            lid = st._list_id_expr(F.col("embedding"), st.centroids)
+            out = self.df().withColumn("_ann_list", lid.cast("int"))
+            out = out.withColumn(
+                "_zorder", F.col("_ann_list")
+            ).withColumn(
+                "_fsplit",
+                F.floor(F.col("_ann_list") * fpb / F.lit(n_lists)),
+            )
+            self._commit(out, op="optimize", files_per_bucket=fpb)
+            # content-preserving rewrite: re-stamp the trained
+            # watermark (fresh _seq on every row would read as 100%
+            # drift) and mark the clustering valid for these centroids
+            st.refresh_watermark()
+            st.mark_clustered(
+                self._current_version(), st.meta["train_version"]
+            )
+            return
         if zorder_by:
             # the commit layout is bucket-partitioned (DML pruning), so
             # Z-clustering happens WITHIN each bucket: _commit sorts

@@ -279,3 +279,82 @@ def test_search_ann_distributed_reduced_probe_recall(spark, db):
         assert hits / tot >= 0.9, hits / tot
     finally:
         cat.Collection.SERVING_PACK_MAX_FLOATS = old
+
+
+def test_optimize_ann_cluster_file_skipping(spark, db):
+    """optimize(ann_cluster=True) stores the IVF list id as a hidden
+    column, splits files by list range, and the distributed fallback
+    prunes files from footer stats — results stay exact, the public
+    schema stays clean, DML erodes gracefully, a retrain invalidates
+    the stats."""
+    import fastpyvectordb_spark.catalog as cat
+
+    c = _mk(db, spark, n=400, name="clust")
+    c.build_ann_index(n_lists=8, max_iter=10)
+    q = _rows(1, seed=21)[0][1]
+    exact = [i for i, _ in c.search_local(q, k=5)]
+
+    c.optimize(ann_cluster=True, target_partitions=64)
+    st = c._ann()
+    assert st._stats_usable()
+    ver = c._current_version()
+    files, _ = c._resolve(ver)
+    ranges = st._file_list_ranges(files)
+    assert ranges, "clustered files must carry _ann_list stats"
+    # range-split files cover strict sub-intervals of the 8 lists
+    assert any(hi - lo < 7 for lo, hi in ranges.values())
+    # a 2-probe plan skips at least one file
+    probes = {0, 1}
+    keep = [
+        f for f in files
+        if f not in ranges
+        or any(ranges[f][0] <= p <= ranges[f][1] for p in probes)
+    ]
+    assert len(keep) < len(files)
+    assert "_ann_list" not in c.df().columns  # hidden like _seq
+
+    old = cat.Collection.SERVING_PACK_MAX_FLOATS
+    try:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = 10
+        c.__dict__.pop("_serving_pack", None)
+        st._serving = None
+        got = c.search_ann(q, k=5, nprobe=8)  # exhaustive == exact
+        assert [i for i, _ in got] == exact
+        # DML erosion: a new row lands in an unclustered (stat-less)
+        # file and must still be findable at any probe width
+        c.upsert(_batch(spark, [("fresh", list(q), "A")]))
+        got2 = c.search_ann(q, k=1, nprobe=2)
+        assert got2[0][0] == "fresh"
+    finally:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = old
+
+    # a retrain changes the geometry: stats must stop being used
+    c.build_ann_index(n_lists=8, max_iter=10)
+    assert not st._stats_usable()
+
+
+def test_optimize_ann_cluster_rejects_zorder_combo(spark, db):
+    import pytest
+
+    c = _mk(db, spark, n=50, name="combo")
+    c.build_ann_index(n_lists=4, max_iter=5)
+    with pytest.raises(ValueError):
+        c.optimize(ann_cluster=True, zorder_by=["category"])
+
+
+def test_optimize_ann_cluster_no_spurious_retrain(spark, db, monkeypatch):
+    """The rewrite re-stamps every row's _seq; without the watermark
+    refresh the next ensure() would read 100% drift and retrain."""
+    from fastpyvectordb_spark.ann.collection_index import CollectionANN
+
+    c = _mk(db, spark, n=200, name="nostale")
+    c.build_ann_index(n_lists=8, max_iter=10)
+    c.optimize(ann_cluster=True, target_partitions=32)
+
+    def boom(self, *a, **kw):
+        raise AssertionError("optimize must not cause a retrain")
+
+    monkeypatch.setattr(CollectionANN, "train", boom)
+    q = _rows(1, seed=13)[0][1]
+    res = c.search_ann(q, k=5)
+    assert res is not None and len(res) == 5
