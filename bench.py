@@ -374,6 +374,68 @@ def main() -> None:
         _tot += K
     extras["collection_ann_recall_at_k"] = round(_hits / _tot, 4)
 
+    # at-rest clustering (round 6): optimize(ann_cluster=True) rewrites
+    # the table range-split by list id, so the OVERSIZE distributed
+    # fallback skips files from footer stats. Measure the fallback on
+    # the same 100k collection before/after clustering (pack threshold
+    # forced down so the distributed path runs), plus the fraction of
+    # files a single probe plan skips. At 100k rows both QPS numbers
+    # sit on Spark's ~0.3 s per-action floor — ann_files_skipped_frac
+    # is the number that scales (skipped files are bytes NOT read;
+    # at 100 TB that fraction is the query's IO bill).
+    from fastpyvectordb_spark.catalog import Collection as _CollCls
+
+    _old_max = _CollCls.SERVING_PACK_MAX_FLOATS
+    try:
+        _CollCls.SERVING_PACK_MAX_FLOATS = 10
+        _h.__dict__.pop("_serving_pack", None)
+        _st = _h._ann()
+        _st._serving = None
+        _q0 = _qvl[0]
+        _h.search_ann(_q0, k=K, nprobe=8)  # warm plan
+        t0 = time.perf_counter()
+        for _q in _qvl[:8]:
+            _h.search_ann(_q, k=K, nprobe=8)
+        extras["ann_fallback_scan_qps"] = round(
+            8 / (time.perf_counter() - t0), 2
+        )
+    finally:
+        _CollCls.SERVING_PACK_MAX_FLOATS = _old_max
+    t0 = time.perf_counter()
+    _h.optimize(ann_cluster=True, target_partitions=128)
+    extras["ann_cluster_optimize_sec"] = round(time.perf_counter() - t0, 3)
+    try:
+        _CollCls.SERVING_PACK_MAX_FLOATS = 10
+        _h.__dict__.pop("_serving_pack", None)
+        _st._serving = None
+        _ver = _h._current_version()
+        _files, _ = _h._resolve(_ver)
+        _ranges = _st._file_list_ranges(_files)
+        import numpy as _np2
+
+        _qv0 = _np2.asarray(_q0, dtype=_np2.float64)
+        _d0 = ((_st.centroids - _qv0) ** 2).sum(axis=1)
+        _probes = {int(i) for i in _np2.argsort(_d0)[:8]}
+        _keep = [
+            f for f in _files
+            if f not in _ranges
+            or any(_ranges[f][0] <= p <= _ranges[f][1] for p in _probes)
+        ]
+        extras["ann_files_skipped_frac"] = round(
+            1 - len(_keep) / max(len(_files), 1), 4
+        )
+        _h.search_ann(_q0, k=K, nprobe=8)  # warm clustered plan
+        t0 = time.perf_counter()
+        for _q in _qvl[:8]:
+            _h.search_ann(_q, k=K, nprobe=8)
+        extras["ann_fallback_clustered_qps"] = round(
+            8 / (time.perf_counter() - t0), 2
+        )
+    finally:
+        _CollCls.SERVING_PACK_MAX_FLOATS = _old_max
+        _h.__dict__.pop("_serving_pack", None)
+        _st._serving = None
+
     _srv.shutdown()
     _srv.server_close()
     _thr.join(timeout=10)
@@ -1089,7 +1151,13 @@ def main() -> None:
         for k in extras
         if k.endswith(("_qps", "_recall_at_k", "_per_sec", "_gbps", "_gflops"))
     ] + ["norm_per_gflops", "norm_per_gbps"] + [
-        k for k in ("neardup_kept_block_frac",) if k in extras
+        k
+        for k in (
+            "neardup_kept_block_frac",
+            "ann_files_skipped_frac",
+            "ann_cluster_optimize_sec",
+        )
+        if k in extras
     ]
     compact = {
         "metric": "suite_total_runtime",
