@@ -2228,6 +2228,16 @@ class Collection:
             ofs = set(of)
             if ofs - set(nf):
                 return None
+            # kills must be MONOTONE for the delta to be valid: the
+            # cached pack already excludes rows killed as of old_ver,
+            # and re-applying the current kill map can only remove
+            # more. A version that DROPS a DV file (restore to a
+            # pre-delete version — data files identical, kills undone)
+            # would need killed rows RESURRECTED, which the delta
+            # cannot do → full rebuild. (DV compaction also lands here:
+            # rare, bounded, correct.)
+            if set(odv) - set(ndv):
+                return None
             added = [f for f in nf if f not in ofs]
             est = old["vmat"].shape[0] + sum(
                 papq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows

@@ -1191,3 +1191,27 @@ def test_pack_serving_vacuumed_base_version_falls_back(spark, db):
     p = c.pack_serving()
     assert p is not None and len(p["ids"]) == 50  # no duplication
     _pack_equal(p, db.get_collection("vacpack").pack_serving())
+
+
+def test_pack_serving_restore_resurrects_killed_rows(spark, db):
+    """delete → restore(pre-delete): data files are IDENTICAL but the
+    DV file is removed — kills are not monotone across restore, so the
+    incremental delta must fall back to the full rebuild (found by the
+    DML state-machine test: the cached pack stayed missing the
+    un-deleted row through restore and vacuum)."""
+    c = db.create_collection("respack", dimensions=4, metric="cosine")
+    c.insert_batch(_batch(spark, _vecs(30)))
+    v1 = c.history()[-1]["version"]
+    p0 = c.pack_serving()
+    assert p0 is not None and len(p0["ids"]) == 30
+    victim = sorted(p0["ids"])[5]
+    c.delete(ids=[str(victim)])
+    p1 = c.pack_serving()
+    assert len(p1["ids"]) == 29 and victim not in set(p1["ids"])
+    c.restore(v1)
+    p2 = c.pack_serving()  # same handle → the delta path would run
+    assert len(p2["ids"]) == 30 and victim in set(p2["ids"])
+    _pack_equal(p2, db.get_collection("respack").pack_serving())
+    c.vacuum()  # the state-machine falsifying tail: still stable
+    p3 = c.pack_serving()
+    assert len(p3["ids"]) == 30 and victim in set(p3["ids"])
