@@ -22,7 +22,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 POOL = [f"id{chr(c)}" for c in range(ord("a"), ord("p"))]  # 15 ids
-KINDS = ["insert", "upsert", "delete", "optimize", "restore", "vacuum"]
+KINDS = [
+    "insert", "upsert", "delete", "optimize", "restore", "vacuum",
+    "optimize_ann",  # at-rest ANN clustering (round 6): content-preserving
+]
 
 ops_strategy = st.lists(
     st.tuples(st.sampled_from(KINDS), st.integers(0, 10**9)),
@@ -94,6 +97,22 @@ def test_dml_state_machine_matches_model(spark, ops):
                 model.pop(i)
         elif kind == "optimize":
             c.optimize()
+        elif kind == "optimize_ann":
+            # clusters files by IVF list id; trains on first use. The
+            # rewrite is content-preserving, so the model is unchanged
+            # — and the ANN exhaustive-probe search must agree with
+            # the model's exact top-k afterwards
+            c.optimize(ann_cluster=True, target_partitions=8)
+            # pick a non-zero stored vector (cosine self-distance 0);
+            # an identical duplicate under another id may win the tie,
+            # so assert the zero-distance HIT, not the exact id
+            nz = [i for i in sorted(model) if any(model[i])]
+            if nz:
+                qid = rng.choice(nz)
+                st_ = c._ann()
+                nl = int(st_.centroids.shape[0])
+                got = c.search_ann(model[qid], k=1, nprobe=nl)
+                assert got and got[0][1] <= 1e-6, "ann lost a row"
         elif kind == "restore":
             targets = sorted(snapshots)
             v = rng.choice(targets)
@@ -105,7 +124,10 @@ def test_dml_state_machine_matches_model(spark, ops):
             snapshots = {
                 v: s for v, s in snapshots.items() if v == cur
             }
-        if kind in ("insert", "upsert", "delete", "optimize", "restore"):
+        if kind in (
+            "insert", "upsert", "delete", "optimize", "restore",
+            "optimize_ann",
+        ):
             snapshots[c.history()[-1]["version"]] = dict(model)
 
         # -- invariants after every step --------------------------
