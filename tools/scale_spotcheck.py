@@ -130,6 +130,62 @@ def main() -> None:
     out["bm25_query20_sec"] = round(time.perf_counter() - t0, 1)
     assert nq > 0
 
+    # -- collection ANN at genuine oversize scale ----------------------
+    # 1M x 64 = 64M floats > SERVING_PACK_MAX_FLOATS (20M): search_ann
+    # runs the DISTRIBUTED probed fallback for real (no threshold
+    # monkeypatching), and optimize(ann_cluster=True) turns the probe
+    # into file skipping — the 100 TB shape measured end to end.
+    import tempfile
+
+    from fastpyvectordb_spark.catalog import VectorDB
+
+    db = VectorDB(spark, tempfile.mkdtemp() + "/scaledb")
+    c = db.create_collection("vecs1m", dimensions=dims, metric="cosine")
+    t0 = time.perf_counter()
+    c.insert_batch(
+        emb.select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        )
+    )
+    out["collection_ingest_1m_sec"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    c.build_ann_index(max_iter=10)
+    out["ann_train_1m_sec"] = round(time.perf_counter() - t0, 1)
+    q0 = [float(x) for x in qpdf["query_vec"].iloc[0]]
+    t0 = time.perf_counter()
+    hits = c.search_ann(q0, k=10, nprobe=8)
+    out["ann_fallback_scan_1m_sec"] = round(time.perf_counter() - t0, 1)
+    assert hits and len(hits) == 10
+    t0 = time.perf_counter()
+    # explicit file count: the default 128 MB sizing gives ~1 file per
+    # bucket at this corpus size (no split → nothing to skip); at
+    # 100 TB the same default yields MANY files per bucket, which 128
+    # files stands in for here
+    c.optimize(ann_cluster=True, target_partitions=128)
+    out["ann_cluster_optimize_1m_sec"] = round(time.perf_counter() - t0, 1)
+    st = c._ann()
+    ver = c._current_version()
+    files, _ = c._resolve(ver)
+    ranges = st._file_list_ranges(files)
+    import numpy as np
+
+    d0 = ((st.centroids - np.asarray(q0)) ** 2).sum(axis=1)
+    probes = {int(i) for i in np.argsort(d0)[:8]}
+    keep = [
+        f for f in files
+        if f not in ranges
+        or any(ranges[f][0] <= p <= ranges[f][1] for p in probes)
+    ]
+    out["ann_files_skipped_frac_1m"] = round(
+        1 - len(keep) / max(len(files), 1), 4
+    )
+    t0 = time.perf_counter()
+    hits2 = c.search_ann(q0, k=10, nprobe=8)
+    out["ann_fallback_clustered_1m_sec"] = round(
+        time.perf_counter() - t0, 1
+    )
+    assert [i for i, _ in hits2][:1] == [i for i, _ in hits][:1]
+
     print(json.dumps(out))
 
 
