@@ -368,6 +368,58 @@ class CollectionANN:
 
     # -- search -------------------------------------------------------
 
+    # above this many centroid floats the per-row Catalyst argmin is
+    # slower than one Arrow-batched NumPy GEMM per partition: the 1M-row
+    # spot check measured the 256-list codegen argmin at ~190 s/query
+    # vs seconds for the GEMM form
+    _CODEGEN_MAX_CENTROID_FLOATS = 4096
+
+    def _list_id(self, vec_col, centroids, prefer_udf: bool | None = None):
+        """Nearest-centroid list id column — codegen for small centroid
+        sets (pure Catalyst, zero Python), vectorized pandas_udf (one
+        f64 GEMM per Arrow batch) when ``n_lists × dims`` is large.
+        Both pick argmin by L2 with ties to the lower id; the GEMM form
+        rounds ``v·v − 2v·c + c·c`` instead of ``Σ(v−c)²``, which can
+        flip EXACT Voronoi-boundary ties — an approximation wobble ANN
+        probing already tolerates (exhaustive probes are unaffected:
+        every list is probed, so assignment never drops a row)."""
+        use_udf = (
+            centroids.size > self._CODEGEN_MAX_CENTROID_FLOATS
+            if prefer_udf is None
+            else prefer_udf
+        )
+        if use_udf:
+            return self._list_id_udf(centroids)(vec_col)
+        return self._list_id_expr(vec_col, centroids)
+
+    @staticmethod
+    def _list_id_udf(centroids):
+        """Arrow-batched assignment kernel: (B, D) @ (D, L) f64 GEMM +
+        argmin (first minimum = lowest cid, matching the codegen tie
+        rule)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        c64 = np.ascontiguousarray(centroids, dtype=np.float64)
+        csq = np.einsum("ij,ij->i", c64, c64)
+
+        def lid(v):
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            vm = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in v]
+            )
+            d = vm @ c64.T
+            d *= -2.0
+            d += csq[None, :]
+            return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+        # real annotation objects: the module uses `from __future__
+        # import annotations`, and PySpark's hint inference can't
+        # resolve stringified locals
+        lid.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        return pandas_udf(lid, "int")
+
     def _list_id_expr(self, vec_col, centroids):
         """Nearest-centroid list id as a pure-codegen expression over
         LITERAL centroids (L2 argmin, ties to the lower id — the MLlib
@@ -420,7 +472,7 @@ class CollectionANN:
         # snapshot shared state once (concurrent retrain safety)
         cents, meta = self.centroids, self.meta
         nprobe = min(nprobe, cents.shape[0])
-        lid = self._list_id_expr(F.col("embedding"), cents)
+        lid = self._list_id(F.col("embedding"), cents)
         # at-rest clustering (optimize(ann_cluster=True)): plan the
         # probe against footer stats — files whose [min,max] list
         # interval misses every probe never get scanned, and the

@@ -1216,7 +1216,7 @@ class Collection:
             if st.centroids is None and not st.load():
                 st.train()
             n_lists = int(st.centroids.shape[0])
-            lid = st._list_id_expr(F.col("embedding"), st.centroids)
+            lid = st._list_id(F.col("embedding"), st.centroids)
             out = self.df().withColumn("_ann_list", lid.cast("int"))
             out = out.withColumn(
                 "_zorder", F.col("_ann_list")

@@ -358,3 +358,21 @@ def test_optimize_ann_cluster_no_spurious_retrain(spark, db, monkeypatch):
     q = _rows(1, seed=13)[0][1]
     res = c.search_ann(q, k=5)
     assert res is not None and len(res) == 5
+
+
+def test_list_id_udf_matches_codegen(spark, db):
+    """The vectorized assignment kernel (large-centroid path) agrees
+    with the codegen argmin on non-boundary data."""
+    from pyspark.sql import functions as F
+
+    c = _mk(db, spark, n=200, name="udfassign", seed=6)
+    c.build_ann_index(n_lists=8, max_iter=10)
+    st = c._ann()
+    df = c.df()
+    both = df.select(
+        st._list_id(F.col("embedding"), st.centroids, prefer_udf=False)
+        .alias("a"),
+        st._list_id(F.col("embedding"), st.centroids, prefer_udf=True)
+        .alias("b"),
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0
