@@ -370,9 +370,11 @@ class CollectionANN:
 
     # above this many centroid floats the per-row Catalyst argmin is
     # slower than one Arrow-batched NumPy GEMM per partition: the 1M-row
-    # spot check measured the 256-list codegen argmin at ~190 s/query
-    # vs seconds for the GEMM form
-    _CODEGEN_MAX_CENTROID_FLOATS = 4096
+    # spot check measured the 256-list codegen argmin at ~190 s/query vs
+    # 4 s for the GEMM form, and the 64-list bench shape (4,096 floats)
+    # still paid ~11 s/query — the Arrow round-trip amortizes out well
+    # below that, so only genuinely small centroid sets stay codegen
+    _CODEGEN_MAX_CENTROID_FLOATS = 1024
 
     def _list_id(self, vec_col, centroids, prefer_udf: bool | None = None):
         """Nearest-centroid list id column — codegen for small centroid
