@@ -34,7 +34,8 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver samples a capped prefix (50 names) of this list each round.
-# All 125 queries have at least one driver-green row, so ordering is
+# All queries except round-6's new pipeline_source_cap have at least
+# one driver-green row (126 total), so ordering is
 # STALENESS-based (VERDICT r5 item #2): round-6 code changes first, then
 # the queries whose green row is oldest. The r4/r5 driver checked the
 # identical prefix twice, so the r1-tail / r2 / ANN / r3 blocks below are
