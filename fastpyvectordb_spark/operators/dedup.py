@@ -278,12 +278,14 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 12) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
+def band_keys(
     sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 3
 ) -> DataFrame:
-    """Band the signatures and equi-join on (band, band_key) → candidate
-    pairs (id_a < id_b, distinct)."""
-    bands = sigs.select(
+    """(doc_id, band, bkey) — the LSH bucket keys of each signature.
+    This is the table a production pipeline PERSISTS per corpus
+    (bucketed by (band, bkey)) so incremental ingests join against it
+    without recomputing the corpus side."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -303,10 +305,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 3
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band_key) → candidate
+    pairs (id_a < id_b, distinct)."""
     # materialize once: the self-join would otherwise recompute the
     # whole signature lineage (shingle agg) for each side. n_docs ×
     # n_bands small rows — trivially cacheable at any scale.
-    bands = bands.localCheckpoint()
+    bands = band_keys(sigs, n_bands, rows_per_band).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -390,6 +399,54 @@ def minhash_lsh_duplicates(
         minhash_signatures(sh, n_hashes), n_bands, n_hashes // n_bands
     )
     return jaccard_for_pairs(sh, cands, min_jaccard)
+
+
+def lsh_incremental_duplicates(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest near-dup check: candidates ONLY across the
+    (new batch × existing corpus) boundary → ``(new_id, corpus_id,
+    jaccard)``. Ids must be globally unique across both inputs.
+
+    This is the shape a 100 TB pipeline actually runs per ingest: the
+    corpus side's shingle and band-key tables (:func:`shingles`,
+    :func:`band_keys`) are PERSISTED derived tables maintained
+    incrementally (the ``BM25Index.add_documents`` pattern) — here
+    they derive from ``corpus_docs`` in one pass; at scale you read
+    them, join the (small) batch's band keys against the bucketed
+    corpus keys, and verify only the candidates, so per-ingest cost
+    scales with the batch, never the corpus. Within-batch duplicates
+    compose with :func:`minhash_lsh_duplicates` over ``new_docs``
+    alone; corpus-internal pairs were settled at their own ingest."""
+    rpb = n_hashes // n_bands
+    sh_new = shingles(new_docs, n, id_col, text_col).localCheckpoint()
+    sh_old = shingles(corpus_docs, n, id_col, text_col).localCheckpoint()
+    b_new = band_keys(minhash_signatures(sh_new, n_hashes), n_bands, rpb)
+    b_old = band_keys(minhash_signatures(sh_old, n_hashes), n_bands, rpb)
+    cands = (
+        b_new.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+        .join(
+            b_old.select(F.col("doc_id").alias("id_b"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = jaccard_for_pairs(
+        sh_new.unionByName(sh_old), cands, min_jaccard
+    )
+    return verified.select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("corpus_id"),
+        "jaccard",
+    )
 
 
 # ---------------------------------------------------------------------------

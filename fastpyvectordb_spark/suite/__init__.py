@@ -42,6 +42,7 @@ def register(name: str, oracle: str | None = None):
 # now the stalest; the 50 names re-verified in r5 go last.
 _PRIORITY = [
     # round-6 code changes first (new plan shapes need fresh green rows)
+    "dedup_incremental_lsh",  # NEW this round (batch-vs-corpus ingest dedup)
     "pipeline_source_cap",  # NEW this round (per-source domain cap)
     "dedup_embedding_topk",  # auto-sized n_clusters (√N) changed the plan
     # never re-checked since ROUND 1 (fell past the r4/r5 prefix cap)

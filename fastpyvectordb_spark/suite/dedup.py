@@ -519,3 +519,69 @@ def dedup_lines_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.line_dedup_reconstruct(
         corpus, words_per_line=WORDS_PER_LINE
     ).orderBy("doc_id")
+
+
+# Incremental-ingest dedup (round 6): the "new batch vs existing
+# corpus" boundary check a pipeline runs per ingest. Batch = the 60%
+# truncations at doc_id+OFFSET; corpus = the original documents.
+# Candidates and results cross the boundary ONLY (a within-batch or
+# corpus-internal near-pair must NOT appear).
+_INC_ALL_SQL = f"""
+allin AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET},
+         substring(text, 1, CAST(floor(length(text) * 0.6) AS INT)) FROM documents
+)"""
+
+_INC_ORACLE = f"""
+WITH {_INC_ALL_SQL.lstrip()},
+{D.duckdb_shingles_cte("allin").lstrip()},
+sigs AS (
+  SELECT doc_id, {_MINHASH_MINS}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{_BAND_KEYS}
+),
+cands AS (
+  SELECT DISTINCT nw.doc_id AS new_id, co.doc_id AS corpus_id
+  FROM bands nw JOIN bands co
+    ON nw.band = co.band AND nw.bkey = co.bkey
+  WHERE nw.doc_id >= {COPY_OFFSET} AND co.doc_id < {COPY_OFFSET}
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT nw.doc_id AS new_id, co.doc_id AS corpus_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM shingles nw JOIN shingles co
+    ON nw.sh = co.sh AND nw.sh2 = co.sh2
+  WHERE nw.doc_id >= {COPY_OFFSET} AND co.doc_id < {COPY_OFFSET}
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.new_id, c.corpus_id,
+         ROUND(c.n_common / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE), 6) AS jaccard
+  FROM common c
+  JOIN sizes sa ON c.new_id = sa.doc_id
+  JOIN sizes sb ON c.corpus_id = sb.doc_id
+  WHERE c.n_common / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) >= {MIN_JACCARD}
+)
+SELECT v.new_id AS new_id, v.corpus_id AS corpus_id, v.jaccard AS jaccard
+FROM verified v JOIN cands USING (new_id, corpus_id)
+ORDER BY new_id, corpus_id
+"""
+
+
+@register("dedup_incremental_lsh", _INC_ORACLE)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.floor(F.length("text") * 0.6).cast("int")
+        ).alias("text"),
+    )
+    return D.lsh_incremental_duplicates(
+        batch, docs, n_hashes=N_HASHES, n_bands=N_BANDS,
+        min_jaccard=MIN_JACCARD,
+    ).orderBy("new_id", "corpus_id")

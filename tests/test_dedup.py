@@ -721,3 +721,39 @@ def test_cap_per_group_semantics(spark):
     assert all("_rank" not in r.asDict() for r in kept)  # helper dropped
     with pytest.raises(ValueError):
         cap_per_group(docs, cap=0)
+
+
+def test_lsh_incremental_boundary_only(spark):
+    """Cross-boundary pairs are reported; duplicates WITHIN the batch
+    or WITHIN the corpus are not (they're settled by the intra-corpus
+    pass at their own ingest)."""
+    from fastpyvectordb_spark.operators.dedup import (
+        lsh_incremental_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail words here"),  # corpus-internal dup
+            (3, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base + " with a small suffix"),   # dup of corpus 1/2
+            (101, base + " with a small suffix!!"), # within-batch dup of 100
+            (102, "novel text that matches nothing in the corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = lsh_incremental_duplicates(
+        batch, corpus, min_jaccard=0.3
+    ).collect()
+    got = {(r["new_id"], r["corpus_id"]) for r in out}
+    assert all(n >= 100 and c < 100 for n, c in got)  # boundary only
+    assert (100, 1) in got
+    assert (101, 1) in got
+    assert not any(n == 102 for n, _ in got)  # novel doc is clean
+    assert all(r["jaccard"] >= 0.3 for r in out)
