@@ -1212,6 +1212,11 @@ class Collection:
                     "ann_cluster and zorder_by are mutually exclusive "
                     "(one physical sort order per rewrite)"
                 )
+            if self._current_version() is None or self.count() == 0:
+                raise ValueError(
+                    "ann_cluster requires a non-empty collection "
+                    "(nothing to train or cluster)"
+                )
             st = self._ann()
             if st.centroids is None and not st.load():
                 st.train()

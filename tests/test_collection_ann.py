@@ -376,3 +376,11 @@ def test_list_id_udf_matches_codegen(spark, db):
         .alias("b"),
     )
     assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_optimize_ann_cluster_empty_collection_refuses(spark, db):
+    import pytest
+
+    c = db.create_collection("emptyclust", dimensions=8)
+    with pytest.raises(ValueError, match="non-empty"):
+        c.optimize(ann_cluster=True)
