@@ -530,6 +530,89 @@ class CollectionANN:
             out.append([(str(r["id"]), float(r["dist"])) for r in hits])
         return out
 
+    def search_distributed_batch(
+        self, query_vecs, k: int = 10, nprobe: int = 8
+    ):
+        """ONE distributed job for an oversize query batch: the corpus
+        scans once with its list id, each row joins (broadcast) only
+        the queries that probe its list, and a window ranks per query —
+        the same scored-pair volume as the per-query loop without Q job
+        launches or Q corpus reads. File planning skips against the
+        UNION of all queries' probes. Returns pandas
+        ``(query_id, rank, id, dist)``."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from fastpyvectordb_spark.functions.distances import distance
+
+        cents, meta = self.centroids, self.meta
+        nprobe = min(nprobe, cents.shape[0])
+        Q = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in query_vecs]
+        )
+        cd = ((cents[None, :, :] - Q[:, None, :]) ** 2).sum(axis=2)
+        probe = np.argsort(cd, axis=1)[:, :nprobe]
+        union = sorted({int(x) for x in probe.ravel()})
+        ver = self.c._current_version()
+        sub = None
+        if self._stats_usable():
+            all_files, _ = self.c._resolve(ver)
+            ranges = self._file_list_ranges(all_files)
+            if ranges:
+                uset = set(union)
+                keep = [
+                    f for f in all_files
+                    if f not in ranges
+                    or any(
+                        ranges[f][0] <= p <= ranges[f][1] for p in uset
+                    )
+                ]
+                if not keep:
+                    import pandas as pd
+
+                    return pd.DataFrame(
+                        columns=["query_id", "rank", "id", "dist"]
+                    )
+                if len(keep) < len(all_files):
+                    sub = self.c._df_live_files(keep, ver)
+                    if "_ann_list" in sub.columns:
+                        sub = sub.filter(
+                            F.col("_ann_list").isNull()
+                            | F.col("_ann_list").isin(union)
+                        ).drop("_ann_list")
+        if sub is None:
+            sub = self.c.df()
+        lid = self._list_id(F.col("embedding"), cents)
+        qdf = self.c.spark.createDataFrame(
+            [
+                (
+                    int(i),
+                    [float(x) for x in Q[i]],
+                    [int(p) for p in probe[i]],
+                )
+                for i in range(Q.shape[0])
+            ],
+            "query_id long, query_vec array<float>, probes array<int>",
+        )
+        cand = sub.withColumn("_lid", lid).filter(
+            F.col("_lid").isin(union)
+        )
+        dist = F.round(
+            distance(F.col("embedding"), F.col("query_vec"), meta["metric"]),
+            6,
+        )
+        scored = cand.join(
+            F.broadcast(qdf),
+            F.array_contains(F.col("probes"), F.col("_lid")),
+        ).select("query_id", F.col("id"), dist.alias("dist"))
+        w = Window.partitionBy("query_id").orderBy("dist", "id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "id", "dist")
+            .toPandas()
+        )
+
     def search_batch(
         self, queries_pdf, k: int = 10, nprobe: int = 8, serving=None
     ):

@@ -2462,14 +2462,10 @@ class Collection:
         if serving is None:
             if st.centroids is None or self._current_version() is None:
                 return None
-            per_q = st.search_distributed(query_vecs, k=k, nprobe=nprobe)
-            return pd.DataFrame(
-                [
-                    (qi, r + 1, i, d)
-                    for qi, hits in enumerate(per_q)
-                    for r, (i, d) in enumerate(hits)
-                ],
-                columns=["query_id", "rank", "id", "dist"],
+            # ONE job for the whole batch (scan once, broadcast the
+            # queries, window-rank per query) — not Q sequential scans
+            return st.search_distributed_batch(
+                query_vecs, k=k, nprobe=nprobe
             )
         qpdf = pd.DataFrame(
             {
