@@ -384,3 +384,78 @@ def test_optimize_ann_cluster_empty_collection_refuses(spark, db):
     c = db.create_collection("emptyclust", dimensions=8)
     with pytest.raises(ValueError, match="non-empty"):
         c.optimize(ann_cluster=True)
+
+
+def test_ann_lifecycle_state_machine(spark, tmp_path):
+    """Adversarial pin for the whole index lifecycle: random
+    interleavings of DML, at-rest clustering, drop and rebuild — after
+    EVERY op an exhaustive-probe search_ann must return the exact
+    top-k (same ids as the exact serving twin), and the index must
+    auto-recover from a drop."""
+    import random as _random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    KINDS = ["insert", "upsert", "delete", "optimize_ann", "drop", "search"]
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ops=st.lists(
+            st.tuples(st.sampled_from(KINDS), st.integers(0, 10**9)),
+            min_size=3,
+            max_size=7,
+        )
+    )
+    def run(ops):
+        import uuid as _uuid
+
+        db = VectorDB(spark, str(tmp_path / f"lc{_uuid.uuid4().hex[:8]}"))
+        c = db.create_collection("lc", dimensions=8)
+        c.insert_batch(_batch(spark, _rows(40, seed=1)))
+        c.build_ann_index(n_lists=4, max_iter=5)
+        live = {f"r{i}" for i in range(40)}
+        for kind, seed in ops:
+            rng = _random.Random(seed)
+            if kind == "insert":
+                nid = f"n{seed % 10**6}"
+                if nid in live:
+                    continue
+                c.insert_batch(
+                    _batch(spark, [(nid, _rows(1, seed=seed)[0][1], "A")])
+                )
+                live.add(nid)
+            elif kind == "upsert":
+                uid = rng.choice(sorted(live))
+                c.upsert(
+                    _batch(spark, [(uid, _rows(1, seed=seed)[0][1], "A")])
+                )
+            elif kind == "delete":
+                if len(live) <= 5:
+                    continue
+                victim = rng.choice(sorted(live))
+                c.delete(ids=[victim])
+                live.discard(victim)
+            elif kind == "optimize_ann":
+                c.optimize(ann_cluster=True, target_partitions=8)
+            elif kind == "drop":
+                c.drop_ann_index()
+            # invariant: exhaustive-probe ann == exact serving twin
+            # (auto_build recovers a dropped index transparently)
+            q = _rows(1, seed=seed + 7)[0][1]
+            st_ = c._ann()
+            ex = [i for i, _ in c.search_local(q, k=5)]
+            nl = (
+                int(st_.centroids.shape[0])
+                if st_.centroids is not None
+                else 64
+            )
+            got = c.search_ann(q, k=5, nprobe=nl)
+            assert got is not None
+            assert [i for i, _ in got] == ex, f"diverged after {kind}"
+
+    run()
