@@ -379,10 +379,11 @@ def main() -> None:
     # fallback skips files from footer stats. Measure the fallback on
     # the same 100k collection before/after clustering (pack threshold
     # forced down so the distributed path runs), plus the fraction of
-    # files a single probe plan skips. At 100k rows both QPS numbers
-    # sit on Spark's ~0.3 s per-action floor — ann_files_skipped_frac
-    # is the number that scales (skipped files are bytes NOT read;
-    # at 100 TB that fraction is the query's IO bill).
+    # files a single probe plan skips. The rows measure the one-job
+    # BATCH API (32 queries amortize Spark's ~0.3 s per-action floor);
+    # ann_files_skipped_frac is the number that scales regardless
+    # (skipped files are bytes NOT read — at 100 TB that fraction is
+    # the query's IO bill).
     from fastpyvectordb_spark.catalog import Collection as _CollCls
 
     _old_max = _CollCls.SERVING_PACK_MAX_FLOATS
@@ -394,15 +395,20 @@ def main() -> None:
         _q0 = _qvl[0]
         _h.search_ann(_q0, k=K, nprobe=8)  # warm plan
         t0 = time.perf_counter()
-        for _q in _qvl[:8]:
-            _h.search_ann(_q, k=K, nprobe=8)
+        _r = _h.search_ann_batch(_qvl[:32], k=K, nprobe=8)  # ONE job
         extras["ann_fallback_scan_qps"] = round(
-            8 / (time.perf_counter() - t0), 2
+            32 / (time.perf_counter() - t0), 2
         )
+        assert _r["query_id"].nunique() == 32
     finally:
         _CollCls.SERVING_PACK_MAX_FLOATS = _old_max
     t0 = time.perf_counter()
-    _h.optimize(ann_cluster=True, target_partitions=128)
+    # 512 files (32 per bucket): list ids carry no locality, so a probe
+    # set touches ~nprobe distinct splits — skipping only materializes
+    # when splits outnumber probes, which they vastly do at 100 TB
+    # (expected skip ≈ (1 − 1/splits)^nprobe ≈ 0.78 at 32 splits);
+    # 8 splits made the frac swing 0.0-0.5 run to run
+    _h.optimize(ann_cluster=True, target_partitions=512)
     extras["ann_cluster_optimize_sec"] = round(time.perf_counter() - t0, 3)
     try:
         _CollCls.SERVING_PACK_MAX_FLOATS = 10
@@ -426,11 +432,11 @@ def main() -> None:
         )
         _h.search_ann(_q0, k=K, nprobe=8)  # warm clustered plan
         t0 = time.perf_counter()
-        for _q in _qvl[:8]:
-            _h.search_ann(_q, k=K, nprobe=8)
+        _r = _h.search_ann_batch(_qvl[:32], k=K, nprobe=8)  # ONE job
         extras["ann_fallback_clustered_qps"] = round(
-            8 / (time.perf_counter() - t0), 2
+            32 / (time.perf_counter() - t0), 2
         )
+        assert _r["query_id"].nunique() == 32
     finally:
         _CollCls.SERVING_PACK_MAX_FLOATS = _old_max
         _h.__dict__.pop("_serving_pack", None)
