@@ -144,6 +144,19 @@ class Collection:
         with open(p) as f:
             return f.read().strip() or None
 
+    def _flip_pointer(self, version: str) -> None:
+        """Atomically repoint the collection: write-temp + rename.
+        ``open(p, "w")`` would TRUNCATE in place — a concurrent reader
+        (or a crash) between truncate and write sees an EMPTY pointer,
+        i.e. a perfectly healthy collection transiently reads as
+        nonexistent (caught live by the round-6 HTTP hammer: searches
+        under sustained DML intermittently returned nothing)."""
+        p = os.path.join(self.path, _POINTER)
+        tmp = p + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.rename(tmp, p)
+
     def _data_path(self) -> str | None:
         v = self._current_version()
         return os.path.join(self.path, v) if v else None
@@ -658,8 +671,7 @@ class Collection:
                     f"collection advanced from {was} to {cur} while "
                     f"this {op} was building; re-read and retry"
                 )
-            with open(os.path.join(self.path, _POINTER), "w") as f:
-                f.write(version)
+            self._flip_pointer(version)
             with open(os.path.join(self.path, "_versions"), "a") as f:
                 f.write(json.dumps({"version": version, "op": op,
                                     "ts": time.time()}) + "\n")
@@ -1143,8 +1155,7 @@ class Collection:
         import time
 
         with self._commit_lock():
-            with open(os.path.join(self.path, _POINTER), "w") as f:
-                f.write(version)
+            self._flip_pointer(version)
             with open(os.path.join(self.path, "_versions"), "a") as f:
                 f.write(json.dumps({"version": version, "op": "restore",
                                     "ts": time.time()}) + "\n")

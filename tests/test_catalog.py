@@ -1215,3 +1215,37 @@ def test_pack_serving_restore_resurrects_killed_rows(spark, db):
     c.vacuum()  # the state-machine falsifying tail: still stable
     p3 = c.pack_serving()
     assert len(p3["ids"]) == 30 and victim in set(p3["ids"])
+
+
+def test_pointer_flip_never_reads_empty(spark, db, tmp_path):
+    """The version pointer must flip ATOMICALLY: an in-place truncating
+    write exposes an empty pointer to concurrent readers (a healthy
+    collection transiently reads as nonexistent — caught live by the
+    round-6 HTTP hammer) and a crash in that window loses the pointer
+    entirely. Hammer the flip against a tight reader loop."""
+    import threading
+
+    c = db.create_collection("ptr", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(5)))
+    v1 = c._current_version()
+    c.upsert(_batch(spark, _vecs(2, offset=10)))
+    v2 = c._current_version()
+    assert v1 and v2 and v1 != v2
+    stop = threading.Event()
+    seen_none = []
+
+    def reader():
+        while not stop.is_set():
+            if c._current_version() is None:
+                seen_none.append(1)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    for _ in range(4000):
+        c._flip_pointer(v1)
+        c._flip_pointer(v2)
+    stop.set()
+    t.join()
+    assert not seen_none, "reader observed an empty/missing pointer"
+    assert c._current_version() == v2
