@@ -451,3 +451,72 @@ def test_rest_search_ann_oversize_distributed(api, monkeypatch):
     assert {x["id"] for x in got} <= {f"b{i}" for i in range(80)}
     monkeypatch.undo()
     _req(api, "DELETE", "/collections/bigann")
+
+
+def test_rest_concurrent_search_dml_hammer(api):
+    """Sustained concurrent exact+ANN searches against live DML over
+    real HTTP: every response must be 200 with k well-ordered results.
+    Pins the round-6 torn-state fixes (atomic pointer flip, atomic ANN
+    serving snapshot, pack-snapshot enrichment) — the pre-fix pointer
+    truncation failed this within seconds."""
+    import random
+    import time as _time
+
+    rng = random.Random(0)
+    _req(api, "POST", "/collections", {"name": "hammer", "dimensions": 8})
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(200)]
+    _req(
+        api, "POST", "/collections/hammer/vectors/batch",
+        {"ids": [f"h{i}" for i in range(200)], "vectors": vecs},
+    )
+    stop = _time.time() + 12
+    errs: list = []
+
+    def searcher(ann):
+        r2 = random.Random(ann)
+        while _time.time() < stop and not errs:
+            q = [r2.uniform(-1, 1) for _ in range(8)]
+            try:
+                s, out = _req(
+                    api, "POST", "/collections/hammer/search",
+                    {"vector": q, "k": 5, "ann": bool(ann)},
+                )
+                res = out["results"]
+                assert s == 200 and len(res) == 5
+                ds = [h["score"] for h in res]
+                assert ds == sorted(ds)
+            except Exception as e:  # pragma: no cover - capture
+                errs.append(repr(e))
+                return
+
+    def dml():
+        i = 0
+        r3 = random.Random(7)
+        while _time.time() < stop and not errs:
+            i += 1
+            try:
+                _req(
+                    api, "PUT", "/collections/hammer/vectors",
+                    {
+                        "id": f"hot{i % 5}",
+                        "vector": [r3.uniform(-1, 1) for _ in range(8)],
+                    },
+                )
+                if i % 4 == 0:
+                    _req(
+                        api, "DELETE",
+                        f"/collections/hammer/vectors/hot{(i - 2) % 5}",
+                    )
+            except Exception as e:  # pragma: no cover - capture
+                errs.append(f"dml {e!r}")
+                return
+
+    threads = [
+        threading.Thread(target=searcher, args=(a,)) for a in (0, 1)
+    ] + [threading.Thread(target=dml)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    _req(api, "DELETE", "/collections/hammer")
