@@ -132,8 +132,13 @@ class Collection:
         os.makedirs(path, exist_ok=True)
         cfg = os.path.join(path, "config.json")
         if not os.path.exists(cfg):
-            with open(cfg, "w") as f:
+            # tmp+rename: a crash mid-write must not leave a corrupt
+            # config behind (same discipline as every other metadata
+            # file in the catalog)
+            tmp = cfg + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
                 f.write(config.to_json())
+            os.rename(tmp, cfg)
 
     # -- storage ------------------------------------------------------
 

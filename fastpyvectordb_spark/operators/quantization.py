@@ -793,8 +793,11 @@ def save_quantizer(
     stats.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "state")
     )
-    with open(os.path.join(path, "quantizer.json"), "w") as f:
+    mp = os.path.join(path, "quantizer.json")
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"kind": kind, "format": 1, "version": version}, f)
+    os.rename(tmp, mp)  # crash-atomic: no corrupt half-written meta
 
 
 def load_quantizer(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
