@@ -71,8 +71,10 @@ class CollectionANN:
         self.c = collection
         self.centroids: np.ndarray | None = None
         self.meta: dict | None = None
-        # (IVFPacked, labels ndarray, committed version) — publish/read
-        # as a unit; None until first ensure() or after a retrain
+        # (IVFPacked, labels ndarray, committed version, meta dict) —
+        # publish/read as a unit; None until first ensure() or after a
+        # retrain. meta is INSIDE the tuple so drop_ann_index racing a
+        # search can't null it out from under a held snapshot.
         self._serving: tuple | None = None
         # RLock: ensure() holds it across a nested train() call
         self._refresh_lock = threading.RLock()
@@ -105,6 +107,13 @@ class CollectionANN:
         with open(mp) as f:
             self.meta = json.load(f)
         self.centroids = np.load(cp)
+        if "train_nonce" not in self.meta:
+            # legacy meta predating the centroid-identity nonce: mint
+            # one now (and persist it) so a FUTURE mark_clustered can
+            # key to these centroids; any pre-existing clustered.json
+            # has no matching nonce and is correctly treated as stale
+            self.meta["train_nonce"] = uuid.uuid4().hex
+            self.save()
         return True
 
     def drop(self) -> None:
@@ -194,11 +203,24 @@ class CollectionANN:
                 "train_version": self.c._current_version(),
                 "train_seq_max": seq_max,
                 "n_train": int(n),
+                # centroid-identity nonce: at-rest clustering stats are
+                # valid only for the EXACT centroids they were written
+                # under, and train_version alone can collide (a retrain
+                # with no intervening commit reuses the version string)
+                "train_nonce": uuid.uuid4().hex,
             }
             # force re-assignment against the new centroids; readers
             # that already snapshot the old (packed, labels) pair stay
             # consistent
             self._serving = None
+            # any prior at-rest clustering described the OLD geometry —
+            # drop its marker so file-skipping can never follow stale
+            # footer stats (the nonce check is the backstop; this keeps
+            # the on-disk state honest too)
+            try:
+                os.remove(self._clustered_marker)
+            except OSError:
+                pass
             self.save()
             return dict(self.meta)
 
@@ -284,7 +306,10 @@ class CollectionANN:
             if self._drift(pack) > REBUILD_THRESHOLD:
                 self.train()
             packed, labels = self._assign_pack(pack)
-            s = (packed, labels, ver)
+            # meta rides in the snapshot so a concurrent drop_ann_index
+            # (which nulls self.meta) can't fail a search that already
+            # holds a consistent serving state
+            s = (packed, labels, ver, dict(self.meta))
             self._serving = s
             return s
 
@@ -294,17 +319,22 @@ class CollectionANN:
     def _clustered_marker(self) -> str:
         return os.path.join(self._dir, "clustered.json")
 
-    def mark_clustered(self, version: str, train_version: str) -> None:
+    def mark_clustered(self, version: str, train_nonce: str) -> None:
         """Record that ``version``'s files were list-clustered under
-        the centroids trained at ``train_version`` — file-skipping is
+        the centroids identified by ``train_nonce`` — file-skipping is
         valid only while the SAME centroids are current (a retrain
         changes every assignment, so stats from the old geometry must
-        be ignored)."""
+        be ignored). The nonce is centroid IDENTITY, not a version
+        string: a retrain with no intervening commit keeps the version
+        but regenerates the nonce, so stale stats can never validate
+        (the caller must pass the nonce captured when it COMPUTED the
+        clustering, not re-read it — a concurrent retrain between the
+        rewrite and this marker then mismatches, which is correct)."""
         os.makedirs(self._dir, exist_ok=True)
         tmp = self._clustered_marker + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"version": version, "train_version": train_version}, f
+                {"version": version, "train_nonce": train_nonce}, f
             )
         os.rename(tmp, self._clustered_marker)
 
@@ -316,9 +346,11 @@ class CollectionANN:
                 m = json.load(f)
         except (OSError, ValueError):
             return False
+        meta = self.meta
         return (
-            self.meta is not None
-            and m.get("train_version") == self.meta.get("train_version")
+            meta is not None
+            and meta.get("train_nonce") is not None
+            and m.get("train_nonce") == meta.get("train_nonce")
         )
 
     def _file_list_ranges(self, files) -> dict:
@@ -471,8 +503,12 @@ class CollectionANN:
 
         from fastpyvectordb_spark.operators.knn import knn
 
-        # snapshot shared state once (concurrent retrain safety)
+        # snapshot shared state once (concurrent retrain safety), and
+        # treat a half-dropped index (drop_ann_index nulls centroids
+        # then meta) as a clean "no index" miss, not a TypeError
         cents, meta = self.centroids, self.meta
+        if cents is None or meta is None:
+            return None
         nprobe = min(nprobe, cents.shape[0])
         lid = self._list_id(F.col("embedding"), cents)
         # at-rest clustering (optimize(ann_cluster=True)): plan the
@@ -545,7 +581,11 @@ class CollectionANN:
 
         from fastpyvectordb_spark.functions.distances import distance
 
+        # same one-shot snapshot + clean-miss contract as
+        # search_distributed (concurrent drop/retrain safety)
         cents, meta = self.centroids, self.meta
+        if cents is None or meta is None:
+            return None
         nprobe = min(nprobe, cents.shape[0])
         Q = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in query_vecs]
@@ -622,7 +662,7 @@ class CollectionANN:
         :meth:`ensure`; reading the state ONCE (and never re-reading
         ``self._serving`` mid-search) is what guarantees a concurrent
         refresh/retrain can never pair a new pack with old labels."""
-        packed, labels, _ = (
+        packed, labels, _, meta = (
             serving if serving is not None else self._serving
         )
         res = ivf_search_local(
@@ -630,7 +670,7 @@ class CollectionANN:
             queries_pdf,
             k=k,
             nprobe=min(nprobe, packed.centroids.shape[0]),
-            metric=self.meta["metric"],
+            metric=meta["metric"],
             id_col="_pos",
         )
         res["id"] = labels[res["_pos"].to_numpy()]

@@ -1236,6 +1236,11 @@ class Collection:
             st = self._ann()
             if st.centroids is None and not st.load():
                 st.train()
+            # capture the identity of the centroids we cluster UNDER —
+            # if a concurrent ensure() retrains mid-rewrite, the marker
+            # written below then mismatches the live nonce and the
+            # stale footer stats are correctly ignored
+            train_nonce = st.meta["train_nonce"]
             n_lists = int(st.centroids.shape[0])
             lid = st._list_id(F.col("embedding"), st.centroids)
             out = self.df().withColumn("_ann_list", lid.cast("int"))
@@ -1250,9 +1255,7 @@ class Collection:
             # watermark (fresh _seq on every row would read as 100%
             # drift) and mark the clustering valid for these centroids
             st.refresh_watermark()
-            st.mark_clustered(
-                self._current_version(), st.meta["train_version"]
-            )
+            st.mark_clustered(self._current_version(), train_nonce)
             return
         if zorder_by:
             # the commit layout is bucket-partitioned (DML pruning), so
@@ -2443,7 +2446,9 @@ class Collection:
         if serving is None:
             if st.centroids is None or self._current_version() is None:
                 return None
-            return st.search_distributed([query_vec], k=k, nprobe=nprobe)[0]
+            res = st.search_distributed([query_vec], k=k, nprobe=nprobe)
+            # None = the index was dropped concurrently → clean miss
+            return res[0] if res is not None else None
         qpdf = pd.DataFrame(
             {"query_id": [0], "query_vec": [list(query_vec)]}
         )

@@ -101,7 +101,10 @@ def test_dml_state_machine_matches_model(spark, ops):
             # clusters files by IVF list id; trains on first use. The
             # rewrite is content-preserving, so the model is unchanged
             # — and the ANN exhaustive-probe search must agree with
-            # the model's exact top-k afterwards
+            # the model's exact top-k afterwards. optimize refuses an
+            # empty collection (same guard as the delete op above).
+            if not model:
+                continue
             c.optimize(ann_cluster=True, target_partitions=8)
             # pick a non-zero stored vector (cosine self-distance 0);
             # an identical duplicate under another id may win the tie,

@@ -459,3 +459,69 @@ def test_ann_lifecycle_state_machine(spark, tmp_path):
             assert [i for i, _ in got] == ex, f"diverged after {kind}"
 
     run()
+
+
+def test_retrain_without_commit_invalidates_cluster_stats(spark, db):
+    """ADVICE r6: the clustered-stats marker used to key on
+    train_version (a version STRING) — a retrain with no intervening
+    commit reused the version, so stale footer stats from the old
+    centroid geometry stayed 'usable' and file-skipping silently
+    dropped true neighbors. The marker now keys on centroid identity
+    (train_nonce, regenerated inside every train())."""
+    import fastpyvectordb_spark.catalog as cat
+
+    c = _mk(db, spark, n=300, name="noncecheck")
+    c.build_ann_index(n_lists=8, max_iter=10)
+    c.optimize(ann_cluster=True, target_partitions=64)
+    st = c._ann()
+    assert st._stats_usable()
+    ver = c._current_version()
+
+    # retrain immediately — NO commit in between: version unchanged,
+    # centroids replaced
+    c.build_ann_index(n_lists=8, max_iter=10, seed=7)
+    assert c._current_version() == ver
+    assert not st._stats_usable(), (
+        "stale clustering stats validated across a same-version retrain"
+    )
+
+    # and the distributed probed path (which consults the stats) still
+    # returns the exact top-k at exhaustive probe width
+    q = _rows(1, seed=33)[0][1]
+    exact = [i for i, _ in c.search_local(q, k=5)]
+    old = cat.Collection.SERVING_PACK_MAX_FLOATS
+    try:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = 10
+        c.__dict__.pop("_serving_pack", None)
+        st._serving = None
+        got = c.search_ann(q, k=5, nprobe=8)
+        assert [i for i, _ in got] == exact
+    finally:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = old
+
+
+def test_drop_race_serves_held_snapshot_and_misses_cleanly(spark, db):
+    """ADVICE r6: a concurrent drop_ann_index() between ensure() and
+    search must neither crash a held snapshot (meta now rides inside
+    the serving tuple) nor 500 the distributed path (one-shot
+    centroids/meta snapshot → clean None miss)."""
+    import pandas as pd
+
+    c = _mk(db, spark, n=150, name="droprace")
+    c.build_ann_index(n_lists=8, max_iter=10)
+    st = c._ann()
+    serving = st.ensure()
+    assert serving is not None
+    q = _rows(1, seed=5)[0][1]
+    want = c.search_ann(q, k=5, nprobe=8)
+
+    c.drop_ann_index()  # nulls centroids/meta/_serving
+
+    # held snapshot still serves identically (no TypeError on meta)
+    qpdf = pd.DataFrame({"query_id": [0], "query_vec": [list(q)]})
+    res = st.search_batch(qpdf, k=5, nprobe=8, serving=serving)
+    assert list(res["id"]) == [i for i, _ in want]
+
+    # distributed paths on the dropped state miss cleanly
+    assert st.search_distributed([q], k=5) is None
+    assert st.search_distributed_batch([q], k=5) is None
