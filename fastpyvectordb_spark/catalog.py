@@ -69,6 +69,14 @@ _BLOOM_OPTS = {
 # takes over — at 20k rows the collect is ~10 MB, safely bounded.
 _LOCAL_DML_MAX_ROWS = 20_000
 
+# optimize(ann_cluster=True) break-even: file skipping prunes within a
+# bucket's list-range-split files, so a probe of the default nprobe (8)
+# lists only skips anything when each bucket holds MORE files than the
+# probe touches. At or below this files-per-bucket the rewrite cost
+# cannot be recovered (BENCH r6: clustered 5.23 QPS < plain scan 8.3
+# at fpb≈1) — optimize warns instead of silently degrading.
+_ANN_CLUSTER_MIN_FPB = 8
+
 
 @dataclass
 class CollectionConfig:
@@ -1232,6 +1240,29 @@ class Collection:
                 raise ValueError(
                     "ann_cluster requires a non-empty collection "
                     "(nothing to train or cluster)"
+                )
+            # sizing law (README §ANN at-rest clustering): a probe of
+            # nprobe lists must be able to SKIP most of a bucket's
+            # files, so clustering pays only when files-per-bucket
+            # comfortably exceeds the probe width — measured at bench
+            # scale (fpb ≈ nprobe) the clustered fallback served 5.23
+            # QPS vs the plain scan's 8.3 after paying 7.5 s to
+            # cluster. Warn rather than refuse (target_partitions may
+            # be sized deliberately for a growing collection), but make
+            # the break-even explicit so nobody pays for a slowdown
+            # unknowingly.
+            if fpb <= _ANN_CLUSTER_MIN_FPB:
+                import warnings
+
+                warnings.warn(
+                    f"ann_cluster=True with {fpb} file(s) per bucket: "
+                    f"below the break-even (files-per-bucket > "
+                    f"{_ANN_CLUSTER_MIN_FPB} ≈ default nprobe) file "
+                    "skipping cannot pay for the clustering rewrite — "
+                    "expect NO query speedup at this size. Raise "
+                    "target_partitions or skip ann_cluster until the "
+                    "collection grows.",
+                    stacklevel=2,
                 )
             st = self._ann()
             if st.centroids is None and not st.load():
@@ -2419,12 +2450,24 @@ class Collection:
     def drop_ann_index(self) -> None:
         self._ann().drop()
 
+    # the reference's per-request quality knob is HNSW ``ef_search``
+    # (server.py:75,373 passes it through to collection.search); the
+    # IVF equivalent is nprobe. Linear map anchored at the defaults —
+    # config ef_search 50 ≡ nprobe 8 — monotone, so "raise ef_search
+    # for better recall" keeps meaning exactly that.
+    _NPROBE_PER_EF = 8 / 50
+
+    @classmethod
+    def nprobe_from_ef(cls, ef_search: int) -> int:
+        return max(1, round(ef_search * cls._NPROBE_PER_EF))
+
     def search_ann(
         self,
         query_vec: Sequence[float],
         k: int = 10,
         nprobe: int = 8,
         auto_build: bool = True,
+        ef_search: int | None = None,
     ) -> list[tuple[str, float]] | None:
         """ANN single-query search through the collection's IVF index
         (trained on first use; assignments track every commit via the
@@ -2434,9 +2477,14 @@ class Collection:
         a compute-pruned distributed probed scan
         (:meth:`CollectionANN.search_distributed`), so ``ann=True``
         keeps meaning "probed" at any scale. Returns None only when
-        there is no data, or no index and ``auto_build=False``."""
+        there is no data, or no index and ``auto_build=False``.
+        ``ef_search`` (the reference's per-request quality override,
+        server.py:75) takes precedence over ``nprobe`` via
+        :meth:`nprobe_from_ef`."""
         import pandas as pd
 
+        if ef_search is not None:
+            nprobe = self.nprobe_from_ef(ef_search)
         if len(query_vec) != self.config.dimensions:
             raise ValueError(
                 f"query dimension {len(query_vec)} != {self.config.dimensions}"
@@ -2463,6 +2511,7 @@ class Collection:
         k: int = 10,
         nprobe: int = 8,
         auto_build: bool = True,
+        ef_search: int | None = None,
     ):
         """Batch ANN search: pandas ``(query_id, rank, id, dist)`` with
         query_id = input position. Oversize collections serve through
@@ -2470,9 +2519,12 @@ class Collection:
         query — the amortized batch shape at that scale is
         :func:`ann.ivf.ivf_search_batch` over a saved list-partitioned
         index). Returns None only when there is no data, or no index
-        and ``auto_build=False``."""
+        and ``auto_build=False``. ``ef_search`` overrides ``nprobe``
+        as in :meth:`search_ann`."""
         import pandas as pd
 
+        if ef_search is not None:
+            nprobe = self.nprobe_from_ef(ef_search)
         for v in query_vecs:
             if len(v) != self.config.dimensions:
                 raise ValueError(

@@ -293,15 +293,21 @@ class _Handler(BaseHTTPRequestHandler):
             c.delete(ids=[vec_id])
         self._send(200, {"deleted": vec_id, "success": True})
 
-    def _run_search(self, c, vector, k, where, include_vectors, ann=False):
+    def _run_search(
+        self, c, vector, k, where, include_vectors, ann=False,
+        ef_search=None,
+    ):
         # opt-in ANN: route through the collection's IVF index (the
         # reference server always serves its hnswlib index, i.e.
         # approximate — here exact stays the default and "ann": true
         # selects the index path; index trains on first use and tracks
-        # every commit via the incremental serving pack)
+        # every commit via the incremental serving pack). ef_search is
+        # the reference's per-request quality override (server.py:75,
+        # 373) — mapped to nprobe by Collection.nprobe_from_ef; the
+        # exact path ignores it (exact needs no quality knob).
         if ann and where is None:
             pack = c.pack_serving()
-            hits = c.search_ann(vector, k=k)
+            hits = c.search_ann(vector, k=k, ef_search=ef_search)
             if hits is not None:
                 if pack is not None:
                     return self._enrich_pack_hits(
@@ -435,6 +441,7 @@ class _Handler(BaseHTTPRequestHandler):
         b = self._body()
         c = self._collection(name)
         t0 = time.perf_counter()
+        ef = b.get("ef_search")
         results = self._run_search(
             c,
             b["vector"],
@@ -442,6 +449,7 @@ class _Handler(BaseHTTPRequestHandler):
             b.get("filter"),
             bool(b.get("include_vectors", False)),
             ann=bool(b.get("ann", False)),
+            ef_search=int(ef) if ef is not None else None,
         )
         self._send(
             200,

@@ -34,42 +34,18 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver samples a capped prefix (50 names) of this list each round.
-# All queries except round-6's new pipeline_source_cap have at least
-# one driver-green row (126 total), so ordering is
-# STALENESS-based (VERDICT r5 item #2): round-6 code changes first, then
-# the queries whose green row is oldest. The r4/r5 driver checked the
-# identical prefix twice, so the r1-tail / r2 / ANN / r3 blocks below are
-# now the stalest; the 50 names re-verified in r5 go last.
+# Every query has at least one driver-green row, so ordering is
+# STALENESS-based (VERDICT r5 item #2): round-7 code changes first
+# (the ann_* queries gained exact oracles — exhaustive-probe variants,
+# VERDICT r6 item #3), then the r3-era names whose green row is oldest
+# (28 names had no driver check since round 3), then the r4/r5 block
+# (2 rounds stale); the names the r6 driver just re-verified go last.
 _PRIORITY = [
-    # round-6 code changes first (new plan shapes need fresh green rows)
-    "dedup_incremental_lsh",  # NEW this round (batch-vs-corpus ingest dedup)
-    "pipeline_source_cap",  # NEW this round (per-source domain cap)
-    "dedup_embedding_topk",  # auto-sized n_clusters (√N) changed the plan
-    # never re-checked since ROUND 1 (fell past the r4/r5 prefix cap)
-    "text_quality", "text_scrub_audit", "text_token_counts",
-    # last verified round 2
-    "agg_order_trend_pivot", "codec_int8_roundtrip_error",
-    "dedup_decontaminate", "events_replay_last10", "events_sessionize",
-    "events_subscription_filter", "events_user_outlier_counts",
-    "events_value_percentiles", "events_window_hourly",
-    "join_shipping_priority_q3", "media_audio_chunks", "media_features",
-    "media_frame_sample", "media_manifest", "pipeline_stratified_counts",
-    "pipeline_token_budget", "text_repetition_filter",
-    # rows-only ANN checks (no oracle by design; recall-gated in pytest)
+    # round-7 code changes: exhaustive-probe ANN with exact-kNN oracles
     "ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn", "ann_partitioned_knn",
     "ann_nsw_knn",
-    # last verified round 3
-    "agg_cube_status_priority", "agg_cust_order_distribution",
-    "agg_disjunctive_parts_q19", "agg_forecast_revenue",
-    "agg_grouping_sets_orders", "agg_important_parts_q11", "agg_large_orders",
-    "agg_late_ship_priority", "agg_nation_market_share",
-    "agg_priority_class_by_linestatus", "agg_priority_line_counts",
-    "agg_product_profit_q9", "agg_promo_revenue_ratio",
-    "agg_returned_item_ranking", "agg_rollup_nation_year",
-    "agg_supplier_part_counts_q16", "cluster_centroid_profile",
-    "cypher_match_where", "cypher_nation_customer_counts",
-    "cypher_node_props", "cypher_region_chain_counts",
-    "dedup_substring_spans", "events_conversion_funnel",
+    # last verified round 3 (oldest green rows)
+    "events_conversion_funnel",
     "events_gap_percentiles", "events_ohlc_hourly",
     "events_retention_cohorts", "events_transition_bigrams",
     "graph_pagerank_top20", "graph_triangles_topk", "join_asof_error_click",
@@ -83,7 +59,7 @@ _PRIORITY = [
     "pipeline_pack_sequences", "setops_customer_activity",
     "text_moore_lewis_selection", "text_word_entropy",
     "window_running_revenue",
-    # freshest: re-verified by the driver in rounds 4 AND 5
+    # verified rounds 4 AND 5 (now 2 rounds stale)
     "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_embedding_lsh_threshold", "dedup_lines_reconstruct",
     "pipeline_upsample_mixture",
@@ -102,6 +78,27 @@ _PRIORITY = [
     "sq_knn_cosine", "sq_knn_ip", "sq_knn_l2", "sq_train_stats",
     "text_corpus_stats", "text_fingerprint", "text_lang_id",
     "text_postings_top_terms",
+    # freshest: re-verified by the r6 driver
+    "dedup_incremental_lsh", "pipeline_source_cap", "dedup_embedding_topk",
+    "text_quality", "text_scrub_audit", "text_token_counts",
+    "agg_order_trend_pivot", "codec_int8_roundtrip_error",
+    "dedup_decontaminate", "events_replay_last10", "events_sessionize",
+    "events_subscription_filter", "events_user_outlier_counts",
+    "events_value_percentiles", "events_window_hourly",
+    "join_shipping_priority_q3", "media_audio_chunks", "media_features",
+    "media_frame_sample", "media_manifest", "pipeline_stratified_counts",
+    "pipeline_token_budget", "text_repetition_filter",
+    "agg_cube_status_priority", "agg_cust_order_distribution",
+    "agg_disjunctive_parts_q19", "agg_forecast_revenue",
+    "agg_grouping_sets_orders", "agg_important_parts_q11", "agg_large_orders",
+    "agg_late_ship_priority", "agg_nation_market_share",
+    "agg_priority_class_by_linestatus", "agg_priority_line_counts",
+    "agg_product_profit_q9", "agg_promo_revenue_ratio",
+    "agg_returned_item_ranking", "agg_rollup_nation_year",
+    "agg_supplier_part_counts_q16", "cluster_centroid_profile",
+    "cypher_match_where", "cypher_nation_customer_counts",
+    "cypher_node_props", "cypher_region_chain_counts",
+    "dedup_substring_spans",
 ]
 
 

@@ -675,3 +675,34 @@ def test_gemm_and_ivfpq_batch_string_ids(spark):
     adc = ivfpq_search_batch(idx, qpdf, k=3, nprobe=4).toPandas()
     assert adc.dtypes["vec_id"] == object
     assert adc[adc["rank"] == 1]["vec_id"].iloc[0] == "g042"
+
+
+def test_suite_exhaustive_ann_queries_match_exact(spark):
+    """VERDICT r6 #3: the driver-facing ann_* suite queries run each
+    ANN operator at its exhaustive limit (nprobe = n_lists, all LSH
+    buckets, full refine, full-ef) — every one must reproduce the
+    exact kNN result value-for-value, which is what lets them carry an
+    exact-kNN DuckDB oracle in CORRECTNESS_r07."""
+    from tests.conftest import SF_DIR
+
+    from fastpyvectordb_spark.operators.knn import knn
+    from fastpyvectordb_spark.suite import ann as suite_ann
+    from fastpyvectordb_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+
+    def rows(df):
+        return [(r["vec_id"], r["dist"]) for r in df.collect()]
+
+    exact_cos = rows(knn(emb, qvec, k=10, metric="cosine"))
+    exact_l2 = rows(knn(emb, qvec, k=10, metric="l2"))
+    for name, want in [
+        ("ann_ivf_knn", exact_cos),
+        ("ann_lsh_knn", exact_cos),
+        ("ann_partitioned_knn", exact_cos),
+        ("ann_nsw_knn", exact_cos),
+        ("ann_ivfpq_knn", exact_l2),
+    ]:
+        got = rows(getattr(suite_ann, name)(spark, SF_DIR))
+        assert got == want, f"{name} diverged from exact"

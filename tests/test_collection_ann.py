@@ -525,3 +525,24 @@ def test_drop_race_serves_held_snapshot_and_misses_cleanly(spark, db):
     # distributed paths on the dropped state miss cleanly
     assert st.search_distributed([q], k=5) is None
     assert st.search_distributed_batch([q], k=5) is None
+
+
+def test_optimize_ann_cluster_warns_below_break_even(spark, db):
+    """VERDICT r6 #4: below the sizing break-even (files-per-bucket ≤
+    default nprobe) the clustering rewrite can't pay for itself — the
+    API must say so instead of letting a user pay seconds of rewrite
+    for slower queries."""
+    import warnings
+
+    import fastpyvectordb_spark.catalog as cat
+
+    c = _mk(db, spark, n=120, name="sizing")
+    c.build_ann_index(n_lists=4, max_iter=5)
+    # small target: fpb = ceil(8 / n_buckets) = 1 ≤ break-even → warn
+    with pytest.warns(UserWarning, match="break-even"):
+        c.optimize(ann_cluster=True, target_partitions=8)
+    # big target: fpb above the break-even → silent
+    big = (cat._ANN_CLUSTER_MIN_FPB + 1) * c.config.n_buckets
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        c.optimize(ann_cluster=True, target_partitions=big)

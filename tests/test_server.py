@@ -520,3 +520,62 @@ def test_rest_concurrent_search_dml_hammer(api):
         t.join()
     assert not errs, errs
     _req(api, "DELETE", "/collections/hammer")
+
+
+def test_rest_search_ann_ef_search_maps_to_nprobe(api, monkeypatch):
+    """VERDICT r6 #5: the reference honors a per-request ``ef_search``
+    quality override (server.py:75,373); the ANN route must map it to
+    IVF nprobe — higher ef_search → more probes — instead of dropping
+    it at the default."""
+    import random
+
+    from fastpyvectordb_spark.ann.collection_index import CollectionANN
+    from fastpyvectordb_spark.catalog import Collection
+
+    # the mapping itself: monotone, anchored at config-default 50 ≡ 8
+    assert Collection.nprobe_from_ef(50) == 8
+    assert Collection.nprobe_from_ef(1) == 1
+    probes = [Collection.nprobe_from_ef(e) for e in (10, 50, 100, 400)]
+    assert probes == sorted(probes) and probes[-1] > probes[0]
+
+    rng = random.Random(5)
+    _req(api, "POST", "/collections", {"name": "efc", "dimensions": 8})
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(120)]
+    _req(
+        api, "POST", "/collections/efc/vectors/batch",
+        {"ids": [f"e{i}" for i in range(120)], "vectors": vecs},
+    )
+    seen: list[int] = []
+    orig = CollectionANN.search_batch
+
+    def spy(self, queries_pdf, k=10, nprobe=8, serving=None):
+        seen.append(nprobe)
+        return orig(self, queries_pdf, k=k, nprobe=nprobe, serving=serving)
+
+    monkeypatch.setattr(CollectionANN, "search_batch", spy)
+    q = vecs[11]
+    for ef in (10, 50, 400):
+        status, _ = _req(
+            api, "POST", "/collections/efc/search",
+            {"vector": q, "k": 3, "ann": True, "ef_search": ef},
+        )
+        assert status == 200
+    monkeypatch.undo()
+    assert seen == [
+        Collection.nprobe_from_ef(10),
+        Collection.nprobe_from_ef(50),
+        Collection.nprobe_from_ef(400),
+    ]
+    assert seen[0] < seen[-1]
+    # and a request at a huge ef_search equals the exact result
+    _s, exact = _req(
+        api, "POST", "/collections/efc/search", {"vector": q, "k": 5}
+    )
+    _s2, full = _req(
+        api, "POST", "/collections/efc/search",
+        {"vector": q, "k": 5, "ann": True, "ef_search": 10_000},
+    )
+    assert [x["id"] for x in full["results"]] == [
+        x["id"] for x in exact["results"]
+    ]
+    _req(api, "DELETE", "/collections/efc")
