@@ -635,6 +635,42 @@ def _centroid_rows(
     return out
 
 
+def _neardup_kept_blocks(
+    cids: list[int],
+    unit: dict,
+    radii: dict,
+    lam: float,
+    margin: float,
+) -> list[tuple[int, int, int]]:
+    """The angular-bound block filter of :func:`embedding_neardup_topk`
+    as a driver-side pure function over the K² bound table: keep every
+    (ci, cj) cluster pair whose cross-pair cosine upper bound
+    ``cos(max(0, θ(c_i,c_j) − r_i − r_j))`` clears ``λ − margin``.
+    ``len(result) / (K·(K+1)/2)`` is the pruning-efficacy estimate the
+    regime router reads BEFORE any candidate join runs — kept fraction
+    ≈ 1 means the data is too weakly clustered for exact angular
+    pruning and the join trends quadratic."""
+    import math
+
+    import numpy as np
+
+    keep: list[tuple[int, int, int]] = []  # (pair_id, ci, cj)
+    pid = 0
+    for ii, ci in enumerate(cids):
+        for cj in cids[ii:]:
+            if ci == cj:
+                keep.append((pid, ci, cj))
+                pid += 1
+                continue
+            cosc = float(np.dot(unit[ci], unit[cj]))
+            theta = math.acos(max(-1.0, min(1.0, cosc)))
+            ub = math.cos(max(0.0, theta - radii[ci] - radii[cj]))
+            if ub >= lam - margin:
+                keep.append((pid, ci, cj))
+                pid += 1
+    return keep
+
+
 def embedding_neardup_topk(
     emb: DataFrame,
     k: int = 10,
@@ -646,6 +682,7 @@ def embedding_neardup_topk(
     seed: int = 42,
     kmeans_max_iter: int = 10,
     margin: float = 1e-4,
+    warn_kept_frac: float = 0.8,
     _stats_out: dict | None = None,
 ) -> DataFrame:
     """EXACT top-k most-similar distinct pairs by cosine similarity —
@@ -758,25 +795,33 @@ def embedding_neardup_topk(
     lam = seed_rows[-1]["cos_sim"] if len(seed_rows) == k else -2.0
 
     unit = {cid: c for cid, c in cents}
-    keep: list[tuple[int, int, int]] = []  # (pair_id, ci, cj)
-    pid = 0
     cids = sorted(radii)
-    for ii, ci in enumerate(cids):
-        for cj in cids[ii:]:
-            if ci == cj:
-                keep.append((pid, ci, cj))
-                pid += 1
-                continue
-            cosc = float(np.dot(unit[ci], unit[cj]))
-            theta = math.acos(max(-1.0, min(1.0, cosc)))
-            ub = math.cos(max(0.0, theta - radii[ci] - radii[cj]))
-            if ub >= lam - margin:
-                keep.append((pid, ci, cj))
-                pid += 1
+    keep = _neardup_kept_blocks(cids, unit, radii, lam, margin)
+    kept_frac = len(keep) / max(1, len(cids) * (len(cids) + 1) // 2)
     if _stats_out is not None:  # test/diagnostic hook: pruning efficacy
         nc = len(cids)
         _stats_out["kept_blocks"] = len(keep)
         _stats_out["total_blocks"] = nc * (nc + 1) // 2
+    # regime router (VERDICT r6 #6): the K² bound table is computed
+    # BEFORE the candidate join, so an inert pruning run — weakly
+    # clustered data where (almost) every block's upper bound clears λ
+    # — is knowable for free. Past the threshold the candidate join
+    # trends quadratic by this operator's own telemetry; the
+    # threshold-regime scale default is embedding_lsh_threshold_pairs
+    # (SemDeDup sign-band equi-join). The exact miner stays available
+    # and its RESULT is unchanged — this only says so out loud.
+    if kept_frac > warn_kept_frac:
+        import warnings
+
+        warnings.warn(
+            f"embedding_neardup_topk: angular pruning kept "
+            f"{kept_frac:.0%} of cluster blocks (> "
+            f"{warn_kept_frac:.0%}) — the candidate join is near-"
+            "quadratic on this corpus. For threshold-style near-dup "
+            "at scale use embedding_lsh_threshold_pairs; the exact "
+            "top-k result returned here is unaffected.",
+            stacklevel=2,
+        )
     spark = emb.sparkSession
     pairs_tab = F.broadcast(
         spark.createDataFrame(keep, "pair_id INT, ci INT, cj INT")

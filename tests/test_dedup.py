@@ -757,3 +757,48 @@ def test_lsh_incremental_boundary_only(spark):
     assert (101, 1) in got
     assert not any(n == 102 for n, _ in got)  # novel doc is clean
     assert all(r["jaccard"] >= 0.3 for r in out)
+
+
+def test_neardup_regime_router_estimator_and_warning(spark):
+    """VERDICT r6 #6: the kept-block fraction is estimable from the K²
+    bound table BEFORE the candidate join, and past warn_kept_frac the
+    miner warns (delegation hint to embedding_lsh_threshold_pairs)
+    while returning the unchanged exact result."""
+    import math
+    import warnings
+
+    import numpy as np
+
+    # pure estimator: two tight, well-separated clusters with a high λ
+    # → the cross block is provably below the bar and gets pruned
+    e0, e1 = np.array([1.0, 0.0]), np.array([0.0, 1.0])
+    unit = {0: e0, 1: e1}
+    tight = {0: 0.05, 1: 0.05}
+    keep = D._neardup_kept_blocks([0, 1], unit, tight, lam=0.95, margin=1e-4)
+    assert [(ci, cj) for _, ci, cj in keep] == [(0, 0), (1, 1)]
+    # huge radii (weakly clustered): every block's bound clears λ
+    loose = {0: math.pi / 2, 1: math.pi / 2}
+    keep = D._neardup_kept_blocks([0, 1], unit, loose, lam=0.95, margin=1e-4)
+    assert len(keep) == 3  # all K(K+1)/2 blocks survive → frac 1.0
+
+    # end-to-end: clustered corpus stays silent, uniform corpus warns,
+    # and the warned run's result is still exactly the brute-force one
+    clustered = _rand_embeddings(spark, n=120, clustered=True, seed=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        D.embedding_neardup_topk(
+            clustered, k=5, n_clusters=5, centroids="kmeans"
+        ).collect()
+    uniform = _rand_embeddings(spark, n=120, clustered=False, seed=4)
+    with pytest.warns(UserWarning, match="lsh_threshold"):
+        got = [
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in D.embedding_neardup_topk(
+                uniform, k=5, n_clusters=5, centroids="kmeans"
+            ).collect()
+        ]
+    brute = [
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_topk_bruteforce(uniform, k=5).collect()
+    ]
+    assert got == brute
