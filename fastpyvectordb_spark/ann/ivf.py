@@ -404,9 +404,11 @@ def exact_search_packed(
     return [(int(i), float(v)) for i, v in zip(packed.ids[sel], d[sel])]
 
 
-# same driver-memory threshold as operators.knn.LOCAL_GEMM_THRESHOLD:
-# below this many floats the packed index is cheaper than task scheduling
-LOCAL_PACK_THRESHOLD = 20_000_000
+# same driver-memory regime as Collection.SERVING_PACK_MAX_FLOATS:
+# below this many floats the packed index is cheaper than task
+# scheduling (round 7: sized to the reference's always-in-RAM model —
+# 80M floats = 320 MB packed, 1M × 64-dim rows stay resident)
+LOCAL_PACK_THRESHOLD = 80_000_000
 
 
 def ivf_search_auto(

@@ -69,6 +69,49 @@ _BLOOM_OPTS = {
 # takes over — at 20k rows the collect is ~10 MB, safely bounded.
 _LOCAL_DML_MAX_ROWS = 20_000
 
+class _RowIndex:
+    """dict-like id→row lookup over the serving pack's SORTED id array
+    — O(log N) binary search per probe instead of an eagerly-built
+    N-entry dict (which cost ~0.5 s per pack refresh at 1M rows and
+    dominated the 'O(changed rows)' promise). Supports the mapping
+    surface the enrichment paths use (get/[]/in/len/==)."""
+
+    __slots__ = ("_ids",)
+
+    def __init__(self, ids):
+        self._ids = ids  # np object array, ascending
+
+    def get(self, rid, default=None):
+        import numpy as np
+
+        ids = self._ids
+        pos = int(np.searchsorted(ids, rid))
+        if pos < len(ids) and ids[pos] == rid:
+            return pos
+        return default
+
+    def __getitem__(self, rid):
+        row = self.get(rid)
+        if row is None:
+            raise KeyError(rid)
+        return row
+
+    def __contains__(self, rid):
+        return self.get(rid) is not None
+
+    def __len__(self):
+        return len(self._ids)
+
+    def __eq__(self, other):
+        import numpy as np
+
+        if isinstance(other, _RowIndex):
+            return np.array_equal(self._ids, other._ids)
+        if isinstance(other, dict):
+            return other == {rid: i for i, rid in enumerate(self._ids)}
+        return NotImplemented
+
+
 # optimize(ann_cluster=True) break-even: file skipping prunes within a
 # bucket's list-range-split files, so a probe of the default nprobe (8)
 # lists only skips anything when each bucket holds MORE files than the
@@ -2153,8 +2196,13 @@ class Collection:
         )
 
     # floats (n·dims) at/below this pack locally for serving — same
-    # driver-memory regime as ann.ivf.LOCAL_PACK_THRESHOLD
-    SERVING_PACK_MAX_FLOATS = 20_000_000
+    # driver-memory regime as ann.ivf.LOCAL_PACK_THRESHOLD. Round 7
+    # sizes it to the reference's always-in-RAM model for real: 80M
+    # floats = a 320 MB f32 matrix (1M × 64-dim rows pack resident,
+    # ~1 GB with the Arrow table + aux arrays) — an order of magnitude
+    # of headroom on the 128 GiB serving driver, while 100 TB-class
+    # collections still route to the distributed probed plans.
+    SERVING_PACK_MAX_FLOATS = 80_000_000
 
     def pack_serving(self):
         """Driver-resident serving pack for single-query search: the
@@ -2249,7 +2297,7 @@ class Collection:
             "vmat": vmat,
             "sqnorms": sqnorms,
             "norms": np.sqrt(sqnorms).astype(np.float32) + np.float32(1e-10),
-            "rows": {rid: i for i, rid in enumerate(ids)},
+            "rows": _RowIndex(ids),
             "seq": seq[order],
             "tbl": tbl.take(order),
         }
@@ -2328,11 +2376,23 @@ class Collection:
                 ks = pd.Series(ids_arr).map(kill).to_numpy(dtype=np.float64)
                 return np.isnan(ks) | (seq_arr >= ks)
 
-            keep_old = live_mask(old["ids"], old["seq"])
-            parts_ids = [old["ids"][keep_old]]
-            parts_vmat = [old["vmat"][keep_old]]
-            parts_seq = [old["seq"][keep_old]]
-            parts_tbl = [old["tbl"].filter(pa.array(keep_old))]
+            # old-side kills resolved to POSITIONS via binary search
+            # over the (sorted) cached ids — O(kills · log N), not a
+            # dict-map pass over every cached row
+            n_old = len(old["ids"])
+            keep_old = np.ones(n_old, dtype=bool)
+            if kill and n_old:
+                kid = np.asarray(sorted(kill), dtype=object)
+                pos = np.searchsorted(old["ids"], kid)
+                inb = pos < n_old
+                pc = np.minimum(pos, n_old - 1)
+                hit = inb & (old["ids"][pc] == kid)
+                ks = np.asarray([kill[i] for i in kid], dtype=np.int64)
+                dead = pc[hit & (old["seq"][pc] < ks)]
+                keep_old[dead] = False
+            # new rows (the CHANGED set — small by construction): per
+            # file, flatten + kill-filter, then one id sort
+            parts_ids, parts_vmat, parts_seq, parts_tbl = [], [], [], []
             for t in new_tbls:
                 if t.num_rows == 0:
                     continue
@@ -2351,13 +2411,62 @@ class Collection:
                 parts_vmat.append(vmat[keep])
                 parts_seq.append(seq[keep])
                 parts_tbl.append(t.filter(pa.array(keep)))
-            tbl = pa.concat_tables(parts_tbl, promote_options="permissive")
-            return self._pack_assemble(
-                np.concatenate(parts_ids),
-                np.vstack(parts_vmat),
-                np.concatenate(parts_seq),
-                tbl,
-            )
+            if parts_ids:
+                new_ids = np.concatenate(parts_ids)
+                nord = np.argsort(new_ids)
+                new_ids = new_ids[nord]
+                new_vmat = np.vstack(parts_vmat)[nord]
+                new_seq = np.concatenate(parts_seq)[nord]
+                new_tbl = pa.concat_tables(
+                    parts_tbl, promote_options="permissive"
+                ).take(pa.array(nord))
+            else:
+                new_ids = np.empty(0, dtype=object)
+                new_vmat = np.empty(
+                    (0, old["vmat"].shape[1]), dtype=np.float32
+                )
+                new_seq = np.empty(0, dtype=np.int64)
+                new_tbl = old["tbl"].slice(0, 0)
+            # MERGE (both sides id-sorted): place each new row at its
+            # searchsorted slot among the surviving old rows and fill
+            # the final arrays with ONE gather per side — no argsort
+            # over the unchanged bulk, no eager id→row dict, no
+            # re-einsum of unchanged norms. At 1M rows this turned a
+            # ~10 s 'incremental' refresh into ~1 s (the remaining
+            # cost is the unavoidable O(N) memcopy of the pack).
+            surv = np.nonzero(keep_old)[0]
+            ins = np.searchsorted(old["ids"][surv], new_ids)
+            m = len(surv) + len(new_ids)
+            is_new = np.zeros(m, dtype=bool)
+            is_new[ins + np.arange(len(new_ids))] = True
+            ids_f = np.empty(m, dtype=object)
+            ids_f[~is_new] = old["ids"][surv]
+            ids_f[is_new] = new_ids
+            vmat_f = np.empty((m, old["vmat"].shape[1]), dtype=np.float32)
+            vmat_f[~is_new] = old["vmat"][surv]
+            vmat_f[is_new] = new_vmat
+            seq_f = np.empty(m, dtype=np.int64)
+            seq_f[~is_new] = old["seq"][surv]
+            seq_f[is_new] = new_seq
+            sq_f = np.empty(m, dtype=old["sqnorms"].dtype)
+            sq_f[~is_new] = old["sqnorms"][surv]
+            sq_f[is_new] = np.einsum("ij,ij->i", new_vmat, new_vmat)
+            src = np.empty(m, dtype=np.int64)
+            src[~is_new] = surv
+            src[is_new] = n_old + np.arange(len(new_ids))
+            tbl_f = pa.concat_tables(
+                [old["tbl"], new_tbl], promote_options="permissive"
+            ).take(pa.array(src))
+            return {
+                "ids": ids_f,
+                "vmat": vmat_f,
+                "sqnorms": sq_f,
+                "norms": np.sqrt(sq_f).astype(np.float32)
+                + np.float32(1e-10),
+                "rows": _RowIndex(ids_f),
+                "seq": seq_f,
+                "tbl": tbl_f,
+            }
         except Exception:
             return None
 

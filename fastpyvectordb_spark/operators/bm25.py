@@ -421,10 +421,12 @@ class BM25Packed:
             )
         return s
 
-    def search(self, query: str, k: int = 10,
-               round_digits: int | None = ROUND):
-        """Top-k ``[(doc_id, score), ...]`` — same values/ordering as
-        ``BM25Index.search`` (score desc rounded, ties by doc_id)."""
+    def topk_arrays(self, query: str, k: int = 10,
+                    round_digits: int | None = ROUND):
+        """``(doc_ids, scores)`` NumPy pair for the top-k — the
+        allocation-lean form the hybrid serving kernel consumes
+        directly (same values/ordering as :meth:`search`, which is
+        this plus tuple boxing)."""
         import numpy as np
 
         s = self._scores(query)
@@ -433,9 +435,14 @@ class BM25Packed:
         if round_digits is not None:
             sc = np.round(sc, round_digits)
         order = np.lexsort((self.doc_ids[cand], -sc))[:k]
-        return [
-            (int(self.doc_ids[cand[i]]), float(sc[i])) for i in order
-        ]
+        return self.doc_ids[cand[order]], sc[order]
+
+    def search(self, query: str, k: int = 10,
+               round_digits: int | None = ROUND):
+        """Top-k ``[(doc_id, score), ...]`` — same values/ordering as
+        ``BM25Index.search`` (score desc rounded, ties by doc_id)."""
+        ids, sc = self.topk_arrays(query, k, round_digits)
+        return [(int(i), float(v)) for i, v in zip(ids, sc)]
 
     def search_batch(self, queries, k: int = 10,
                      round_digits: int | None = ROUND):

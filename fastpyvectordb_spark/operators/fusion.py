@@ -191,14 +191,9 @@ def hybrid_search_local(
             (int(vids[i]), float(vr[i]), float(vr[i]), 0.0) for i in order
         ]
 
-    top = bm25_packed.search(query_text, k=fetch_k)
-    if top:
-        kw_ids = np.fromiter(
-            (t[0] for t in top), dtype=np.int64, count=len(top)
-        )
-        kw_raw = np.fromiter(
-            (t[1] for t in top), dtype=np.float64, count=len(top)
-        )
+    kw_ids, kw_raw = bm25_packed.topk_arrays(query_text, k=fetch_k)
+    if len(kw_ids):
+        kw_ids = np.asarray(kw_ids, dtype=np.int64)
         mx = kw_raw.max()
         kw = kw_raw / mx if mx > 0 else np.zeros_like(kw_raw)
     else:

@@ -59,7 +59,9 @@ def _rerank(emb: DataFrame, cand: DataFrame, qvec, metric: str = "cosine"):
     exact ``knn`` plan — so values are hash-identical to the oracle
     whenever the candidates contain the true top-k."""
     return knn(
-        emb.join(cand.select("vec_id").distinct(), "vec_id"),
+        emb.join(
+            F.broadcast(cand.select("vec_id").distinct()), "vec_id"
+        ),
         qvec, k=K, metric=metric,
     )
 

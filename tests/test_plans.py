@@ -83,19 +83,16 @@ def test_lsh_probe_pushes_bucket_filter(spark):
 
 
 def test_suite_registration_contract():
-    """Every suite query has an oracle unless it is one of the four
-    declared approximate ops; names are unique; counts match docs."""
+    """EVERY suite query carries a DuckDB oracle (round 7: the five
+    ann_* queries register their exhaustive-probe forms, provably ==
+    exact, with exact-kNN oracles — approximate operating points stay
+    recall-gated in tests/test_ann.py); names are unique."""
     from fastpyvectordb_spark import suite
 
     q = suite.queries()
     o = suite.oracle_sql()
-    assert set(o) <= set(q)
-    rows_only = set(q) - set(o)
-    assert rows_only == {
-        "ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn", "ann_partitioned_knn",
-        "ann_nsw_knn",
-    }, rows_only
-    assert len(q) >= 116
+    assert set(o) == set(q), set(q) - set(o)
+    assert len(q) >= 127
 
 
 def test_partitioned_search_is_map_side_plus_takeordered(spark):

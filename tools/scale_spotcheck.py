@@ -10,6 +10,12 @@ and runs the four headline shapes once each:
   - dedup_minhash_lsh     1M docs (10% planted near-duplicates)
   - bm25_build            postings over the 1M-doc corpus
   - bm25_query            20 queries against the prebuilt postings
+  - resident serving+DML  1M-row collection: pack build, packed ANN
+                          batch QPS, upsert/delete with incremental
+                          pack refresh (round 7 — VERDICT r6 #7)
+  - oversize ANN          2M-row collection (genuinely above the pack
+                          threshold): distributed probed fallback,
+                          ann_cluster rewrite, file-skip fraction
 
 Usage: python tools/scale_spotcheck.py [n_docs]
 Prints one JSON line; paste the numbers into README's scale table.
@@ -130,11 +136,11 @@ def main() -> None:
     out["bm25_query20_sec"] = round(time.perf_counter() - t0, 1)
     assert nq > 0
 
-    # -- collection ANN at genuine oversize scale ----------------------
-    # 1M x 64 = 64M floats > SERVING_PACK_MAX_FLOATS (20M): search_ann
-    # runs the DISTRIBUTED probed fallback for real (no threshold
-    # monkeypatching), and optimize(ann_cluster=True) turns the probe
-    # into file skipping — the 100 TB shape measured end to end.
+    # -- resident serving + DML at 1M (round 7) ------------------------
+    # The pack threshold is sized to the reference's always-in-RAM
+    # regime (80M floats), so 1M × 64 packs RESIDENT: measure the pack
+    # build, the packed ANN batch serving rate, and point DML against
+    # the incremental (O(changed rows)) pack refresh at this size.
     import tempfile
 
     from fastpyvectordb_spark.catalog import VectorDB
@@ -153,16 +159,85 @@ def main() -> None:
     out["ann_train_1m_sec"] = round(time.perf_counter() - t0, 1)
     q0 = [float(x) for x in qpdf["query_vec"].iloc[0]]
     t0 = time.perf_counter()
+    assert c.pack_serving() is not None, "1M x 64 must pack resident"
+    out["pack_build_1m_sec"] = round(time.perf_counter() - t0, 1)
+    qbatch = [list(v) for v in qpdf["query_vec"].iloc[:32]]
+    t0 = time.perf_counter()  # first call assigns the pack to lists
+    res = c.search_ann_batch(qbatch, k=10, nprobe=8)
+    out["ann_resident_first_batch_sec"] = round(
+        time.perf_counter() - t0, 1
+    )
+    assert res is not None and len(res) == 32 * 10
+    t0 = time.perf_counter()
+    for _ in range(3):
+        res = c.search_ann_batch(qbatch, k=10, nprobe=8)
+    out["ann_resident_batch_qps_1m"] = round(
+        3 * 32 / (time.perf_counter() - t0), 1
+    )
+    rows_1k = [
+        (f"u{i}", [float(x) for x in qpdf["query_vec"].iloc[0]])
+        for i in range(1000)
+    ]
+    up_df = spark.createDataFrame(
+        rows_1k, "id string, embedding array<float>"
+    )
+    t0 = time.perf_counter()
+    c.upsert(up_df)
+    out["upsert_1k_at_1m_sec"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    assert c.pack_serving() is not None  # incremental refresh, 0 jobs
+    out["pack_refresh_after_upsert_1m_sec"] = round(
+        time.perf_counter() - t0, 2
+    )
+    t0 = time.perf_counter()
+    c.delete(ids=[f"u{i}" for i in range(1000)], verify_existing=False)
+    out["delete_fast_1k_at_1m_sec"] = round(time.perf_counter() - t0, 2)
+
+    # -- collection ANN at genuine oversize scale ----------------------
+    # 2M x 64 = 128M floats > SERVING_PACK_MAX_FLOATS (80M): search_ann
+    # runs the DISTRIBUTED probed fallback for real (no threshold
+    # monkeypatching), and optimize(ann_cluster=True) turns the probe
+    # into file skipping — the 100 TB shape measured end to end.
+    n_over = max(2 * n, 2_000_000)
+    emb_over = (
+        spark.range(n_over)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda d: (
+                    F.sin(
+                        F.col("id") * 0.7 + d * 1.3
+                        + F.col("id") * d * 0.0137
+                    )
+                    + F.sin(F.col("id") * 91.7 + d * 47.111) * 0.1
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .repartition(64)
+    )
+    c = db.create_collection("vecs2m", dimensions=dims, metric="cosine")
+    t0 = time.perf_counter()
+    c.insert_batch(
+        emb_over.select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        )
+    )
+    out["collection_ingest_2m_sec"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    c.build_ann_index(max_iter=10)
+    out["ann_train_2m_sec"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
     hits = c.search_ann(q0, k=10, nprobe=8)
-    out["ann_fallback_scan_1m_sec"] = round(time.perf_counter() - t0, 1)
+    out["ann_fallback_scan_2m_sec"] = round(time.perf_counter() - t0, 1)
     assert hits and len(hits) == 10
     t0 = time.perf_counter()
     # explicit file count: the default 128 MB sizing gives ~1 file per
     # bucket at this corpus size (no split → nothing to skip); at
     # 100 TB the same default yields MANY files per bucket, which 128
     # files stands in for here
-    c.optimize(ann_cluster=True, target_partitions=128)
-    out["ann_cluster_optimize_1m_sec"] = round(time.perf_counter() - t0, 1)
+    c.optimize(ann_cluster=True, target_partitions=256)
+    out["ann_cluster_optimize_2m_sec"] = round(time.perf_counter() - t0, 1)
     st = c._ann()
     ver = c._current_version()
     files, _ = c._resolve(ver)
@@ -176,12 +251,12 @@ def main() -> None:
         if f not in ranges
         or any(ranges[f][0] <= p <= ranges[f][1] for p in probes)
     ]
-    out["ann_files_skipped_frac_1m"] = round(
+    out["ann_files_skipped_frac_2m"] = round(
         1 - len(keep) / max(len(files), 1), 4
     )
     t0 = time.perf_counter()
     hits2 = c.search_ann(q0, k=10, nprobe=8)
-    out["ann_fallback_clustered_1m_sec"] = round(
+    out["ann_fallback_clustered_2m_sec"] = round(
         time.perf_counter() - t0, 1
     )
     assert [i for i, _ in hits2][:1] == [i for i, _ in hits][:1]
