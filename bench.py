@@ -347,6 +347,35 @@ def main() -> None:
         N_SERVE / timings["q_server_search_300"], 1
     )
 
+    # the ANN route over HTTP ("ann": true — the reference server's
+    # always-index regime): exact /search reads the full 25.6 MB pack
+    # per query (bandwidth-ceiling-bound by design — exact is the
+    # default), the IVF route reads ~nprobe/n_lists of it. Round 7
+    # row: the serving fast path measured through the same HTTP stack.
+    _payload_ann = _json.dumps(
+        {"vector": _qv, "k": K, "ann": True}
+    ).encode()
+
+    def _http_search_ann():
+        req = urllib.request.Request(
+            f"{_base}/collections/vecs/search",
+            data=_payload_ann,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return _json.loads(resp.read())
+
+    _http_search_ann()  # warm: trains + assigns the collection index
+
+    @bench("q_server_search_ann_300", repeats=3)
+    def _():
+        for _i in range(N_SERVE):
+            _http_search_ann()
+
+    extras["server_search_ann_qps"] = round(
+        N_SERVE / timings["q_server_search_ann_300"], 1
+    )
+
     # serving-pack refresh under point DML (round 6): the manifest
     # delta lets pack_serving() refresh incrementally — pyarrow reads
     # of only the ADDED pool files + the kill map, zero Spark jobs —
@@ -1155,6 +1184,7 @@ def main() -> None:
     # block they were taken adjacent to (VERDICT r6 #1)
     _gf_by_row = {
         "server_search_qps": extras.get("cal_srv_gemm_gflops") or _gf,
+        "server_search_ann_qps": extras.get("cal_srv_gemm_gflops") or _gf,
         "collection_ann_batch_qps": (
             extras.get("cal_srv_gemm_gflops") or _gf
         ),
@@ -1167,7 +1197,7 @@ def main() -> None:
         "sq_local_qps", "pq_local_qps", "ivfpq_local_qps",
         "hybrid_local_qps", "bm25_local_qps", "nsw_local_qps",
         "nsw_qps", "partitioned_batch_qps", "server_search_qps",
-        "collection_ann_batch_qps",
+        "server_search_ann_qps", "collection_ann_batch_qps",
     ]
     _IO_ROWS = [
         "ingest_vec_per_sec", "collection_ingest_vec_per_sec",

@@ -2574,7 +2574,7 @@ class Collection:
         self,
         query_vec: Sequence[float],
         k: int = 10,
-        nprobe: int = 8,
+        nprobe: int | None = None,
         auto_build: bool = True,
         ef_search: int | None = None,
     ) -> list[tuple[str, float]] | None:
@@ -2589,11 +2589,16 @@ class Collection:
         there is no data, or no index and ``auto_build=False``.
         ``ef_search`` (the reference's per-request quality override,
         server.py:75) takes precedence over ``nprobe`` via
-        :meth:`nprobe_from_ef`."""
+        :meth:`nprobe_from_ef`; with neither given, the default is the
+        collection's CONFIGURED ef_search (reference
+        vectordb_optimized.py:191-200 — config ef_search governs
+        searches unless overridden per request)."""
         import pandas as pd
 
         if ef_search is not None:
             nprobe = self.nprobe_from_ef(ef_search)
+        elif nprobe is None:
+            nprobe = self.nprobe_from_ef(self.config.ef_search)
         if len(query_vec) != self.config.dimensions:
             raise ValueError(
                 f"query dimension {len(query_vec)} != {self.config.dimensions}"
@@ -2618,7 +2623,7 @@ class Collection:
         self,
         query_vecs: Sequence[Sequence[float]],
         k: int = 10,
-        nprobe: int = 8,
+        nprobe: int | None = None,
         auto_build: bool = True,
         ef_search: int | None = None,
     ):
@@ -2629,11 +2634,14 @@ class Collection:
         :func:`ann.ivf.ivf_search_batch` over a saved list-partitioned
         index). Returns None only when there is no data, or no index
         and ``auto_build=False``. ``ef_search`` overrides ``nprobe``
-        as in :meth:`search_ann`."""
+        as in :meth:`search_ann`; the default is the configured
+        ef_search mapping."""
         import pandas as pd
 
         if ef_search is not None:
             nprobe = self.nprobe_from_ef(ef_search)
+        elif nprobe is None:
+            nprobe = self.nprobe_from_ef(self.config.ef_search)
         for v in query_vecs:
             if len(v) != self.config.dimensions:
                 raise ValueError(

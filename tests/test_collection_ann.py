@@ -546,3 +546,38 @@ def test_optimize_ann_cluster_warns_below_break_even(spark, db):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         c.optimize(ann_cluster=True, target_partitions=big)
+
+
+def test_config_ef_search_sets_default_probe_width(spark, db):
+    """Reference parity (vectordb_optimized.py:191-200): the
+    collection's configured ef_search governs searches unless a
+    per-request override is given — search_ann with no nprobe must
+    probe nprobe_from_ef(config.ef_search)."""
+    import pandas as pd
+
+    from fastpyvectordb_spark.ann.collection_index import CollectionANN
+    from fastpyvectordb_spark.catalog import Collection
+
+    c = db.create_collection("efdefault", dimensions=8, ef_search=200)
+    c.insert_batch(_batch(spark, _rows(100, seed=8)))
+    c.build_ann_index(n_lists=8, max_iter=5)
+    seen = []
+    orig = CollectionANN.search_batch
+
+    def spy(self, queries_pdf, k=10, nprobe=8, serving=None):
+        seen.append(nprobe)
+        return orig(self, queries_pdf, k=k, nprobe=nprobe, serving=serving)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(CollectionANN, "search_batch", spy)
+        q = _rows(1, seed=9)[0][1]
+        c.search_ann(q, k=3)  # no nprobe, no ef_search → config default
+        c.search_ann(q, k=3, ef_search=50)  # per-request override wins
+        c.search_ann(q, k=3, nprobe=2)  # explicit nprobe respected
+    finally:
+        mp.undo()
+    assert seen == [Collection.nprobe_from_ef(200),
+                    Collection.nprobe_from_ef(50), 2]
