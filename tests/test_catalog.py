@@ -1249,3 +1249,52 @@ def test_pointer_flip_never_reads_empty(spark, db, tmp_path):
     t.join()
     assert not seen_none, "reader observed an empty/missing pointer"
     assert c._current_version() == v2
+
+
+def test_pack_refresh_merge_random_dml_parity(spark, db):
+    """Round 7 merge-refresh pin: the incremental pack (binary-search
+    kill resolution + searchsorted inserts, one gather per side) must
+    equal a fresh-handle full rebuild after EVERY commit of a random
+    insert/upsert/delete interleaving — including packs that go stale
+    by several commits between refreshes."""
+    import random
+
+    rng = random.Random(1234)
+    c = db.create_collection("mergepack", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(60)))
+    assert c.pack_serving() is not None
+    live = {f"v{i}" for i in range(60)}
+    fresh_n = 0
+    for step in range(12):
+        kind = rng.choice(["insert", "upsert", "delete", "delete_fast"])
+        if kind == "insert":
+            rows = [
+                (f"m{fresh_n + j}", [rng.uniform(-1, 1)] * 4, "C")
+                for j in range(rng.randint(1, 5))
+            ]
+            fresh_n += len(rows)
+            c.insert_batch(_batch(spark, rows))
+            live |= {r[0] for r in rows}
+        elif kind == "upsert":
+            targets = rng.sample(sorted(live), min(3, len(live)))
+            c.upsert(
+                _batch(
+                    spark,
+                    [(t, [rng.uniform(-1, 1)] * 4, "U") for t in targets],
+                )
+            )
+        elif kind in ("delete", "delete_fast") and len(live) > 5:
+            victims = rng.sample(sorted(live), rng.randint(1, 3))
+            c.delete(ids=victims, verify_existing=(kind == "delete"))
+            live -= set(victims)
+        # sometimes let the pack go stale across multiple commits
+        if rng.random() < 0.6:
+            inc = c.pack_serving()
+            full = db.get_collection("mergepack").pack_serving()
+            assert inc is not None and full is not None
+            _pack_equal(inc, full)
+            assert set(inc["ids"]) == live
+    inc = c.pack_serving()
+    full = db.get_collection("mergepack").pack_serving()
+    _pack_equal(inc, full)
+    assert set(inc["ids"]) == live
