@@ -376,6 +376,33 @@ def main() -> None:
         N_SERVE / timings["q_server_search_ann_300"], 1
     )
 
+    # concurrent-client capacity (round 7): the single-client loops
+    # above measure LATENCY (each request waits for the previous);
+    # the server is a ThreadingHTTPServer and the kernels release the
+    # GIL in BLAS, so real serving capacity needs concurrent clients —
+    # 8 threads × 64 requests each through the same exact route.
+    def _hammer(n_threads=8, per_thread=64):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def worker(_):
+            for _i in range(per_thread):
+                _http_search()
+            return True
+
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            assert all(pool.map(worker, range(n_threads)))
+        return n_threads * per_thread
+
+    _hammer(2, 4)  # warm the thread pool / handler threads
+
+    @bench("q_server_search_c8", repeats=3)
+    def _():
+        _hammer()
+
+    extras["server_search_c8_qps"] = round(
+        8 * 64 / timings["q_server_search_c8"], 1
+    )
+
     # serving-pack refresh under point DML (round 6): the manifest
     # delta lets pack_serving() refresh incrementally — pyarrow reads
     # of only the ADDED pool files + the kill map, zero Spark jobs —
@@ -1185,6 +1212,7 @@ def main() -> None:
     _gf_by_row = {
         "server_search_qps": extras.get("cal_srv_gemm_gflops") or _gf,
         "server_search_ann_qps": extras.get("cal_srv_gemm_gflops") or _gf,
+        "server_search_c8_qps": extras.get("cal_srv_gemm_gflops") or _gf,
         "collection_ann_batch_qps": (
             extras.get("cal_srv_gemm_gflops") or _gf
         ),
@@ -1197,7 +1225,8 @@ def main() -> None:
         "sq_local_qps", "pq_local_qps", "ivfpq_local_qps",
         "hybrid_local_qps", "bm25_local_qps", "nsw_local_qps",
         "nsw_qps", "partitioned_batch_qps", "server_search_qps",
-        "server_search_ann_qps", "collection_ann_batch_qps",
+        "server_search_ann_qps", "server_search_c8_qps",
+        "collection_ann_batch_qps",
     ]
     _IO_ROWS = [
         "ingest_vec_per_sec", "collection_ingest_vec_per_sec",
