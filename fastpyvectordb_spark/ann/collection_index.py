@@ -653,6 +653,31 @@ class CollectionANN:
             .toPandas()
         )
 
+    def search_one(
+        self, query_vec, k: int = 10, nprobe: int = 8, serving=None
+    ) -> list[tuple[str, float]]:
+        """Single-query packed search as ``[(id, dist), ...]`` — the
+        pandas-free serving hot path (REST ANN route). Kernel is
+        bit-identical to :meth:`search_batch`'s nq==1 rows
+        (:func:`ivf_search_local_one`); same label mapping and
+        6-decimal rounding."""
+        from fastpyvectordb_spark.ann.ivf import ivf_search_local_one
+
+        packed, labels, _, meta = (
+            serving if serving is not None else self._serving
+        )
+        pos, dist = ivf_search_local_one(
+            packed,
+            query_vec,
+            k=k,
+            nprobe=min(nprobe, packed.centroids.shape[0]),
+            metric=meta["metric"],
+        )
+        dist = np.round(dist, 6)
+        return [
+            (str(labels[p]), float(d)) for p, d in zip(pos, dist)
+        ]
+
     def search_batch(
         self, queries_pdf, k: int = 10, nprobe: int = 8, serving=None
     ):

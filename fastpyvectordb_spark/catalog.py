@@ -2593,8 +2593,6 @@ class Collection:
         collection's CONFIGURED ef_search (reference
         vectordb_optimized.py:191-200 — config ef_search governs
         searches unless overridden per request)."""
-        import pandas as pd
-
         if ef_search is not None:
             nprobe = self.nprobe_from_ef(ef_search)
         elif nprobe is None:
@@ -2611,13 +2609,7 @@ class Collection:
             res = st.search_distributed([query_vec], k=k, nprobe=nprobe)
             # None = the index was dropped concurrently → clean miss
             return res[0] if res is not None else None
-        qpdf = pd.DataFrame(
-            {"query_id": [0], "query_vec": [list(query_vec)]}
-        )
-        res = st.search_batch(qpdf, k=k, nprobe=nprobe, serving=serving)
-        return [
-            (str(i), float(d)) for i, d in zip(res["id"], res["dist"])
-        ]
+        return st.search_one(query_vec, k=k, nprobe=nprobe, serving=serving)
 
     def search_ann_batch(
         self,

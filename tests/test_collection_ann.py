@@ -562,17 +562,17 @@ def test_config_ef_search_sets_default_probe_width(spark, db):
     c.insert_batch(_batch(spark, _rows(100, seed=8)))
     c.build_ann_index(n_lists=8, max_iter=5)
     seen = []
-    orig = CollectionANN.search_batch
+    orig = CollectionANN.search_one
 
-    def spy(self, queries_pdf, k=10, nprobe=8, serving=None):
+    def spy(self, query_vec, k=10, nprobe=8, serving=None):
         seen.append(nprobe)
-        return orig(self, queries_pdf, k=k, nprobe=nprobe, serving=serving)
+        return orig(self, query_vec, k=k, nprobe=nprobe, serving=serving)
 
     import pytest as _pytest
 
     mp = _pytest.MonkeyPatch()
     try:
-        mp.setattr(CollectionANN, "search_batch", spy)
+        mp.setattr(CollectionANN, "search_one", spy)
         q = _rows(1, seed=9)[0][1]
         c.search_ann(q, k=3)  # no nprobe, no ef_search → config default
         c.search_ann(q, k=3, ef_search=50)  # per-request override wins
@@ -581,3 +581,29 @@ def test_config_ef_search_sets_default_probe_width(spark, db):
         mp.undo()
     assert seen == [Collection.nprobe_from_ef(200),
                     Collection.nprobe_from_ef(50), 2]
+
+
+def test_search_one_matches_batch_rows(spark, db):
+    """The pandas-free single-query serving path (round 7,
+    ivf_search_local_one) must return exactly search_batch's rows —
+    same ids, same order, same rounded distances — across metrics and
+    random queries."""
+    import random as _r
+
+    import pandas as pd
+
+    for metric in ("cosine", "l2", "ip"):
+        c = _mk(db, spark, n=250, name=f"one_{metric}", metric=metric)
+        c.build_ann_index(n_lists=8, max_iter=5)
+        st = c._ann()
+        serving = st.ensure()
+        rng = _r.Random(11)
+        for _ in range(8):
+            q = [rng.uniform(-1, 1) for _ in range(8)]
+            one = st.search_one(q, k=7, nprobe=4, serving=serving)
+            qpdf = pd.DataFrame({"query_id": [0], "query_vec": [q]})
+            bat = st.search_batch(qpdf, k=7, nprobe=4, serving=serving)
+            want = [
+                (str(i), float(d)) for i, d in zip(bat["id"], bat["dist"])
+            ]
+            assert one == want, f"{metric} diverged"

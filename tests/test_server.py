@@ -546,13 +546,13 @@ def test_rest_search_ann_ef_search_maps_to_nprobe(api, monkeypatch):
         {"ids": [f"e{i}" for i in range(120)], "vectors": vecs},
     )
     seen: list[int] = []
-    orig = CollectionANN.search_batch
+    orig = CollectionANN.search_one
 
-    def spy(self, queries_pdf, k=10, nprobe=8, serving=None):
+    def spy(self, query_vec, k=10, nprobe=8, serving=None):
         seen.append(nprobe)
-        return orig(self, queries_pdf, k=k, nprobe=nprobe, serving=serving)
+        return orig(self, query_vec, k=k, nprobe=nprobe, serving=serving)
 
-    monkeypatch.setattr(CollectionANN, "search_batch", spy)
+    monkeypatch.setattr(CollectionANN, "search_one", spy)
     q = vecs[11]
     for ef in (10, 50, 400):
         status, _ = _req(
