@@ -1968,6 +1968,32 @@ class Collection:
         df = self._bucket_rows(touched).filter(F.col("id").isin(list(ids)))
         return df if include_vector else df.drop("embedding")
 
+    def get_local(
+        self, ids: Sequence[str], include_vector: bool = True
+    ) -> list[dict] | None:
+        """Zero-job point lookup through the serving pack (the
+        reference's dict-get regime, vectordb_optimized.py get):
+        binary-search each id in the version-current pack and slice
+        its row from the resident Arrow table — O(k log N) per call,
+        no Spark job. Returns row dicts in input order (missing ids
+        skipped, like :meth:`get`), or None when the collection is
+        above the pack threshold — callers fall back to the
+        distributed :meth:`get`."""
+        pack = self.pack_serving()
+        if pack is None:
+            return None
+        tbl, idx = pack["tbl"], pack["rows"]
+        out = []
+        for rid in ids:
+            pos = idx.get(rid)
+            if pos is None:
+                continue
+            row = tbl.slice(pos, 1).to_pylist()[0]
+            if not include_vector:
+                row.pop("embedding", None)
+            out.append(row)
+        return out
+
     def count(self) -> int:
         return self.df().count()
 

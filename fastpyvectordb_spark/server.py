@@ -277,11 +277,20 @@ class _Handler(BaseHTTPRequestHandler):
         want_vec = self.query.get("include_vector", "false").lower() in (
             "true", "1", "yes",
         )
-        rows = c.get([vec_id], include_vector=True).collect()
+        # pack-backed fast path (round 7): a resident collection serves
+        # a GET in O(log N) with ZERO Spark jobs — the reference's
+        # dict-get latency regime; only oversize collections pay the
+        # bucket-pruned distributed lookup
+        rows = c.get_local([vec_id], include_vector=True)
+        if rows is None:
+            rows = [
+                r.asDict()
+                for r in c.get([vec_id], include_vector=True).collect()
+            ]
         if not rows:
             self._send(404, {"detail": f"id {vec_id!r} not found"})
             return
-        row = rows[0].asDict()
+        row = rows[0]
         payload = {"id": row["id"], "metadata": _meta(row)}
         if want_vec:
             payload["vector"] = [float(x) for x in row["embedding"]]
@@ -476,9 +485,16 @@ class _Handler(BaseHTTPRequestHandler):
         detail: dict = {}
         hit_ids = sorted({r["id"] for r in rows})
         if hit_ids:
+            # pack-backed enrichment when resident (zero extra jobs);
+            # distributed bucket-pruned lookup above the threshold
+            local = c.get_local(hit_ids)
             detail = {
                 d["id"]: d
-                for d in (x.asDict() for x in c.get(hit_ids).collect())
+                for d in (
+                    local
+                    if local is not None
+                    else (x.asDict() for x in c.get(hit_ids).collect())
+                )
             }
         out: list[list] = [[] for _ in vectors]
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):

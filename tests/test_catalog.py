@@ -1298,3 +1298,40 @@ def test_pack_refresh_merge_random_dml_parity(spark, db):
     full = db.get_collection("mergepack").pack_serving()
     _pack_equal(inc, full)
     assert set(inc["ids"]) == live
+
+
+def test_get_local_matches_distributed_get(spark, db, monkeypatch):
+    """Round 7: the pack-backed point lookup (get_local) must return
+    exactly the distributed get()'s rows — including metadata, vector
+    stripping, missing ids skipped — with ZERO Spark jobs (the
+    distributed machinery booby-trapped), and fall back with None
+    above the pack threshold."""
+    import fastpyvectordb_spark.catalog as cat
+    from fastpyvectordb_spark.catalog import Collection
+
+    c = db.create_collection("getlocal", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(50)))
+    want = sorted(
+        (r.asDict() for r in c.get(["v3", "v7"], include_vector=True).collect()),
+        key=lambda d: d["id"],
+    )
+    assert c.pack_serving() is not None
+
+    def boom(self, *a, **kw):
+        raise AssertionError("distributed get path used")
+
+    monkeypatch.setattr(Collection, "_touched_buckets", boom)
+    got = c.get_local(["v3", "nope", "v7"])
+    assert sorted(got, key=lambda d: d["id"]) == want
+    novec = c.get_local(["v3"], include_vector=False)
+    assert "embedding" not in novec[0] and novec[0]["id"] == "v3"
+    monkeypatch.undo()
+
+    # oversize → None (caller falls back to the distributed plan)
+    old = cat.Collection.SERVING_PACK_MAX_FLOATS
+    try:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = 10
+        c.__dict__.pop("_serving_pack", None)
+        assert c.get_local(["v3"]) is None
+    finally:
+        cat.Collection.SERVING_PACK_MAX_FLOATS = old
