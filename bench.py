@@ -403,6 +403,27 @@ def main() -> None:
         8 * 64 / timings["q_server_search_c8"], 1
     )
 
+    # point-lookup route (round 7): GET /vectors/{id} serves through
+    # the pack's binary-search index — zero Spark jobs (was a ~300 ms
+    # distributed job per request before get_local)
+    def _http_get(i):
+        req = urllib.request.Request(
+            f"{_base}/collections/vecs/vectors/{i}?include_vector=true"
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return _json.loads(resp.read())
+
+    _http_get(5000)  # warm (ids 0-1999 were deleted by the DML benches)
+
+    @bench("q_server_get_300", repeats=3)
+    def _():
+        for _i in range(N_SERVE):
+            _http_get(5000 + _i)
+
+    extras["server_get_qps"] = round(
+        N_SERVE / timings["q_server_get_300"], 1
+    )
+
     # serving-pack refresh under point DML (round 6): the manifest
     # delta lets pack_serving() refresh incrementally — pyarrow reads
     # of only the ADDED pool files + the kill map, zero Spark jobs —
