@@ -75,6 +75,28 @@ def ivf_build(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_lists < 2:
+        # MLlib KMeans rejects k=1 (hit live: optimize(ann_cluster) on
+        # a collection DML'd down to one row trains with n_lists
+        # clamped to the row count). One list = one centroid = the
+        # per-dimension column mean — a dim-keyed distributed agg
+        # (posexplode → groupBy(dim) → avg: D groups, never collects
+        # vectors), no fit. Assignment is trivially list 0.
+        mean_rows = (
+            df.select(
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "_dim", "_x"
+                )
+            )
+            .groupBy("_dim")
+            .agg(F.avg("_x").alias("_m"))
+            .orderBy("_dim")
+            .collect()  # bounded: D rows
+        )
+        centroid = np.asarray([r["_m"] for r in mean_rows], dtype=np.float64)
+        assigned = df.withColumn("list_id", F.lit(0))
+        return IVFIndex(centroids=centroid[None, :], assigned=assigned)
+
     feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
     fit_df = feats
     if train_rows is not None:

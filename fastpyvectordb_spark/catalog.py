@@ -1995,6 +1995,18 @@ class Collection:
         return out
 
     def count(self) -> int:
+        # answer from the CACHED version-current pack when warm (zero
+        # jobs — the serving regime's hot path calls count per
+        # request). Deliberately reads the cache directly instead of
+        # pack_serving(): the full pack build itself calls count(), so
+        # routing through a refresh here would recurse.
+        cached = getattr(self, "_serving_pack", None)
+        if (
+            cached is not None
+            and cached[1] is not None
+            and cached[0] == self._current_version()
+        ):
+            return len(cached[1]["ids"])
         return self.df().count()
 
     def files(self) -> DataFrame:
@@ -2058,7 +2070,13 @@ class Collection:
         ).mapInPandas(read_footers, schema=out_schema)
 
     def list_ids(self, limit: int = 100, offset: int = 0) -> list[str]:
-        """D8: paged id listing (deterministic order by id)."""
+        """D8: paged id listing (deterministic order by id). Resident
+        collections answer from the serving pack — its id array is
+        already sorted ascending, so a page is a zero-job slice
+        (round 7); oversize collections run the distributed plan."""
+        pack = self.pack_serving()
+        if pack is not None:
+            return [str(i) for i in pack["ids"][offset : offset + limit]]
         rows = (
             self.df().select("id").orderBy("id").offset(offset).limit(limit).collect()
         )

@@ -607,3 +607,23 @@ def test_search_one_matches_batch_rows(spark, db):
                 (str(i), float(d)) for i, d in zip(bat["id"], bat["dist"])
             ]
             assert one == want, f"{metric} diverged"
+
+
+def test_ann_on_single_row_collection(spark, db):
+    """Round-7 state-machine catch: a collection DML'd down to ONE row
+    used to crash optimize(ann_cluster=True) / build_ann_index with
+    MLlib 'KMeans k=1 invalid' (n_lists clamps to the row count).
+    n_lists < 2 now trains the single centroid as the column mean."""
+    import warnings
+
+    c = _mk(db, spark, n=4, name="tiny")
+    c.delete(ids=["r0", "r1", "r2"])  # one row left
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # break-even sizing note
+        c.optimize(ann_cluster=True, target_partitions=8)
+    got = c.search_ann(_rows(4, seed=0)[3][1], k=1, nprobe=1)
+    assert got and got[0][0] == "r3" and got[0][1] <= 1e-6
+    # and through the explicit builder too
+    c.build_ann_index(n_lists=1, max_iter=5)
+    got2 = c.search_ann(_rows(4, seed=0)[3][1], k=1)
+    assert got2 and got2[0][0] == "r3"
