@@ -466,7 +466,7 @@ def main() -> None:
     _qvl = [list(v) for v in qpdf_big["query_vec"]]
     _h.search_ann_batch(_qvl[:8], k=K, nprobe=8)  # warm: assign + pack
 
-    @bench("q_collection_ann_batch", repeats=3)
+    @bench("q_collection_ann_batch", repeats=7)
     def _():
         res = _h.search_ann_batch(_qvl, k=K, nprobe=8)
         assert res["query_id"].nunique() == n_queries
