@@ -1308,14 +1308,41 @@ def main() -> None:
         **{k: extras[k] for k in headline},
     }
     line = json.dumps(compact, separators=(",", ":"))
-    for keep in (12, 8, 4):  # shed per-query timings before headline metrics
+
+    def _shed_queries(keep: int) -> None:
+        if keep:
+            compact["queries"] = {
+                k: v
+                for k, v in sorted(
+                    timings.items(), key=lambda kv: -kv[1]
+                )[:keep]
+            }
+        else:
+            compact.pop("queries", None)
+
+    def _shed_norms() -> None:
+        # derivable from the full first line (which stays in logs):
+        # norm = raw row / adjacent calibration probe
+        compact.pop("norm_per_gflops", None)
+        compact.pop("norm_per_gbps", None)
+
+    # shed order: per-query timings (12→8→4→0), then the derived norm
+    # blocks — headline raw metrics (value + *_qps/*_per_sec/recalls/
+    # cal_*) are never dropped. Round 7 overflowed at keep=4 (2,269
+    # chars) and the driver recorded parsed:null; the tail window is
+    # 2,000 chars and this line MUST fit.
+    sheds = [lambda: _shed_queries(12), lambda: _shed_queries(8),
+             lambda: _shed_queries(4), lambda: _shed_queries(0),
+             _shed_norms]
+    for shed in sheds:
         if len(line) <= 2000:
             break
-        compact["queries"] = {
-            k: v
-            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:keep]
-        }
+        shed()
         line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 2000, (
+        f"compact bench line still {len(line)} chars after full shed; "
+        "trim headline metrics"
+    )
     sys.stdout.flush()
     print(line, flush=True)
 

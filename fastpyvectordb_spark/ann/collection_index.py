@@ -109,11 +109,18 @@ class CollectionANN:
         self.centroids = np.load(cp)
         if "train_nonce" not in self.meta:
             # legacy meta predating the centroid-identity nonce: mint
-            # one now (and persist it) so a FUTURE mark_clustered can
-            # key to these centroids; any pre-existing clustered.json
-            # has no matching nonce and is correctly treated as stale
+            # one now so a FUTURE mark_clustered can key to these
+            # centroids; any pre-existing clustered.json has no
+            # matching nonce and is correctly treated as stale. The
+            # persist is best-effort — load() must stay a read, so a
+            # read-only index dir still serves (the in-memory nonce is
+            # enough for this process; the next train()/save() on a
+            # writable dir persists it).
             self.meta["train_nonce"] = uuid.uuid4().hex
-            self.save()
+            try:
+                self.save()
+            except OSError:
+                pass
         return True
 
     def drop(self) -> None:

@@ -355,10 +355,31 @@ def ivf_search_local(
 
     eps = 1e-10
     qids = queries_pdf["query_id"].to_numpy()
+    nq = len(qids)
+
+    if nq == 1:
+        # fused single-query fast path — delegates to the pandas-free
+        # kernel (see ivf_search_local_one), which does its OWN probe
+        # selection, so the branch sits before the batch path's
+        # qmat/qn/centroid-GEMM setup (none of that work is shared).
+        # Measured 7.5 ms → ~1.5 ms per query at 100k×64 / nprobe 8.
+        i_sel, d_sel = ivf_search_local_one(
+            packed, queries_pdf["query_vec"].iloc[0], k=k,
+            nprobe=nprobe, metric=metric,
+        )
+        kk = len(i_sel)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kk),
+                "rank": np.arange(1, kk + 1),
+                id_col: i_sel,
+                "dist": d_sel,
+            }
+        )
+
     qmat = np.stack(
         [np.asarray(v, dtype=np.float32) for v in queries_pdf["query_vec"]]
     )
-    nq = len(qids)
     if metric == "cosine":
         qn = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True) + eps)
     else:
@@ -374,25 +395,6 @@ def ivf_search_local(
         q_sq = np.einsum("ij,ij->i", qn, qn)
 
     from fastpyvectordb_spark.operators.knn import topk_rows_tied
-
-    if nq == 1:
-        # fused single-query fast path — delegates to the pandas-free
-        # kernel (see ivf_search_local_one); only the DataFrame
-        # wrapping differs from the batch path's output shape.
-        # Measured 7.5 ms → ~1.5 ms per query at 100k×64 / nprobe 8.
-        i_sel, d_sel = ivf_search_local_one(
-            packed, queries_pdf["query_vec"].iloc[0], k=k,
-            nprobe=nprobe, metric=metric,
-        )
-        kk = len(i_sel)
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(qids, kk),
-                "rank": np.arange(1, kk + 1),
-                id_col: i_sel,
-                "dist": d_sel,
-            }
-        )
 
     out_d = np.full((nq, nprobe * k), np.inf, dtype=np.float32)
     out_i = np.full((nq, nprobe * k), -1, dtype=np.int64)

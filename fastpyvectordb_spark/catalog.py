@@ -2070,13 +2070,23 @@ class Collection:
         ).mapInPandas(read_footers, schema=out_schema)
 
     def list_ids(self, limit: int = 100, offset: int = 0) -> list[str]:
-        """D8: paged id listing (deterministic order by id). Resident
-        collections answer from the serving pack — its id array is
-        already sorted ascending, so a page is a zero-job slice
-        (round 7); oversize collections run the distributed plan."""
-        pack = self.pack_serving()
-        if pack is not None:
-            return [str(i) for i in pack["ids"][offset : offset + limit]]
+        """D8: paged id listing (deterministic order by id). When the
+        serving pack is already warm and version-current its id array
+        (sorted ascending) answers a page as a zero-job slice
+        (round 7). Like count(), this deliberately reads the CACHE
+        rather than pack_serving(): a cold sub-threshold collection
+        should not pay a full Arrow collect (up to 80M floats) just to
+        return one 100-id page — the distributed offset/limit plan is
+        the right cold path."""
+        cached = getattr(self, "_serving_pack", None)
+        if (
+            cached is not None
+            and cached[1] is not None
+            and cached[0] == self._current_version()
+        ):
+            return [
+                str(i) for i in cached[1]["ids"][offset : offset + limit]
+            ]
         rows = (
             self.df().select("id").orderBy("id").offset(offset).limit(limit).collect()
         )
@@ -2480,6 +2490,19 @@ class Collection:
             # cost is the unavoidable O(N) memcopy of the pack).
             surv = np.nonzero(keep_old)[0]
             ins = np.searchsorted(old["ids"][surv], new_ids)
+            # the merge assumes new ids are DISJOINT from surviving old
+            # ids (insert dup-reject + upsert kill-writing uphold this
+            # today). Cheap check: with side='left', a duplicate means
+            # the surviving id AT the insert slot equals the new id —
+            # fall back to the full rebuild so a future DML path that
+            # breaks the invariant degrades safely instead of minting a
+            # pack with ambiguous binary-search lookups.
+            if len(surv) and len(new_ids):
+                hit = ins < len(surv)
+                if hit.any() and (
+                    old["ids"][surv][ins[hit]] == new_ids[hit]
+                ).any():
+                    return None
             m = len(surv) + len(new_ids)
             is_new = np.zeros(m, dtype=bool)
             is_new[ins + np.arange(len(new_ids))] = True

@@ -35,16 +35,52 @@ def register(name: str, oracle: str | None = None):
 
 # The driver samples a capped prefix (50 names) of this list each round.
 # Every query has at least one driver-green row, so ordering is
-# STALENESS-based (VERDICT r5 item #2): round-7 code changes first
-# (the ann_* queries gained exact oracles — exhaustive-probe variants,
-# VERDICT r6 item #3), then the r3-era names whose green row is oldest
-# (28 names had no driver check since round 3), then the r4/r5 block
-# (2 rounds stale); the names the r6 driver just re-verified go last.
+# STALENESS-based (VERDICT r5 item #2, re-affirmed r7 item #2):
+# round-8 code changes first (the near-dup regime router now delegates,
+# and ivf_search_local's single-query branch moved), then the 32 names
+# whose green row dates to round 5 (oldest), then the oldest round-6
+# names — that fills the 50 prefix, keeping every query ≤3 rounds
+# stale. The names the r7 driver just re-verified go last.
 _PRIORITY = [
-    # round-7 code changes: exhaustive-probe ANN with exact-kNN oracles
-    "ann_ivf_knn", "ann_lsh_knn", "ann_ivfpq_knn", "ann_partitioned_knn",
-    "ann_nsw_knn",
-    # last verified round 3 (oldest green rows)
+    # round-8 code changes: near-dup router + IVF local fast-path reorder
+    "dedup_embedding_topk", "dedup_embedding_lsh_threshold", "ann_ivf_knn",
+    # last verified round 5 (oldest green rows — 32 names)
+    "knn_cosine", "knn_l2", "knn_ip", "knn_batch", "knn_filtered",
+    "sq_train_stats", "sq_knn_cosine", "sq_knn_l2", "sq_knn_ip",
+    "pq_adc_knn", "hybrid_search_alpha05", "hybrid_search_alpha08",
+    "hybrid_search_batch", "graph_find_nodes", "graph_neighbors",
+    "graph_traverse", "graph_bfs_levels", "graph_shortest_path",
+    "graph_degree_topk", "graph_stats", "graph_hyperedge_membership",
+    "graph_part_copurchase_topk", "gv_semantic_expansion",
+    "gv_traverse_rerank", "dedup_minhash_lsh", "dedup_simhash",
+    "text_corpus_stats", "text_fingerprint", "text_lang_id",
+    "text_postings_top_terms", "pipeline_clean_corpus",
+    "pipeline_split_counts",
+    # oldest round-6 names (fill the 50 prefix)
+    "dedup_incremental_lsh", "pipeline_source_cap", "text_quality",
+    "text_scrub_audit", "text_token_counts", "agg_order_trend_pivot",
+    "codec_int8_roundtrip_error", "dedup_decontaminate",
+    "events_replay_last10", "events_sessionize",
+    "events_subscription_filter", "events_user_outlier_counts",
+    "events_value_percentiles", "events_window_hourly",
+    "join_shipping_priority_q3",
+    # remaining round-6 names (next in line)
+    "media_audio_chunks", "media_features",
+    "media_frame_sample", "media_manifest", "pipeline_stratified_counts",
+    "pipeline_token_budget", "text_repetition_filter",
+    "agg_cube_status_priority", "agg_cust_order_distribution",
+    "agg_disjunctive_parts_q19", "agg_forecast_revenue",
+    "agg_grouping_sets_orders", "agg_important_parts_q11", "agg_large_orders",
+    "agg_late_ship_priority", "agg_nation_market_share",
+    "agg_priority_class_by_linestatus", "agg_priority_line_counts",
+    "agg_product_profit_q9", "agg_promo_revenue_ratio",
+    "agg_returned_item_ranking", "agg_rollup_nation_year",
+    "agg_supplier_part_counts_q16", "cluster_centroid_profile",
+    "cypher_match_where", "cypher_nation_customer_counts",
+    "cypher_node_props", "cypher_region_chain_counts",
+    "dedup_substring_spans",
+    # freshest: re-verified by the r7 driver
+    "ann_lsh_knn", "ann_ivfpq_knn", "ann_partitioned_knn", "ann_nsw_knn",
     "events_conversion_funnel",
     "events_gap_percentiles", "events_ohlc_hourly",
     "events_retention_cohorts", "events_transition_bigrams",
@@ -59,46 +95,13 @@ _PRIORITY = [
     "pipeline_pack_sequences", "setops_customer_activity",
     "text_moore_lewis_selection", "text_word_entropy",
     "window_running_revenue",
-    # verified rounds 4 AND 5 (now 2 rounds stale)
-    "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_embedding_lsh_threshold", "dedup_lines_reconstruct",
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_lines_reconstruct",
     "pipeline_upsample_mixture",
     "agg_count_by_source", "agg_embedding_dim_stats",
     "agg_lang_source_matrix", "agg_pricing_summary", "agg_revenue_by_nation",
     "agg_rollup_suppliers", "agg_top_customers_by_orders",
     "agg_top_orders_by_revenue", "bm25_search", "bm25_search_batch",
-    "bq_hamming_knn", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "graph_bfs_levels", "graph_degree_topk", "graph_find_nodes",
-    "graph_hyperedge_membership", "graph_neighbors",
-    "graph_part_copurchase_topk", "graph_shortest_path", "graph_stats",
-    "graph_traverse", "gv_semantic_expansion", "gv_traverse_rerank",
-    "hybrid_search_alpha05", "hybrid_search_alpha08", "hybrid_search_batch",
-    "knn_batch", "knn_cosine", "knn_filtered", "knn_ip", "knn_l2",
-    "pipeline_clean_corpus", "pipeline_split_counts", "pq_adc_knn",
-    "sq_knn_cosine", "sq_knn_ip", "sq_knn_l2", "sq_train_stats",
-    "text_corpus_stats", "text_fingerprint", "text_lang_id",
-    "text_postings_top_terms",
-    # freshest: re-verified by the r6 driver
-    "dedup_incremental_lsh", "pipeline_source_cap", "dedup_embedding_topk",
-    "text_quality", "text_scrub_audit", "text_token_counts",
-    "agg_order_trend_pivot", "codec_int8_roundtrip_error",
-    "dedup_decontaminate", "events_replay_last10", "events_sessionize",
-    "events_subscription_filter", "events_user_outlier_counts",
-    "events_value_percentiles", "events_window_hourly",
-    "join_shipping_priority_q3", "media_audio_chunks", "media_features",
-    "media_frame_sample", "media_manifest", "pipeline_stratified_counts",
-    "pipeline_token_budget", "text_repetition_filter",
-    "agg_cube_status_priority", "agg_cust_order_distribution",
-    "agg_disjunctive_parts_q19", "agg_forecast_revenue",
-    "agg_grouping_sets_orders", "agg_important_parts_q11", "agg_large_orders",
-    "agg_late_ship_priority", "agg_nation_market_share",
-    "agg_priority_class_by_linestatus", "agg_priority_line_counts",
-    "agg_product_profit_q9", "agg_promo_revenue_ratio",
-    "agg_returned_item_ranking", "agg_rollup_nation_year",
-    "agg_supplier_part_counts_q16", "cluster_centroid_profile",
-    "cypher_match_where", "cypher_nation_customer_counts",
-    "cypher_node_props", "cypher_region_chain_counts",
-    "dedup_substring_spans",
+    "bq_hamming_knn", "dedup_exact",
 ]
 
 

@@ -1335,3 +1335,62 @@ def test_get_local_matches_distributed_get(spark, db, monkeypatch):
         assert c.get_local(["v3"]) is None
     finally:
         cat.Collection.SERVING_PACK_MAX_FLOATS = old
+
+
+def test_list_ids_cold_skips_pack_build(spark, db, monkeypatch):
+    """ADVICE r7: a cold list_ids page must NOT trigger the full
+    serving-pack Arrow collect — it reads the cache like count() and
+    falls through to the distributed offset/limit plan otherwise."""
+    import fastpyvectordb_spark.catalog as cat
+
+    c = db.create_collection("coldids", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(30)))
+    c.__dict__.pop("_serving_pack", None)
+
+    def boom(self, *a, **kw):
+        raise AssertionError("cold list_ids built the serving pack")
+
+    monkeypatch.setattr(cat.Collection, "pack_serving", boom)
+    page = c.list_ids(limit=5, offset=2)
+    assert page == sorted(f"v{i}" for i in range(30))[2:7]
+    assert getattr(c, "_serving_pack", None) is None  # still cold
+    monkeypatch.undo()
+
+    # warm + version-current pack answers the same page zero-job
+    assert c.pack_serving() is not None
+    monkeypatch.setattr(cat.Collection, "df", boom)
+    assert c.list_ids(limit=5, offset=2) == page
+    monkeypatch.undo()
+
+
+def test_pack_delta_duplicate_id_falls_back_to_full_rebuild(spark, db):
+    """ADVICE r7: the incremental pack merge assumes new-file ids are
+    disjoint from surviving old ids. A commit that re-adds an existing
+    id WITHOUT a kill entry (no DML verb does this today — simulated
+    via a raw append commit) must make the delta refuse (return None)
+    rather than mint a pack with duplicate ids that break binary-
+    search lookups."""
+    c = db.create_collection("duppack", dimensions=4, metric="cosine")
+    c.insert_batch(_batch(spark, _vecs(50)))
+    pack = c.pack_serving()
+    assert pack is not None
+    old_ver = c._serving_pack[0]
+
+    # bypass insert()'s dup-reject: append a pool file re-adding v7
+    c._commit_append(
+        _batch(spark, [("v7", [9.0, 9.0, 9.0, 9.0], "Z")]), "insert"
+    )
+    new_ver = c._current_version()
+    assert new_ver != old_ver
+    assert c._pack_refresh_delta(old_ver, new_ver, pack) is None
+
+    # the legit shapes still delta-merge: upsert (kill + re-add) and a
+    # disjoint insert against the same cached base
+    c2 = db.create_collection("duppack2", dimensions=4, metric="cosine")
+    c2.insert_batch(_batch(spark, _vecs(50)))
+    p2 = c2.pack_serving()
+    v0 = c2._serving_pack[0]
+    c2.upsert(_batch(spark, _vecs(5, offset=100)))
+    c2.insert_batch(_batch(spark, [("w1", [1.0] * 4, "C")]))
+    merged = c2._pack_refresh_delta(v0, c2._current_version(), p2)
+    assert merged is not None and len(merged["ids"]) == 51

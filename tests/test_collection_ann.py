@@ -627,3 +627,38 @@ def test_ann_on_single_row_collection(spark, db):
     c.build_ann_index(n_lists=1, max_iter=5)
     got2 = c.search_ann(_rows(4, seed=0)[3][1], k=1)
     assert got2 and got2[0][0] == "r3"
+
+
+def test_legacy_index_load_survives_readonly_dir(spark, db, monkeypatch):
+    """ADVICE r7: load() mints a train_nonce for legacy meta (pre-
+    nonce layout) and persists it best-effort — when the index dir is
+    read-only (save raises OSError) the load must still succeed and
+    serve with the in-memory nonce instead of failing the read."""
+    import json
+    import os
+
+    from fastpyvectordb_spark.ann.collection_index import CollectionANN
+
+    c = _mk(db, spark, n=120, name="rolegacy")
+    c.build_ann_index(n_lists=4, max_iter=5)
+    mp = os.path.join(c._ann()._dir, "meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta.pop("train_nonce", None)
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+
+    def ro_save(self):
+        raise OSError("read-only filesystem")
+
+    monkeypatch.setattr(CollectionANN, "save", ro_save)
+    fresh = CollectionANN(c)
+    assert fresh.load() is True
+    assert fresh.meta.get("train_nonce")  # minted in memory
+    monkeypatch.undo()
+
+    # and a normal (writable) legacy load persists the minted nonce
+    fresh2 = CollectionANN(c)
+    assert fresh2.load() is True
+    with open(mp) as f:
+        assert json.load(f).get("train_nonce") == fresh2.meta["train_nonce"]
