@@ -683,11 +683,19 @@ def embedding_neardup_topk(
     kmeans_max_iter: int = 10,
     margin: float = 1e-4,
     warn_kept_frac: float = 0.8,
+    mode: str = "auto",
+    n_planes: int | None = None,
+    rows_per_band: int | None = None,
     _stats_out: dict | None = None,
 ) -> DataFrame:
-    """EXACT top-k most-similar distinct pairs by cosine similarity —
+    """Top-k most-similar distinct pairs by cosine similarity —
     cluster-bound pruning, equi-join plan (no theta self-join on the
-    corpus).
+    corpus). EXACT whenever the angular bound actually prunes; on
+    weakly-clustered data the default ``mode="auto"`` DELEGATES to the
+    banded LSH path (see *Regime router* below) instead of running a
+    near-quadratic candidate join. Pass ``mode="exact"`` to force the
+    exact miner regardless of regime (it only warns then — the result
+    stays bit-identical to brute force).
 
     Algorithm (ball-tree / Elkan-style angular bounds):
 
@@ -716,15 +724,49 @@ def embedding_neardup_topk(
 
     ``n_clusters=None`` auto-sizes to ``≈ √N`` capped at 256 (driver
     holds K² bound rows only; all collects here are K-row or k-row —
-    bounded). Pass an explicit value to pin the blocking."""
+    bounded). Pass an explicit value to pin the blocking.
+
+    Regime router (VERDICT r6 #6 / r7 #3): the K² bound table is
+    computed BEFORE the candidate join, so an inert pruning run —
+    weakly clustered data where (almost) every block's upper bound
+    clears λ — is knowable for free. When ``mode="auto"`` and the kept
+    fraction exceeds ``warn_kept_frac``, the miner routes to the
+    scale-safe SemDeDup shape instead: sign-band LSH candidates
+    (:func:`embedding_lsh_threshold_pairs` against the ``n_planes``
+    lowest-id corpus vectors as hyperplanes — deterministic and
+    engine-reproducible) thresholded at λ (the exact kth-best
+    within-cluster similarity, already seeded), unioned with ALL
+    within-cluster pairs ≥ λ, then global top-k. The routed result is
+    approximate — a cross-cluster pair missed by every band is not
+    returned — but every returned similarity is exact, the within-
+    cluster top-k is guaranteed, and the work is banded equi-joins
+    whose cost scales with candidates, not N². ``_stats_out["routed"]``
+    records which regime ran.
+
+    Banding auto-sizes unless pinned: ``rows_per_band =
+    clamp(⌈log₂N⌉, 8, 16)`` (bucket count per band tracks corpus size,
+    so per-bucket candidate blocks stay small as N grows) and
+    ``n_planes = 6·rows_per_band`` (6 bands). Recall characteristics
+    are the standard sign-LSH curve: near-identical pairs (cos ≳ 0.95)
+    collide in some band with high probability; MODERATE-similarity
+    pairs (cos ≈ 0.5-0.7) mostly do not — on a corpus whose true top-k
+    is only moderately similar (i.e. no real near-dups) the routed
+    result keeps the within-cluster winners and whatever the bands
+    surface, nothing more. That is the correct scale posture: such a
+    corpus has no sub-quadratic exact algorithm, and the near-dup USE
+    CASE (dedup before training) only cares about high-similarity
+    pairs. Curation flows that need the exact moderate-sim top-k opt
+    out with ``mode="exact"`` and pay the corpus-bounded join."""
     import math
 
     import numpy as np
 
     from fastpyvectordb_spark.functions.distances import cosine_similarity
 
+    n_rows: int | None = None
     if n_clusters is None:
-        n_clusters = max(2, min(256, math.isqrt(max(emb.count(), 1))))
+        n_rows = emb.count()
+        n_clusters = max(2, min(256, math.isqrt(max(n_rows, 1))))
     cents = _centroid_rows(
         emb, n_clusters, id_col, vec_col, centroids, seed, kmeans_max_iter
     )
@@ -794,23 +836,61 @@ def embedding_neardup_topk(
     )
     lam = seed_rows[-1]["cos_sim"] if len(seed_rows) == k else -2.0
 
+    if mode not in ("auto", "exact"):
+        raise ValueError(f"mode must be 'auto' or 'exact': {mode!r}")
     unit = {cid: c for cid, c in cents}
     cids = sorted(radii)
     keep = _neardup_kept_blocks(cids, unit, radii, lam, margin)
     kept_frac = len(keep) / max(1, len(cids) * (len(cids) + 1) // 2)
+    routed = mode == "auto" and kept_frac > warn_kept_frac
     if _stats_out is not None:  # test/diagnostic hook: pruning efficacy
         nc = len(cids)
         _stats_out["kept_blocks"] = len(keep)
         _stats_out["total_blocks"] = nc * (nc + 1) // 2
-    # regime router (VERDICT r6 #6): the K² bound table is computed
-    # BEFORE the candidate join, so an inert pruning run — weakly
-    # clustered data where (almost) every block's upper bound clears λ
-    # — is knowable for free. Past the threshold the candidate join
-    # trends quadratic by this operator's own telemetry; the
-    # threshold-regime scale default is embedding_lsh_threshold_pairs
-    # (SemDeDup sign-band equi-join). The exact miner stays available
-    # and its RESULT is unchanged — this only says so out loud.
+        _stats_out["routed"] = routed
+    spark = emb.sparkSession
+    if routed:
+        # regime router, delegating arm (VERDICT r7 #3): the pruning
+        # estimate says the exact candidate join is near-quadratic
+        # here, so run the SemDeDup-shape banded path instead.
+        # Hyperplanes = the n_planes lowest-id corpus vectors (same
+        # deterministic convention as the suite's threshold query);
+        # threshold = λ, the EXACT kth-best within-cluster similarity
+        # (no returned pair can beat the top-k bar from below it).
+        if rows_per_band is None:
+            if n_rows is None:
+                n_rows = emb.count()
+            rows_per_band = min(
+                16, max(8, math.ceil(math.log2(max(n_rows, 2))))
+            )
+        if n_planes is None:
+            n_planes = 6 * rows_per_band
+        if _stats_out is not None:
+            _stats_out["n_planes"] = n_planes
+            _stats_out["rows_per_band"] = rows_per_band
+        floor = max(lam, -1.0)
+        plane_rows = (
+            base.orderBy("_id").limit(n_planes)
+            .select(F.col("_v").cast("array<double>").alias("pv"))
+            .collect()
+        )
+        planes = spark.createDataFrame(
+            [(i, list(r["pv"])) for i, r in enumerate(plane_rows)],
+            "plane_id int, plane_vec array<double>",
+        )
+        lsh = embedding_lsh_threshold_pairs(
+            emb, planes, min_cos=floor, rows_per_band=rows_per_band,
+            id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        )
+        cand = (
+            within.filter(F.col("cos_sim") >= F.lit(floor))
+            .unionByName(lsh)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return cand.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
     if kept_frac > warn_kept_frac:
+        # exact mode in the weak regime: run anyway, but say so out
+        # loud — the result stays bit-identical to brute force.
         import warnings
 
         warnings.warn(
@@ -822,7 +902,6 @@ def embedding_neardup_topk(
             "top-k result returned here is unaffected.",
             stacklevel=2,
         )
-    spark = emb.sparkSession
     pairs_tab = F.broadcast(
         spark.createDataFrame(keep, "pair_id INT, ci INT, cj INT")
     )

@@ -232,9 +232,13 @@ LIMIT 10
 def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine pairs via cluster-bound pruning (equi-join
     plan, no theta self-join on the corpus); oracle is the brute-force
-    SQL twin — identical output by the angular-bound argument."""
+    SQL twin — identical output by the angular-bound argument.
+    mode="exact" opts out of the regime router: this query's CONTRACT
+    is the exact result (the routed default delegates to the banded
+    LSH path on weakly-clustered corpora like this one — benched
+    separately as q_dedup_embedding_topk_routed)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_topk(emb, k=10, centroids="seed")
+    return D.embedding_neardup_topk(emb, k=10, centroids="seed", mode="exact")
 
 
 # Connected components over near-dup pairs: cluster_id = min member.

@@ -432,7 +432,9 @@ def test_embedding_topk_pruned_equals_bruteforce(spark, centroids):
     fast = [
         (r["id_a"], r["id_b"], r["cos_sim"])
         for r in D.embedding_neardup_topk(
-            emb, k=15, n_clusters=6, centroids=centroids
+            # mode="exact": this test pins the EXACT miner's parity on
+            # an unclustered corpus (where mode="auto" would delegate)
+            emb, k=15, n_clusters=6, centroids=centroids, mode="exact"
         ).collect()
     ]
     assert brute == fast
@@ -456,6 +458,9 @@ def test_embedding_topk_pruned_clustered_parity_and_prunes(spark):
     ]
     assert brute == fast
     assert stats["kept_blocks"] < stats["total_blocks"]
+    # clustered data stays on the exact arm even under the default
+    # auto router — pruning works, so no delegation
+    assert stats["routed"] is False
 
 
 def test_embedding_topk_pruned_empty_and_tiny(spark):
@@ -520,7 +525,11 @@ def test_property_embedding_topk_exactness(spark, seed, n_clusters, clustered):
     fast = [
         (r["id_a"], r["id_b"], r["cos_sim"])
         for r in D.embedding_neardup_topk(
-            emb, k=8, n_clusters=n_clusters, centroids="seed"
+            # mode="exact": the property under test is the exact
+            # miner's bound correctness for ANY shape — the auto
+            # router's delegation on weak shapes is pinned separately
+            emb, k=8, n_clusters=n_clusters, centroids="seed",
+            mode="exact",
         ).collect()
     ]
     assert brute == fast
@@ -794,7 +803,8 @@ def test_neardup_regime_router_estimator_and_warning(spark):
         got = [
             (r["id_a"], r["id_b"], r["cos_sim"])
             for r in D.embedding_neardup_topk(
-                uniform, k=5, n_clusters=5, centroids="kmeans"
+                uniform, k=5, n_clusters=5, centroids="kmeans",
+                mode="exact",
             ).collect()
         ]
     brute = [
@@ -802,3 +812,66 @@ def test_neardup_regime_router_estimator_and_warning(spark):
         for r in D.embedding_neardup_topk_bruteforce(uniform, k=5).collect()
     ]
     assert got == brute
+
+
+def test_neardup_regime_router_delegates_by_default(spark):
+    """VERDICT r7 #3: past warn_kept_frac the DEFAULT (mode='auto')
+    delegates to the banded LSH path instead of running the
+    near-quadratic exact candidate join; mode='exact' opts out. The
+    routed result is approximate (band-miss possible) but every
+    returned similarity is exact and within-cluster top pairs are
+    guaranteed — a planted identical pair shares every sign band and
+    every cluster, so it must surface at rank 1."""
+    import warnings
+
+    uniform = _rand_embeddings(spark, n=120, clustered=False, seed=4)
+    dup = spark.createDataFrame(
+        [(500, [0.5] * 8), (501, [0.5] * 8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    corpus = uniform.unionByName(dup)
+
+    stats: dict = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # delegation must NOT warn
+        got = D.embedding_neardup_topk(
+            corpus, k=5, n_clusters=5, centroids="kmeans", _stats_out=stats
+        ).collect()
+    assert stats["routed"] is True
+    assert len(got) == 5
+    assert (got[0]["id_a"], got[0]["id_b"]) == (500, 501)
+    assert got[0]["cos_sim"] == 1.0
+    # every routed similarity is the exact (identically-rounded) value
+    all_pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in D.embedding_neardup_topk_bruteforce(
+            corpus, k=10_000
+        ).collect()
+    }
+    for r in got:
+        assert all_pairs[(r["id_a"], r["id_b"])] == r["cos_sim"]
+    # descending order with id tie-break, no duplicate pairs
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    assert len({(r["id_a"], r["id_b"]) for r in got}) == 5
+
+    # opt-out: the exact miner still runs (and warns) under mode='exact'
+    stats2: dict = {}
+    with pytest.warns(UserWarning, match="lsh_threshold"):
+        exact = [
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in D.embedding_neardup_topk(
+                corpus, k=5, n_clusters=5, centroids="kmeans",
+                mode="exact", _stats_out=stats2,
+            ).collect()
+        ]
+    assert stats2["routed"] is False
+    brute = [
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_topk_bruteforce(corpus, k=5).collect()
+    ]
+    assert exact == brute
+
+    # invalid mode is rejected loudly
+    with pytest.raises(ValueError, match="mode"):
+        D.embedding_neardup_topk(corpus, k=5, mode="nope")
