@@ -579,16 +579,22 @@ def main() -> None:
 
     t0 = time.perf_counter()
     # maxIter matters: 5 iterations left the coarse centroids half-
-    # converged in round 1 (recall 0.87); 20 is MLlib's own default
-    ivf = ivf_build(big, n_lists=64, max_iter=20)
-    ivf.assigned = ivf.assigned.localCheckpoint()
+    # converged in round 1 (recall 0.87); 20 is MLlib's own default.
+    # colocate(): materialize partitioned BY LIST (the in-memory twin
+    # of IVFIndex.save's layout) so each batch's groupBy(list_id)
+    # exchange is a partition-local pass-through, not a corpus
+    # shuffle — +60% batch QPS measured (VERDICT r7 #4)
+    ivf = ivf_build(big, n_lists=64, max_iter=20).colocate()
     extras["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
 
     @bench("q_knn_ivf_100k")
     def _():
         ivf_search(ivf, qvec_big, k=K, nprobe=8).collect()
 
-    @bench("q_knn_ivf_batch_100k")
+    # repeats=3 (VERDICT r7 #4): this was the only single-pass
+    # distributed-batch row — one AQE/JVM hiccup redefined the round's
+    # number (966→798 r6→r7 with unchanged code)
+    @bench("q_knn_ivf_batch_100k", repeats=3)
     def _():
         from fastpyvectordb_spark.ann.ivf import ivf_search_batch
 
@@ -749,11 +755,10 @@ def main() -> None:
     # billion-scale shape anyway (FAISS uses ~sqrt(N) lists).
     ivfpq = ivfpq_build(
         big, n_lists=128, m_subspaces=16, n_centroids=64, max_iter=20
-    )
-    ivfpq.codes = ivfpq.codes.localCheckpoint()
+    ).colocate()
     extras["ivfpq_build_sec"] = round(time.perf_counter() - t0, 3)
 
-    @bench("q_knn_ivfpq_batch_100k")
+    @bench("q_knn_ivfpq_batch_100k", repeats=3)
     def _():
         n = ivfpq_search_batch(ivfpq, qpdf_big, k=K, nprobe=8).count()
         assert n == n_queries * K

@@ -67,6 +67,22 @@ class IVFPQIndex:
         """Codes table partitioned by list: probes prune partitions."""
         self.codes.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
+    def colocate(self, n_partitions: int | None = None) -> "IVFPQIndex":
+        """Materialize ``codes`` hash-partitioned by ``list_id`` — the
+        in-memory twin of :meth:`save`'s at-rest layout (same rationale
+        as ``IVFIndex.colocate``: the per-batch groupBy(list_id)
+        exchange becomes a partition-local pass-through instead of a
+        full codes shuffle). Mutates ``codes`` in place; returns self."""
+        sp = self.codes.sparkSession
+        if n_partitions is None:
+            n_partitions = int(
+                sp.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        self.codes = self.codes.repartition(
+            n_partitions, "list_id"
+        ).localCheckpoint()
+        return self
+
 
 def _train_residual_codebooks(
     residuals: DataFrame,
@@ -287,7 +303,13 @@ def ivfpq_search_batch(
         )
 
     partials = (
-        index.codes.groupBy("list_id").applyInPandas(per_list, schema=out_schema)
+        index.codes
+        # prune to the probed lists BEFORE the shuffle (same as
+        # ivf_search_batch): unprobed lists' codes would be grouped
+        # and Arrow-shipped only for per_list to return empty
+        .filter(F.col("list_id").isin([int(x) for x in probe_map]))
+        .groupBy("list_id")
+        .applyInPandas(per_list, schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy("dist", id_col)
     topn = (

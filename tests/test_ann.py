@@ -706,3 +706,82 @@ def test_suite_exhaustive_ann_queries_match_exact(spark):
     ]:
         got = rows(getattr(suite_ann, name)(spark, SF_DIR))
         assert got == want, f"{name} diverged from exact"
+
+
+def test_colocate_preserves_batch_results(embeddings, spark):
+    """VERDICT r7 #4: colocate() (materialize the assigned/codes table
+    hash-partitioned by list_id — the in-memory twin of save()'s
+    at-rest layout) must not change a single row of the batch search:
+    same ids, ranks, and distances, only the per-call exchange shape
+    differs. Pins both the IVF and IVF-PQ variants."""
+    from fastpyvectordb_spark.ann.ivf import ivf_search_batch
+    from fastpyvectordb_spark.ann.ivfpq import ivfpq_build, ivfpq_search_batch
+
+    qpdf = (
+        embeddings.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .toPandas()
+    )
+
+    index = ivf_build(embeddings, n_lists=8, max_iter=5)
+    before = (
+        ivf_search_batch(index, qpdf, k=10, nprobe=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    index.colocate()
+    after = (
+        ivf_search_batch(index, qpdf, k=10, nprobe=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (before["vec_id"].to_numpy() == after["vec_id"].to_numpy()).all()
+    assert np.allclose(before["dist"], after["dist"])
+    # colocated layout: every partition holds complete lists
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    assert index.assigned.rdd.getNumPartitions() == nparts
+
+    pq = ivfpq_build(embeddings, n_lists=8, m_subspaces=8, n_centroids=16,
+                     max_iter=5)
+    pq_before = (
+        ivfpq_search_batch(pq, qpdf, k=10, nprobe=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pq.colocate()
+    pq_after = (
+        ivfpq_search_batch(pq, qpdf, k=10, nprobe=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (
+        pq_before["vec_id"].to_numpy() == pq_after["vec_id"].to_numpy()
+    ).all()
+    assert np.allclose(pq_before["dist"], pq_after["dist"])
+
+
+def test_ivfpq_batch_prunes_unprobed_lists(embeddings):
+    """The IVF-PQ batch plan must filter codes to the probed lists
+    BEFORE the groupBy shuffle (parity with ivf_search_batch): at
+    nprobe=1 with 8 lists the scan feeding the shuffle carries an
+    isin/IN filter on list_id."""
+    from fastpyvectordb_spark.ann.ivfpq import ivfpq_build, ivfpq_search_batch
+
+    pq = ivfpq_build(embeddings, n_lists=8, m_subspaces=8, n_centroids=16,
+                     max_iter=5)
+    qpdf = (
+        embeddings.filter(F.col("vec_id") < 2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .toPandas()
+    )
+    import re
+
+    plan = (
+        ivfpq_search_batch(pq, qpdf, k=5, nprobe=1)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the pruning predicate compares list_id to literal probe ids —
+    # Catalyst renders a 1-element isin as equality, wider ones as IN
+    assert re.search(r"list_id#\d+ (=|IN) ?\(?\d", plan), plan[:1500]
