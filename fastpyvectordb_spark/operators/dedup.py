@@ -882,11 +882,14 @@ def embedding_neardup_topk(
             emb, planes, min_cos=floor, rows_per_band=rows_per_band,
             id_col=id_col, vec_col=vec_col, round_digits=round_digits,
         )
-        cand = (
-            within.filter(F.col("cos_sim") >= F.lit(floor))
-            .unionByName(lsh)
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        # within-cluster arm: reuse the ALREADY-COLLECTED seed top-k
+        # instead of re-evaluating the within join. Exactness of the
+        # substitution: seed_rows is within's top-k under the exact
+        # final ordering (cos_sim desc, id_a, id_b), so any within
+        # pair outside it is dominated by all k seeds and can never
+        # enter top-k(within ∪ lsh) — top-k(seed ∪ lsh) is identical.
+        seed_df = spark.createDataFrame(seed_rows, schema=within.schema)
+        cand = seed_df.unionByName(lsh).dropDuplicates(["id_a", "id_b"])
         return cand.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
     if kept_frac > warn_kept_frac:
         # exact mode in the weak regime: run anyway, but say so out
