@@ -144,7 +144,6 @@ def main() -> None:
     from pyspark.sql import Window
 
     from fastpyvectordb_spark.operators import textanalysis as T
-    from fastpyvectordb_spark.suite.textanalysis import _PIPE_THR
 
     t0 = time.perf_counter()
     exprs = T.quality_exprs(F.col("text"))
@@ -154,7 +153,12 @@ def main() -> None:
         exprs["quality_score"].alias("quality_score"),
         T.lang_id_expr(F.col("text")).alias("lang_pred"),
         T.fingerprint_expr(F.col("text")).alias("fingerprint"),
-    ).filter(F.col("quality_score") >= _PIPE_THR)
+    )
+    # no quality cut here: the synthetic pseudo-word corpus scores
+    # below the real threshold (no stopwords), which would empty the
+    # pipeline. Passing EVERY doc through the fingerprint window dedup
+    # is the conservative (more work per doc) variant of the suite
+    # query — the right shape for a throughput anchor.
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     dedup = (
         kept.withColumn("rn", F.row_number().over(w))
