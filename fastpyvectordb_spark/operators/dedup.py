@@ -853,8 +853,9 @@ def embedding_neardup_topk(
         # regime router, delegating arm (VERDICT r7 #3): the pruning
         # estimate says the exact candidate join is near-quadratic
         # here, so run the SemDeDup-shape banded path instead.
-        # Hyperplanes = the n_planes lowest-id corpus vectors (same
-        # deterministic convention as the suite's threshold query);
+        # Hyperplanes are DETERMINISTIC sin-projections, decorrelated
+        # from the corpus (corpus vectors as planes skew the sign
+        # buckets on manifold data — the 100k threshold test's lesson);
         # threshold = λ, the EXACT kth-best within-cluster similarity
         # (no returned pair can beat the top-k bar from below it).
         if rows_per_band is None:
@@ -869,13 +870,18 @@ def embedding_neardup_topk(
             _stats_out["n_planes"] = n_planes
             _stats_out["rows_per_band"] = rows_per_band
         floor = max(lam, -1.0)
-        plane_rows = (
-            base.orderBy("_id").limit(n_planes)
-            .select(F.col("_v").cast("array<double>").alias("pv"))
-            .collect()
-        )
+        dims = len(unit[cids[0]])
         planes = spark.createDataFrame(
-            [(i, list(r["pv"])) for i, r in enumerate(plane_rows)],
+            [
+                (
+                    p,
+                    [
+                        math.sin(p * 13.7 + d * 5.1 + p * d * 0.91)
+                        for d in range(dims)
+                    ],
+                )
+                for p in range(n_planes)
+            ],
             "plane_id int, plane_vec array<double>",
         )
         lsh = embedding_lsh_threshold_pairs(

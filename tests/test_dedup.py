@@ -875,3 +875,66 @@ def test_neardup_regime_router_delegates_by_default(spark):
     # invalid mode is rejected loudly
     with pytest.raises(ValueError, match="mode"):
         D.embedding_neardup_topk(corpus, k=5, mode="nope")
+
+
+def test_neardup_routed_arm_topk_quality_at_30k(spark):
+    """Routed-arm recall at scale: a 30k manifold corpus with 1%
+    planted near-identical copies (cos ≈ 0.9998). Planted dups push λ
+    to ~0.9998, which makes the angular bound prune well — so the auto
+    router correctly keeps the exact arm on this corpus (it measured
+    kept_frac below the threshold), so the routed arm is forced
+    (warn_kept_frac=0) to pin its scale behavior:
+    planted pairs are same-cluster, so the within-cluster arm alone
+    guarantees a top-k of ≥0.999 pairs, and the banded arm must not
+    break that."""
+    n, dims = 30_000, 16
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda d: (
+                F.sin(F.col("id") * 0.7 + d * 1.3 + F.col("id") * d * 0.0137)
+                + F.sin(F.col("id") * 91.7 + d * 47.111) * 0.1
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    dups = base.filter(F.pmod("vec_id", 100) == 0).select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.98 + 0.005).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(dups).repartition(32).localCheckpoint()
+
+    stats: dict = {}
+    got = D.embedding_neardup_topk(
+        corpus, k=10, centroids="seed", warn_kept_frac=0.0,
+        _stats_out=stats,
+    ).collect()
+    assert stats["routed"] is True
+    assert len(got) == 10
+    # 300 planted same-cluster pairs at cos ≈ 0.9998 exist, so every
+    # top-10 similarity must clear 0.999 — a router that lost the
+    # within-cluster arm (or mis-thresholded the banded arm) fails
+    assert all(r["cos_sim"] >= 0.999 for r in got), [
+        r["cos_sim"] for r in got
+    ]
+    # note: the sinusoidal manifold also contains NATURAL pairs at
+    # ≥0.999 (near-coincident curve points), so the top-10 need not be
+    # planted pairs specifically — verify instead that every returned
+    # similarity is the true cosine of its pair (exact values, sorted)
+    import numpy as np
+
+    ids = sorted({i for r in got for i in (r["id_a"], r["id_b"])})
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in corpus.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    for r in got:
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        want = float(a @ b) / (
+            float(np.linalg.norm(a)) * float(np.linalg.norm(b)) + 1e-10
+        )
+        assert abs(r["cos_sim"] - want) <= 2e-6, (r, want)
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
