@@ -911,29 +911,128 @@ def embedding_neardup_topk(
             "top-k result returned here is unaffected.",
             stacklevel=2,
         )
-    pairs_tab = F.broadcast(
-        spark.createDataFrame(keep, "pair_id INT, ci INT, cj INT")
-    )
-    left = assigned.join(pairs_tab, assigned["_cid"] == pairs_tab["ci"]).select(
-        "pair_id", F.col("_id").alias("xa"), F.col("_v").alias("va"),
-        F.col("ci").alias("ca"), F.col("cj").alias("ca_j"),
-    )
-    right = assigned.join(
-        F.broadcast(spark.createDataFrame(keep, "pair_id INT, ci INT, cj INT")),
+    # Candidate MINING via per-block float64 GEMM (round 8), then an
+    # exact-expression rerank of the bounded pool — same final values,
+    # same oracle, ~½ the wall. Exactness argument (the ann_* suite
+    # queries' over-fetch-and-rerank discipline, made rigorous here):
+    # the GEMM computes the IDENTICAL formula dot/((‖a‖+ε)(‖b‖+ε)) in
+    # float64, differing from the Spark expression only in summation
+    # order — |Δ| ≤ d·u·‖a‖‖b‖/((‖a‖+ε)(‖b‖+ε)) ≤ ~1e-13. Each block
+    # keeps every pair within `slack` of its k-th best GEMM value,
+    # slack = 2·10^-round_digits + 1e-9 ≥ 2Δ + the rounding quantum —
+    # so any pair that could reach the global top-k under the ROUNDED
+    # ordering (including boundary ties) survives the cut, and the
+    # rerank recomputes its cos_sim through the exact shared
+    # expression. Chunk-local cuts are supersets of the block cut
+    # (a pair's rank within its chunk ≤ its rank within the block).
+    from pyspark.sql.types import StructField, StructType
+
+    pairs_schema = "pair_id INT, ci INT, cj INT"
+    pairs_tab = F.broadcast(spark.createDataFrame(keep, pairs_schema))
+    a_side = assigned.join(
+        pairs_tab, assigned["_cid"] == pairs_tab["ci"]
+    ).select("pair_id", F.lit(0).alias("_side"), "_id", "_v")
+    b_side = assigned.join(
+        F.broadcast(
+            spark.createDataFrame(keep, pairs_schema).filter(
+                F.col("ci") != F.col("cj")
+            )
+        ),
         assigned["_cid"] == F.col("cj"),
-    ).select("pair_id", F.col("_id").alias("xb"), F.col("_v").alias("vb"))
-    cand = (
-        left.join(right.hint("shuffle_hash"), "pair_id")
-        # same-cluster blocks order by id; cross blocks are already
-        # unique per unordered pair (each vector lives in ONE cluster)
-        .filter((F.col("ca") != F.col("ca_j")) | (F.col("xa") < F.col("xb")))
+    ).select("pair_id", F.lit(1).alias("_side"), "_id", "_v")
+    sides = a_side.unionByName(b_side)
+
+    id_type = emb.schema[id_col].dataType
+    cand_schema = StructType(
+        [StructField("xa", id_type), StructField("xb", id_type)]
     )
-    out = cand.select(
-        F.least("xa", "xb").alias("id_a"),
-        F.greatest("xa", "xb").alias("id_b"),
-        F.round(
-            cosine_similarity(F.col("va"), F.col("vb")), round_digits
-        ).alias("cos_sim"),
+    id_np = (
+        "int64" if id_type.typeName() in ("long", "integer") else "object"
+    )
+    from fastpyvectordb_spark.functions.distances import EPS as _EPS
+
+    slack = 2.0 * (10.0 ** (-round_digits)) + 1e-9
+    kk = k
+
+    def _mine(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"xa": [], "xb": []}).astype(
+            {"xa": id_np, "xb": id_np}
+        )
+        a = pdf[pdf["_side"] == 0]
+        if not len(a):
+            return empty
+        ids_a = a["_id"].to_numpy()
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a["_v"]])
+        na = np.linalg.norm(A, axis=1) + _EPS
+        b = pdf[pdf["_side"] == 1]
+        same = not len(b)
+        if same:
+            if len(ids_a) < 2:
+                return empty
+            ids_b, B, nb = ids_a, A, na
+        else:
+            ids_b = b["_id"].to_numpy()
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in b["_v"]])
+            nb = np.linalg.norm(B, axis=1) + _EPS
+        out_a, out_b, out_s = [], [], []
+        # bound the sim-matrix at ~32M doubles (256 MB) per chunk
+        step = max(1, 32_000_000 // max(len(ids_b), 1))
+        for s in range(0, len(ids_a), step):
+            e = min(s + step, len(ids_a))
+            S = (A[s:e] @ B.T) / np.outer(na[s:e], nb)
+            if same:
+                # strict upper triangle in GLOBAL row positions: each
+                # unordered within-cluster pair exactly once
+                mask = (
+                    np.arange(len(ids_b))[None, :]
+                    > np.arange(s, e)[:, None]
+                )
+            else:
+                mask = np.ones(S.shape, dtype=bool)
+            vals = S[mask]
+            if not len(vals):
+                continue
+            if len(vals) > kk:
+                thr = (
+                    np.partition(vals, len(vals) - kk)[len(vals) - kk]
+                    - slack
+                )
+                keep_m = mask & (S >= thr)
+            else:
+                keep_m = mask
+            ri, cj_ = np.nonzero(keep_m)
+            out_a.append(ids_a[s:e][ri])
+            out_b.append(ids_b[cj_])
+            out_s.append(S[ri, cj_])
+        if not out_a:
+            return empty
+        xa = np.concatenate(out_a)
+        xb = np.concatenate(out_b)
+        sv = np.concatenate(out_s)
+        if len(sv) > kk:  # block-global cut over the chunk survivors
+            thr = np.partition(sv, len(sv) - kk)[len(sv) - kk] - slack
+            m = sv >= thr
+            xa, xb = xa[m], xb[m]
+        return pd.DataFrame({"xa": xa, "xb": xb})
+
+    cand_ids = sides.groupBy("pair_id").applyInPandas(
+        _mine, schema=cand_schema
+    )
+    va = assigned.select(F.col("_id").alias("xa"), F.col("_v").alias("va"))
+    vb = assigned.select(F.col("_id").alias("xb"), F.col("_v").alias("vb"))
+    out = (
+        cand_ids.join(va, "xa")
+        .join(vb, "xb")
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), round_digits
+            ).alias("cos_sim"),
+        )
     )
     return out.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
 
