@@ -816,28 +816,140 @@ def embedding_neardup_topk(
         for r in assigned.groupBy("_cid").agg(F.max("_theta").alias("r")).collect()
     }
 
-    sim = F.round(
-        cosine_similarity(F.col("a._v"), F.col("b._v")), round_digits
-    ).alias("cos_sim")
-    within = (
-        assigned.alias("a")
-        .join(
-            # shuffle-hash, not sort-merge: the key is n_clusters-ary;
-            # per-key build side is one cluster (bounded by the
-            # n_clusters ~ √N sizing), and sorting buys nothing
-            assigned.alias("b").hint("shuffle_hash"),
-            (F.col("a._cid") == F.col("b._cid"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), sim)
-    )
-    seed_rows = (
-        within.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k).collect()
-    )
-    lam = seed_rows[-1]["cos_sim"] if len(seed_rows) == k else -2.0
-
     if mode not in ("auto", "exact"):
         raise ValueError(f"mode must be 'auto' or 'exact': {mode!r}")
+    spark = emb.sparkSession
+
+    # -- shared GEMM mining machinery (round 8) -----------------------
+    # Mines candidate pairs per group (a cluster for the λ seed; a
+    # surviving cluster-pair block for the exact arm) with per-block
+    # float64 GEMM, keeping every pair within `slack` of the group's
+    # k-th best GEMM value; the final values ALWAYS come from the
+    # shared rounded cosine expression (oracle-identical). Exactness:
+    # the GEMM computes the identical dot/((‖a‖+ε)(‖b‖+ε)) formula,
+    # differing only in summation order (|Δ| ≤ ~1e-13), and slack =
+    # 2·10^-round_digits + 1e-9 ≥ 2Δ + the rounding quantum — so any
+    # pair that can reach a top-k under the ROUNDED ordering
+    # (boundary ties included) survives the cut.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = emb.schema[id_col].dataType
+    cand_schema = StructType(
+        [StructField("xa", id_type), StructField("xb", id_type)]
+    )
+    id_np = (
+        "int64" if id_type.typeName() in ("long", "integer") else "object"
+    )
+    from fastpyvectordb_spark.functions.distances import EPS as _EPS
+
+    slack = 2.0 * (10.0 ** (-round_digits)) + 1e-9
+    kk = k
+
+    def _mine(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"xa": [], "xb": []}).astype(
+            {"xa": id_np, "xb": id_np}
+        )
+        a = pdf[pdf["_side"] == 0]
+        if not len(a):
+            return empty
+        ids_a = a["_id"].to_numpy()
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a["_v"]])
+        na = np.linalg.norm(A, axis=1) + _EPS
+        b = pdf[pdf["_side"] == 1]
+        same = not len(b)
+        if same:
+            if len(ids_a) < 2:
+                return empty
+            ids_b, B, nb = ids_a, A, na
+        else:
+            ids_b = b["_id"].to_numpy()
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in b["_v"]])
+            nb = np.linalg.norm(B, axis=1) + _EPS
+        out_a, out_b, out_s = [], [], []
+        # bound the sim-matrix at ~32M doubles (256 MB) per chunk;
+        # chunk-local cuts are supersets of the group cut (a pair's
+        # rank within its chunk ≤ its rank within the group)
+        step = max(1, 32_000_000 // max(len(ids_b), 1))
+        for s in range(0, len(ids_a), step):
+            e = min(s + step, len(ids_a))
+            S = (A[s:e] @ B.T) / np.outer(na[s:e], nb)
+            if same:
+                # strict upper triangle in GLOBAL row positions: each
+                # unordered within-cluster pair exactly once
+                mask = (
+                    np.arange(len(ids_b))[None, :]
+                    > np.arange(s, e)[:, None]
+                )
+            else:
+                mask = np.ones(S.shape, dtype=bool)
+            vals = S[mask]
+            if not len(vals):
+                continue
+            if len(vals) > kk:
+                thr = (
+                    np.partition(vals, len(vals) - kk)[len(vals) - kk]
+                    - slack
+                )
+                keep_m = mask & (S >= thr)
+            else:
+                keep_m = mask
+            ri, cj_ = np.nonzero(keep_m)
+            out_a.append(ids_a[s:e][ri])
+            out_b.append(ids_b[cj_])
+            out_s.append(S[ri, cj_])
+        if not out_a:
+            return empty
+        xa = np.concatenate(out_a)
+        xb = np.concatenate(out_b)
+        sv = np.concatenate(out_s)
+        if len(sv) > kk:  # group-global cut over the chunk survivors
+            thr = np.partition(sv, len(sv) - kk)[len(sv) - kk] - slack
+            m = sv >= thr
+            xa, xb = xa[m], xb[m]
+        return pd.DataFrame({"xa": xa, "xb": xb})
+
+    _va = assigned.select(F.col("_id").alias("xa"), F.col("_v").alias("va"))
+    _vb = assigned.select(F.col("_id").alias("xb"), F.col("_v").alias("vb"))
+
+    def _rerank(cand_ids: DataFrame) -> DataFrame:
+        # exact-expression rerank of a mined (bounded) candidate pool
+        return (
+            cand_ids.join(_va, "xa")
+            .join(_vb, "xb")
+            .select(
+                F.least("xa", "xb").alias("id_a"),
+                F.greatest("xa", "xb").alias("id_b"),
+                F.round(
+                    cosine_similarity(F.col("va"), F.col("vb")),
+                    round_digits,
+                ).alias("cos_sim"),
+            )
+        )
+
+    # λ seed = the exact top-k WITHIN-cluster pairs, mined per cluster
+    # (replaces the former cluster self-join: the quadratic work now
+    # runs as NumPy GEMM inside one task per cluster, not as exploded
+    # Spark rows through a higher-order-function cosine)
+    w_cands = (
+        assigned.select(
+            F.col("_cid").alias("pair_id"),
+            F.lit(0).alias("_side"),
+            "_id",
+            "_v",
+        )
+        .groupBy("pair_id")
+        .applyInPandas(_mine, schema=cand_schema)
+    )
+    seed_rows = (
+        _rerank(w_cands)
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(k)
+        .collect()
+    )
+    lam = seed_rows[-1]["cos_sim"] if len(seed_rows) == k else -2.0
     unit = {cid: c for cid, c in cents}
     cids = sorted(radii)
     keep = _neardup_kept_blocks(cids, unit, radii, lam, margin)
@@ -848,7 +960,6 @@ def embedding_neardup_topk(
         _stats_out["kept_blocks"] = len(keep)
         _stats_out["total_blocks"] = nc * (nc + 1) // 2
         _stats_out["routed"] = routed
-    spark = emb.sparkSession
     if routed:
         # regime router, delegating arm (VERDICT r7 #3): the pruning
         # estimate says the exact candidate join is near-quadratic
@@ -894,7 +1005,14 @@ def embedding_neardup_topk(
         # final ordering (cos_sim desc, id_a, id_b), so any within
         # pair outside it is dominated by all k seeds and can never
         # enter top-k(within ∪ lsh) — top-k(seed ∪ lsh) is identical.
-        seed_df = spark.createDataFrame(seed_rows, schema=within.schema)
+        seed_schema = StructType(
+            [
+                StructField("id_a", id_type),
+                StructField("id_b", id_type),
+                StructField("cos_sim", DoubleType()),
+            ]
+        )
+        seed_df = spark.createDataFrame(seed_rows, schema=seed_schema)
         cand = seed_df.unionByName(lsh).dropDuplicates(["id_a", "id_b"])
         return cand.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
     if kept_frac > warn_kept_frac:
@@ -911,22 +1029,11 @@ def embedding_neardup_topk(
             "top-k result returned here is unaffected.",
             stacklevel=2,
         )
-    # Candidate MINING via per-block float64 GEMM (round 8), then an
-    # exact-expression rerank of the bounded pool — same final values,
-    # same oracle, ~½ the wall. Exactness argument (the ann_* suite
-    # queries' over-fetch-and-rerank discipline, made rigorous here):
-    # the GEMM computes the IDENTICAL formula dot/((‖a‖+ε)(‖b‖+ε)) in
-    # float64, differing from the Spark expression only in summation
-    # order — |Δ| ≤ d·u·‖a‖‖b‖/((‖a‖+ε)(‖b‖+ε)) ≤ ~1e-13. Each block
-    # keeps every pair within `slack` of its k-th best GEMM value,
-    # slack = 2·10^-round_digits + 1e-9 ≥ 2Δ + the rounding quantum —
-    # so any pair that could reach the global top-k under the ROUNDED
-    # ordering (including boundary ties) survives the cut, and the
-    # rerank recomputes its cos_sim through the exact shared
-    # expression. Chunk-local cuts are supersets of the block cut
-    # (a pair's rank within its chunk ≤ its rank within the block).
-    from pyspark.sql.types import StructField, StructType
-
+    # Exact arm: mine each SURVIVING cluster-pair block with the shared
+    # per-block GEMM machinery (round 8 — see the mining helpers
+    # above), then exact-expression rerank: final values identical to
+    # the brute-force oracle, shuffle volume = per-block side lists
+    # instead of the exploded candidate join.
     pairs_schema = "pair_id INT, ci INT, cj INT"
     pairs_tab = F.broadcast(spark.createDataFrame(keep, pairs_schema))
     a_side = assigned.join(
@@ -941,99 +1048,10 @@ def embedding_neardup_topk(
         assigned["_cid"] == F.col("cj"),
     ).select("pair_id", F.lit(1).alias("_side"), "_id", "_v")
     sides = a_side.unionByName(b_side)
-
-    id_type = emb.schema[id_col].dataType
-    cand_schema = StructType(
-        [StructField("xa", id_type), StructField("xb", id_type)]
-    )
-    id_np = (
-        "int64" if id_type.typeName() in ("long", "integer") else "object"
-    )
-    from fastpyvectordb_spark.functions.distances import EPS as _EPS
-
-    slack = 2.0 * (10.0 ** (-round_digits)) + 1e-9
-    kk = k
-
-    def _mine(key, pdf):
-        import numpy as np
-        import pandas as pd
-
-        empty = pd.DataFrame({"xa": [], "xb": []}).astype(
-            {"xa": id_np, "xb": id_np}
-        )
-        a = pdf[pdf["_side"] == 0]
-        if not len(a):
-            return empty
-        ids_a = a["_id"].to_numpy()
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in a["_v"]])
-        na = np.linalg.norm(A, axis=1) + _EPS
-        b = pdf[pdf["_side"] == 1]
-        same = not len(b)
-        if same:
-            if len(ids_a) < 2:
-                return empty
-            ids_b, B, nb = ids_a, A, na
-        else:
-            ids_b = b["_id"].to_numpy()
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in b["_v"]])
-            nb = np.linalg.norm(B, axis=1) + _EPS
-        out_a, out_b, out_s = [], [], []
-        # bound the sim-matrix at ~32M doubles (256 MB) per chunk
-        step = max(1, 32_000_000 // max(len(ids_b), 1))
-        for s in range(0, len(ids_a), step):
-            e = min(s + step, len(ids_a))
-            S = (A[s:e] @ B.T) / np.outer(na[s:e], nb)
-            if same:
-                # strict upper triangle in GLOBAL row positions: each
-                # unordered within-cluster pair exactly once
-                mask = (
-                    np.arange(len(ids_b))[None, :]
-                    > np.arange(s, e)[:, None]
-                )
-            else:
-                mask = np.ones(S.shape, dtype=bool)
-            vals = S[mask]
-            if not len(vals):
-                continue
-            if len(vals) > kk:
-                thr = (
-                    np.partition(vals, len(vals) - kk)[len(vals) - kk]
-                    - slack
-                )
-                keep_m = mask & (S >= thr)
-            else:
-                keep_m = mask
-            ri, cj_ = np.nonzero(keep_m)
-            out_a.append(ids_a[s:e][ri])
-            out_b.append(ids_b[cj_])
-            out_s.append(S[ri, cj_])
-        if not out_a:
-            return empty
-        xa = np.concatenate(out_a)
-        xb = np.concatenate(out_b)
-        sv = np.concatenate(out_s)
-        if len(sv) > kk:  # block-global cut over the chunk survivors
-            thr = np.partition(sv, len(sv) - kk)[len(sv) - kk] - slack
-            m = sv >= thr
-            xa, xb = xa[m], xb[m]
-        return pd.DataFrame({"xa": xa, "xb": xb})
-
     cand_ids = sides.groupBy("pair_id").applyInPandas(
         _mine, schema=cand_schema
     )
-    va = assigned.select(F.col("_id").alias("xa"), F.col("_v").alias("va"))
-    vb = assigned.select(F.col("_id").alias("xb"), F.col("_v").alias("vb"))
-    out = (
-        cand_ids.join(va, "xa")
-        .join(vb, "xb")
-        .select(
-            F.least("xa", "xb").alias("id_a"),
-            F.greatest("xa", "xb").alias("id_b"),
-            F.round(
-                cosine_similarity(F.col("va"), F.col("vb")), round_digits
-            ).alias("cos_sim"),
-        )
-    )
+    out = _rerank(cand_ids)
     return out.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
 
 
