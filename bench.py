@@ -1150,14 +1150,17 @@ def main() -> None:
     # blocks the angular bound could NOT prune; near 1.0 on a corpus
     # means the threshold-regime SemDeDup LSH path (dedup.py
     # embedding_lsh_threshold_duplicates) is the right default there
+    _neardup_pairs: dict[str, set] = {}
+
     @bench("q_dedup_embedding_topk")
     def _():
         from fastpyvectordb_spark.operators.dedup import embedding_neardup_topk
 
         stats: dict = {}
-        embedding_neardup_topk(
+        rows = embedding_neardup_topk(
             emb, k=10, centroids="seed", mode="exact", _stats_out=stats
-        ).count()
+        ).collect()
+        _neardup_pairs["exact"] = {(r["id_a"], r["id_b"]) for r in rows}
         extras["neardup_kept_block_frac"] = round(
             stats["kept_blocks"] / max(stats["total_blocks"], 1), 4
         )
@@ -1173,9 +1176,10 @@ def main() -> None:
         from fastpyvectordb_spark.operators.dedup import embedding_neardup_topk
 
         stats: dict = {}
-        embedding_neardup_topk(
+        rows = embedding_neardup_topk(
             emb, k=10, centroids="seed", _stats_out=stats
-        ).count()
+        ).collect()
+        _neardup_pairs["routed"] = {(r["id_a"], r["id_b"]) for r in rows}
         extras["neardup_routed"] = 1 if stats.get("routed") else 0
 
     import gc as _rgc
@@ -1188,6 +1192,17 @@ def main() -> None:
         extras["neardup_routed_sec"] = round(time.perf_counter() - _t0, 3)
     finally:
         _rgc.enable()
+
+    # top-k overlap of the routed DEFAULT arm vs the exact arm
+    # (VERDICT r8 #3): recorded, not gated — moderate-similarity
+    # corpora legitimately score low on sign-LSH bands (the quality
+    # gate lives in the planted-dup pytest at 30k); this row makes a
+    # routed-arm regression visible per-round.
+    extras["neardup_routed_recall_at_k"] = round(
+        len(_neardup_pairs["routed"] & _neardup_pairs["exact"])
+        / max(len(_neardup_pairs["exact"]), 1),
+        4,
+    )
 
     @bench("q_dedup_substring_spans")
     def _():
@@ -1367,14 +1382,17 @@ def main() -> None:
         compact.pop("norm_per_gflops", None)
         compact.pop("norm_per_gbps", None)
 
-    # shed order: per-query timings (12→8→4→0), then the derived norm
-    # blocks — headline raw metrics (value + *_qps/*_per_sec/recalls/
-    # cal_*) are never dropped. Round 7 overflowed at keep=4 (2,269
-    # chars) and the driver recorded parsed:null; the tail window is
-    # 2,000 chars and this line MUST fit.
+    # shed order: per-query timings (12→8→4), then the derived norm
+    # blocks, and only then the last 4 queries — the driver should
+    # always see the top-4 query timings when anything has to give
+    # (VERDICT r8 #5; norms are derivable from the full first line,
+    # queries are not). Headline raw metrics (value + *_qps/*_per_sec/
+    # recalls/cal_*) are never dropped. Round 7 overflowed at keep=4
+    # (2,269 chars) and the driver recorded parsed:null; the tail
+    # window is 2,000 chars and this line MUST fit.
     sheds = [lambda: _shed_queries(12), lambda: _shed_queries(8),
-             lambda: _shed_queries(4), lambda: _shed_queries(0),
-             _shed_norms]
+             lambda: _shed_queries(4), _shed_norms,
+             lambda: _shed_queries(0)]
     for shed in sheds:
         if len(line) <= 2000:
             break

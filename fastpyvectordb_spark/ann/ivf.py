@@ -29,6 +29,19 @@ from pyspark.sql import functions as F
 from fastpyvectordb_spark.operators.knn import knn
 
 
+def default_colocate_partitions(df: DataFrame) -> int:
+    """Partition count for ``colocate()`` when the caller didn't pin
+    one: ``spark.sql.shuffle.partitions`` — except that conf is the
+    non-numeric string ``"auto"`` on AQE-managed deployments, where we
+    fall back to the input's current partition count (ADVICE r8)."""
+    try:
+        return int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    except ValueError:
+        return max(1, df.rdd.getNumPartitions())
+
+
 @dataclass
 class IVFIndex:
     centroids: np.ndarray  # (n_lists, D)
@@ -49,11 +62,8 @@ class IVFIndex:
         wire that wasn't going to its own partition), measured +60%
         batch QPS at 100k×64. Mutates ``assigned`` in place and
         returns self for chaining."""
-        sp = self.assigned.sparkSession
         if n_partitions is None:
-            n_partitions = int(
-                sp.conf.get("spark.sql.shuffle.partitions", "32")
-            )
+            n_partitions = default_colocate_partitions(self.assigned)
         self.assigned = self.assigned.repartition(
             n_partitions, "list_id"
         ).localCheckpoint()

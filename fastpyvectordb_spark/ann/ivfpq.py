@@ -73,11 +73,10 @@ class IVFPQIndex:
         as ``IVFIndex.colocate``: the per-batch groupBy(list_id)
         exchange becomes a partition-local pass-through instead of a
         full codes shuffle). Mutates ``codes`` in place; returns self."""
-        sp = self.codes.sparkSession
+        from fastpyvectordb_spark.ann.ivf import default_colocate_partitions
+
         if n_partitions is None:
-            n_partitions = int(
-                sp.conf.get("spark.sql.shuffle.partitions", "32")
-            )
+            n_partitions = default_colocate_partitions(self.codes)
         self.codes = self.codes.repartition(
             n_partitions, "list_id"
         ).localCheckpoint()

@@ -671,6 +671,10 @@ def _neardup_kept_blocks(
     return keep
 
 
+# one-time flag for the regime-router delegation log (ADVICE r8)
+_ROUTED_LOGGED = False
+
+
 def embedding_neardup_topk(
     emb: DataFrame,
     k: int = 10,
@@ -686,6 +690,7 @@ def embedding_neardup_topk(
     mode: str = "auto",
     n_planes: int | None = None,
     rows_per_band: int | None = None,
+    max_gemm_rows: int | None = None,
     _stats_out: dict | None = None,
 ) -> DataFrame:
     """Top-k most-similar distinct pairs by cosine similarity —
@@ -726,17 +731,29 @@ def embedding_neardup_topk(
     holds K² bound rows only; all collects here are K-row or k-row —
     bounded). Pass an explicit value to pin the blocking.
 
+    Task-memory bound: no mining task holds more than
+    ``~2·max_gemm_rows`` vectors regardless of corpus size — clusters
+    above that row budget are sub-split into deterministic
+    ``pmod(xxhash64(id), n_sub)`` sub-blocks and mined as sub-block
+    PAIRS (default budget 128 MiB of float64 per side; 262,144 rows at
+    dim 64). Both the λ seed and the exact arm run through the same
+    bounded groups, so per-task memory is O(budget), not O(N/256),
+    at billion-row scale. ``_stats_out`` reports ``max_gemm_rows``,
+    ``n_sub_max`` and ``max_task_rows_est`` for scale audits.
+
     Regime router (VERDICT r6 #6 / r7 #3): the K² bound table is
     computed BEFORE the candidate join, so an inert pruning run —
     weakly clustered data where (almost) every block's upper bound
     clears λ — is knowable for free. When ``mode="auto"`` and the kept
     fraction exceeds ``warn_kept_frac``, the miner routes to the
     scale-safe SemDeDup shape instead: sign-band LSH candidates
-    (:func:`embedding_lsh_threshold_pairs` against the ``n_planes``
-    lowest-id corpus vectors as hyperplanes — deterministic and
-    engine-reproducible) thresholded at λ (the exact kth-best
-    within-cluster similarity, already seeded), unioned with ALL
-    within-cluster pairs ≥ λ, then global top-k. The routed result is
+    (:func:`embedding_lsh_threshold_pairs` against ``n_planes``
+    deterministic sin-projection hyperplanes,
+    ``plane[p][d] = sin(13.7·p + 5.1·d + 0.91·p·d)`` — decorrelated
+    from the corpus and reproducible in any engine from that closed
+    form) thresholded at λ (the exact kth-best within-cluster
+    similarity, already seeded), unioned with ALL within-cluster
+    pairs ≥ λ, then global top-k. The routed result is
     approximate — a cross-cluster pair missed by every band is not
     returned — but every returned similarity is exact, the within-
     cluster top-k is guaranteed, and the work is banded equi-joins
@@ -811,14 +828,55 @@ def embedding_neardup_topk(
         .localCheckpoint()
     )
 
-    radii = {
-        r["_cid"]: r["r"]
-        for r in assigned.groupBy("_cid").agg(F.max("_theta").alias("r")).collect()
-    }
+    _cstats = assigned.groupBy("_cid").agg(
+        F.max("_theta").alias("r"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    radii = {r["_cid"]: r["r"] for r in _cstats}
+    csizes = {r["_cid"]: r["n"] for r in _cstats}
 
     if mode not in ("auto", "exact"):
         raise ValueError(f"mode must be 'auto' or 'exact': {mode!r}")
     spark = emb.sparkSession
+
+    # -- GEMM task-memory bound (round 9, VERDICT r8 #2) ---------------
+    # n_clusters caps at 256, so without a second level of blocking a
+    # single cluster's mining task holds O(N/256) vectors — unbounded
+    # at billion-row scale. Clusters larger than ``max_gemm_rows`` are
+    # therefore sub-split into ⌈n/max_gemm_rows⌉ deterministic id-hash
+    # sub-blocks (pmod(xxhash64(id), n_sub) — engine-reproducible), and
+    # every mining group below is a PAIR of sub-blocks: no
+    # applyInPandas task ever holds more than ~2·max_gemm_rows vectors
+    # (~2·budget bytes of float64), independent of corpus size.
+    # Exactness is untouched — each unordered pair lands in exactly one
+    # sub-block pair, and a pair's rank within that subset is ≤ its
+    # rank within the full block (the same superset argument as the
+    # chunked cut inside _mine). The default budget is 128 MiB of
+    # float64 per side (262,144 rows at dim 64); corpora below it get
+    # n_sub = 1 everywhere and exactly the round-8 single-level plan.
+    dims = len(cents[0][1])
+    if max_gemm_rows is None:
+        max_gemm_rows = max(4096, (128 * 2**20) // (dims * 8))
+    n_sub = {
+        cid: max(1, -(-n // max_gemm_rows)) for cid, n in csizes.items()
+    }
+    if _stats_out is not None:
+        _stats_out["max_gemm_rows"] = max_gemm_rows
+        _stats_out["n_sub_max"] = max(n_sub.values())
+        _stats_out["max_task_rows_est"] = 2 * max(
+            -(-csizes[c] // n_sub[c]) for c in csizes
+        )
+    if max(n_sub.values()) > 1:
+        _sub_map = F.create_map(
+            *[x for c, s in n_sub.items() for x in (F.lit(c), F.lit(s))]
+        )
+        assigned = assigned.withColumn(
+            "_sub",
+            F.pmod(F.xxhash64(F.col("_id")), _sub_map[F.col("_cid")]).cast(
+                "int"
+            ),
+        )
+    else:
+        assigned = assigned.withColumn("_sub", F.lit(0))
 
     # -- shared GEMM mining machinery (round 8) -----------------------
     # Mines candidate pairs per group (a cluster for the λ seed; a
@@ -929,20 +987,47 @@ def embedding_neardup_topk(
             )
         )
 
-    # λ seed = the exact top-k WITHIN-cluster pairs, mined per cluster
-    # (replaces the former cluster self-join: the quadratic work now
-    # runs as NumPy GEMM inside one task per cluster, not as exploded
-    # Spark rows through a higher-order-function cosine)
-    w_cands = (
-        assigned.select(
-            F.col("_cid").alias("pair_id"),
-            F.lit(0).alias("_side"),
-            "_id",
-            "_v",
+    def _mine_blocks(blocks: list[tuple[int, int]]) -> DataFrame:
+        """Mine a list of cluster-pair blocks (ci ≤ cj) through the
+        shared per-group GEMM, one `applyInPandas` group per SUB-BLOCK
+        pair (the round-9 task-memory bound — see n_sub above). The
+        group table is tiny (Σ n_sub_i·n_sub_j rows) and broadcast;
+        rows reach their groups through two broadcast equi-joins, so
+        the only shuffle is the groupBy(gid) whose keys ARE the
+        bounded mining groups. Triangle groups (same cluster AND same
+        sub-block) ship side 0 only — _mine's `same` branch mines the
+        strict upper triangle; every other group is a two-sided cross
+        so each unordered pair is mined exactly once."""
+        rows = []
+        gid = 0
+        for ci, cj in blocks:
+            for sa in range(n_sub[ci]):
+                for sb in range(sa if ci == cj else 0, n_sub[cj]):
+                    rows.append((gid, ci, sa, cj, sb))
+                    gid += 1
+        gt = spark.createDataFrame(rows, "gid long, ci int, sa int, cj int, sb int")
+        a_side = assigned.join(
+            F.broadcast(gt),
+            (assigned["_cid"] == gt["ci"]) & (assigned["_sub"] == gt["sa"]),
+        ).select("gid", F.lit(0).alias("_side"), "_id", "_v")
+        bt = gt.filter(
+            ~((F.col("ci") == F.col("cj")) & (F.col("sa") == F.col("sb")))
         )
-        .groupBy("pair_id")
-        .applyInPandas(_mine, schema=cand_schema)
-    )
+        b_side = assigned.join(
+            F.broadcast(bt),
+            (assigned["_cid"] == bt["cj"]) & (assigned["_sub"] == bt["sb"]),
+        ).select("gid", F.lit(1).alias("_side"), "_id", "_v")
+        return (
+            a_side.unionByName(b_side)
+            .groupBy("gid")
+            .applyInPandas(_mine, schema=cand_schema)
+        )
+
+    # λ seed = the exact top-k WITHIN-cluster pairs, mined per cluster
+    # block (the quadratic work runs as NumPy GEMM inside bounded
+    # sub-block-pair tasks, not as exploded Spark rows through a
+    # higher-order-function cosine)
+    w_cands = _mine_blocks([(c, c) for c in sorted(radii)])
     seed_rows = (
         _rerank(w_cands)
         .orderBy(F.desc("cos_sim"), "id_a", "id_b")
@@ -961,6 +1046,26 @@ def embedding_neardup_topk(
         _stats_out["total_blocks"] = nc * (nc + 1) // 2
         _stats_out["routed"] = routed
     if routed:
+        # say so out loud, once per process (ADVICE r8): callers who
+        # relied on the formerly always-exact default can see which
+        # regime ran without passing _stats_out. Deliberately a LOG
+        # line, not warnings.warn — delegating is the designed good
+        # path and must not trip warnings-as-errors callers (pinned by
+        # test_neardup_regime_router_delegates_by_default).
+        global _ROUTED_LOGGED
+        if not _ROUTED_LOGGED:
+            _ROUTED_LOGGED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding_neardup_topk: mode='auto' delegated to the "
+                "banded LSH regime (angular pruning kept %.0f%% of "
+                "cluster blocks > %.0f%%) — result is approximate "
+                "(band-recall-limited); pass mode='exact' to force the "
+                "exact miner. (logged once per process)",
+                100 * kept_frac,
+                100 * warn_kept_frac,
+            )
         # regime router, delegating arm (VERDICT r7 #3): the pruning
         # estimate says the exact candidate join is near-quadratic
         # here, so run the SemDeDup-shape banded path instead.
@@ -1030,27 +1135,12 @@ def embedding_neardup_topk(
             stacklevel=2,
         )
     # Exact arm: mine each SURVIVING cluster-pair block with the shared
-    # per-block GEMM machinery (round 8 — see the mining helpers
-    # above), then exact-expression rerank: final values identical to
-    # the brute-force oracle, shuffle volume = per-block side lists
-    # instead of the exploded candidate join.
-    pairs_schema = "pair_id INT, ci INT, cj INT"
-    pairs_tab = F.broadcast(spark.createDataFrame(keep, pairs_schema))
-    a_side = assigned.join(
-        pairs_tab, assigned["_cid"] == pairs_tab["ci"]
-    ).select("pair_id", F.lit(0).alias("_side"), "_id", "_v")
-    b_side = assigned.join(
-        F.broadcast(
-            spark.createDataFrame(keep, pairs_schema).filter(
-                F.col("ci") != F.col("cj")
-            )
-        ),
-        assigned["_cid"] == F.col("cj"),
-    ).select("pair_id", F.lit(1).alias("_side"), "_id", "_v")
-    sides = a_side.unionByName(b_side)
-    cand_ids = sides.groupBy("pair_id").applyInPandas(
-        _mine, schema=cand_schema
-    )
+    # per-group GEMM machinery (round 8; round 9 bounds every task via
+    # the sub-block split in _mine_blocks), then exact-expression
+    # rerank: final values identical to the brute-force oracle, shuffle
+    # volume = per-group side lists instead of the exploded candidate
+    # join.
+    cand_ids = _mine_blocks([(ci, cj) for _pid, ci, cj in keep])
     out = _rerank(cand_ids)
     return out.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
 

@@ -759,6 +759,27 @@ def test_colocate_preserves_batch_results(embeddings, spark):
     assert np.allclose(pq_before["dist"], pq_after["dist"])
 
 
+def test_colocate_partitions_auto_conf_fallback(embeddings, spark, monkeypatch):
+    """ADVICE r8: on AQE-managed deployments spark.sql.shuffle.partitions
+    can be the non-numeric string "auto" — colocate()'s partition-count
+    default must fall back to the input's current partition count
+    instead of raising ValueError on int("auto")."""
+    from fastpyvectordb_spark.ann.ivf import default_colocate_partitions
+
+    conf = spark.conf
+    orig_get = conf.get
+
+    def fake_get(key, default=None):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return orig_get(key, default)
+
+    monkeypatch.setattr(conf, "get", fake_get)
+    assert spark.conf.get("spark.sql.shuffle.partitions", "32") == "auto"
+    n = default_colocate_partitions(embeddings)
+    assert n == max(1, embeddings.rdd.getNumPartitions())
+
+
 def test_ivfpq_batch_prunes_unprobed_lists(embeddings):
     """The IVF-PQ batch plan must filter codes to the probed lists
     BEFORE the groupBy shuffle (parity with ivf_search_batch): at
