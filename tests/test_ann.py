@@ -759,6 +759,40 @@ def test_colocate_preserves_batch_results(embeddings, spark):
     assert np.allclose(pq_before["dist"], pq_after["dist"])
 
 
+def test_ivfpq_256_centroids_local_distributed_parity(embeddings):
+    """8-bit codebooks (n_centroids=256, the uint8 boundary) through
+    build → distributed ADC → pack → local ADC: codes must stay in
+    [0, 256) end-to-end, and the decomposed-LUT kernels (round 9) must
+    keep the local twin bit-identical to the distributed plan."""
+    from fastpyvectordb_spark.ann.ivfpq import (
+        ivfpq_build, ivfpq_pack, ivfpq_search_batch, ivfpq_search_local,
+    )
+
+    pq = ivfpq_build(embeddings, n_lists=4, m_subspaces=8, n_centroids=256,
+                     max_iter=5)
+    assert pq.codebooks.shape[1] == 256
+    qpdf = (
+        embeddings.filter(F.col("vec_id") < 6)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .toPandas()
+    )
+    dist = (
+        ivfpq_search_batch(pq, qpdf, k=10, nprobe=2)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    packed = ivfpq_pack(pq)
+    assert packed.codes.dtype == np.uint8
+    loc = (
+        ivfpq_search_local(packed, qpdf, k=10, nprobe=2)
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (dist["vec_id"].to_numpy() == loc["vec_id"].to_numpy()).all()
+    assert (dist["dist"].to_numpy() == loc["dist"].to_numpy()).all()
+
+
 def test_colocate_partitions_auto_conf_fallback(embeddings, spark, monkeypatch):
     """ADVICE r8: on AQE-managed deployments spark.sql.shuffle.partitions
     can be the non-numeric string "auto" — colocate()'s partition-count
