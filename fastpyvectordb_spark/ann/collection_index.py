@@ -532,9 +532,11 @@ class CollectionANN:
             ranges = self._file_list_ranges(all_files)
         df_all = self.c.df()
         out: list[list[tuple[str, float]]] = []
+        from fastpyvectordb_spark.ann.ivf import centroid_probe_scores
+
         for qv in query_vecs:
             q = np.asarray(qv, dtype=np.float64)
-            d = ((cents - q) ** 2).sum(axis=1)
+            d = centroid_probe_scores(cents, q[None, :])[0]
             probes = [int(i) for i in np.argsort(d)[:nprobe]]
             if ranges:
                 pset = set(probes)
@@ -597,7 +599,9 @@ class CollectionANN:
         Q = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in query_vecs]
         )
-        cd = ((cents[None, :, :] - Q[:, None, :]) ** 2).sum(axis=2)
+        from fastpyvectordb_spark.ann.ivf import centroid_probe_scores
+
+        cd = centroid_probe_scores(cents, Q)
         probe = np.argsort(cd, axis=1)[:, :nprobe]
         union = sorted({int(x) for x in probe.ravel()})
         ver = self.c._current_version()

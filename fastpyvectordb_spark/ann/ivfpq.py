@@ -294,7 +294,9 @@ def ivfpq_search_batch(
     nq, dims = qmat.shape
     m_subspaces, n_centroids, sub = index.codebooks.shape
 
-    cd = ((index.centroids[None, :, :] - qmat[:, None, :]) ** 2).sum(axis=2)
+    from fastpyvectordb_spark.ann.ivf import centroid_probe_scores
+
+    cd = centroid_probe_scores(index.centroids, qmat)
     probe = np.argsort(cd, axis=1)[:, :nprobe]
     probe_map: dict[int, np.ndarray] = {}
     for lid in np.unique(probe):
@@ -554,7 +556,9 @@ def ivfpq_search_local(
     )
     nq, dims = qmat.shape
     m_subspaces, n_cent, sub = packed.codebooks.shape
-    cd = ((packed.centroids[None, :, :] - qmat[:, None, :]) ** 2).sum(axis=2)
+    from fastpyvectordb_spark.ann.ivf import centroid_probe_scores
+
+    cd = centroid_probe_scores(packed.centroids, qmat)
     probe = np.argsort(cd, axis=1)[:, :nprobe]
     # decomposed-LUT tables — identical expressions to the distributed
     # kernel (the list-constant half cached on the packed index)

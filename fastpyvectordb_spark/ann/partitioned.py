@@ -278,15 +278,13 @@ def _scan_lists(
         vn = np.sqrt((v ** 2).sum(1)) + 1e-10
         d = 1.0 - (v @ q) / (vn * (np.sqrt(q @ q) + 1e-10))
     kk = min(k, len(sel))
-    # (dist, id) selection — argpartition fast path; lexsort only when
-    # a distance tie (duplicate vectors) crosses the cut boundary,
+    # (dist, id)-exact cut — topk_rows_tied picks the sampled pruning
+    # path on wide buckets (round 9) and falls back to lexsort only
+    # when a distance tie (duplicate vectors) crosses the boundary,
     # preserving the knn_join tie-break contract the merge relies on
-    if kk < len(sel):
-        p = np.argpartition(d, kk - 1)[:kk]
-        if (d <= d[p].max()).sum() > kk:
-            p = np.lexsort((ids[sel], d))[:kk]
-    else:
-        p = np.arange(len(sel))
+    from fastpyvectordb_spark.operators.knn import topk_rows_tied
+
+    p = topk_rows_tied(d[None, :], ids[sel], kk)[0]
     return ids[sel[p]], d[p]
 
 

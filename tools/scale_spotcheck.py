@@ -17,8 +17,16 @@ and runs the four headline shapes once each:
                           threshold): distributed probed fallback,
                           ann_cluster rewrite, file-skip fraction
 
-Usage: python tools/scale_spotcheck.py [n_docs]
-Prints one JSON line; paste the numbers into README's scale table.
+Usage: python tools/scale_spotcheck.py [n_docs] [sections]
+
+``sections`` is a comma-list of ``emb,text,serve`` (default: all).
+Run the sections as SEPARATE invocations on disk-constrained hosts:
+each fresh JVM starts with empty shuffle dirs, so every section gets
+the full free-disk headroom (the 1.1M-doc text section's verify join
+alone spills ~60 GB — one shared session accumulating three sections'
+shuffle files blows an ~80 GB budget even with aggressive cleaner GC).
+Each invocation prints one JSON line; merge the keys into README's
+scale table.
 """
 
 from __future__ import annotations
@@ -34,21 +42,20 @@ sys.path.insert(0, ".")
 # auto-broadcast mid-join (the whole "cluster" lives in one process
 # here — on a real cluster executors hold these builds)
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "28g")
+# reclaim shuffle files between phases (default sweep is 30min —
+# slower than this script fills the disk)
+os.environ.setdefault(
+    "SPARK_GRAFT_EXTRA_CONF", "spark.cleaner.periodicGC.interval=2min"
+)
 
 from pyspark.sql import functions as F  # noqa: E402
 
 from fastpyvectordb_spark.session import get_spark  # noqa: E402
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    spark = get_spark()
-    spark.sparkContext.setLogLevel("WARN")
-    out: dict = {"n_rows": n}
-
-    # -- embeddings: the bench generator at 10x scale ------------------
-    dims = 64
-    emb = (
+def _build_emb(spark, n: int, dims: int = 64):
+    """The bench generator at 10× scale (shared by emb/serve sections)."""
+    return (
         spark.range(n)
         .select(
             F.col("id").alias("vec_id"),
@@ -63,7 +70,10 @@ def main() -> None:
         .repartition(64)
         .localCheckpoint()
     )
-    qpdf = (
+
+
+def _query_pdf(emb, n: int):
+    return (
         emb.filter(F.col("vec_id") % (n // 100) == 0)
         .limit(100)
         .select(
@@ -72,6 +82,31 @@ def main() -> None:
         )
         .toPandas()
     )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    sections = set(
+        (sys.argv[2] if len(sys.argv) > 2 else "emb,text,serve").split(",")
+    )
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("WARN")
+    out: dict = {"n_rows": n, "sections": sorted(sections)}
+    dims = 64
+
+    if "emb" in sections:
+        _section_emb(spark, n, dims, out)
+    if "text" in sections:
+        _section_text(spark, n, out)
+    if "serve" in sections:
+        _section_serve(spark, n, dims, out)
+
+    print(json.dumps(out))
+
+
+def _section_emb(spark, n: int, dims: int, out: dict) -> None:
+    emb = _build_emb(spark, n, dims)
+    qpdf = _query_pdf(emb, n)
     from fastpyvectordb_spark.operators.knn import knn_batch_gemm
 
     t0 = time.perf_counter()
@@ -108,9 +143,14 @@ def main() -> None:
     out["neardup_subsplit_max_task_rows_est"] = stats2.get(
         "max_task_rows_est"
     )
-    assert stats2["n_sub_max"] > 1
+    # at full scale clusters MUST split (avg cluster ≈ n/256 rows);
+    # tiny smoke-test n keeps every cluster under the forced budget
+    if n // 256 > 2 * 2000:
+        assert stats2["n_sub_max"] > 1
     assert stats2["max_task_rows_est"] <= 2 * 2000
 
+
+def _section_text(spark, n: int, out: dict) -> None:
     # -- text corpus: seeded sentences, 10% planted near-dups.
     # Vocabulary must be LARGE (50k pseudo-words): a toy vocab makes
     # every doc share most shingles, LSH bands all collide, and the
@@ -211,6 +251,10 @@ def main() -> None:
     )
     assert n_langs >= 1
 
+
+def _section_serve(spark, n: int, dims: int, out: dict) -> None:
+    emb = _build_emb(spark, n, dims)
+    qpdf = _query_pdf(emb, n)
     # -- resident serving + DML at 1M (round 7) ------------------------
     # The pack threshold is sized to the reference's always-in-RAM
     # regime (80M floats), so 1M × 64 packs RESIDENT: measure the pack
@@ -335,8 +379,6 @@ def main() -> None:
         time.perf_counter() - t0, 1
     )
     assert [i for i, _ in hits2][:1] == [i for i, _ in hits][:1]
-
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":
