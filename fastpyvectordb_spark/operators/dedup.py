@@ -674,6 +674,13 @@ def _neardup_kept_blocks(
 # one-time flag for the regime-router delegation log (ADVICE r8)
 _ROUTED_LOGGED = False
 
+# below this many kept pair-similarities the exact arm's GEMM volume is
+# trivially affordable (≈ 33 GFLOP at dim 64 — seconds on one host),
+# so the work-based router trigger never fires on small corpora no
+# matter how adversarial the geometry; above it the 8·N·√N budget
+# governs (see embedding_neardup_topk's regime-router docstring)
+NEARDUP_EXACT_WORK_FLOOR = 256_000_000
+
 
 def embedding_neardup_topk(
     emb: DataFrame,
@@ -691,6 +698,7 @@ def embedding_neardup_topk(
     n_planes: int | None = None,
     rows_per_band: int | None = None,
     max_gemm_rows: int | None = None,
+    exact_work_budget: int | None = None,
     _stats_out: dict | None = None,
 ) -> DataFrame:
     """Top-k most-similar distinct pairs by cosine similarity —
@@ -741,12 +749,18 @@ def embedding_neardup_topk(
     at billion-row scale. ``_stats_out`` reports ``max_gemm_rows``,
     ``n_sub_max`` and ``max_task_rows_est`` for scale audits.
 
-    Regime router (VERDICT r6 #6 / r7 #3): the K² bound table is
-    computed BEFORE the candidate join, so an inert pruning run —
-    weakly clustered data where (almost) every block's upper bound
-    clears λ — is knowable for free. When ``mode="auto"`` and the kept
-    fraction exceeds ``warn_kept_frac``, the miner routes to the
-    scale-safe SemDeDup shape instead: sign-band LSH candidates
+    Regime router (VERDICT r6 #6 / r7 #3; work trigger round 9): the
+    K² bound table is computed BEFORE the candidate join, so an inert
+    pruning run — weakly clustered data where (almost) every block's
+    upper bound clears λ — is knowable for free, and so is the kept
+    WORK ``Σ_kept |Cᵢ|·|Cⱼ|`` (driver-side arithmetic over the size
+    table). When ``mode="auto"`` and EITHER the kept fraction exceeds
+    ``warn_kept_frac`` OR the kept work exceeds ``exact_work_budget``
+    (default ``max(2.56e8, 8·N·√N)`` pair-similarities — the
+    well-clustered exact arm's O(N^1.5) envelope; a manifold corpus at
+    1M rows keeps only ~35% of blocks yet 1.75e11 pair-sims, a
+    40-minute wall the fraction rule alone misses), the miner routes
+    to the scale-safe SemDeDup shape instead: sign-band LSH candidates
     (:func:`embedding_lsh_threshold_pairs` against ``n_planes``
     deterministic sin-projection hyperplanes,
     ``plane[p][d] = sin(13.7·p + 5.1·d + 0.91·p·d)`` — decorrelated
@@ -792,41 +806,67 @@ def embedding_neardup_topk(
             emb, k, id_col, vec_col, round_digits
         )
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    # nearest-centroid assignment + angle to own centroid, one codegen
-    # pass: greatest cos(v, c_i) via a literal-centroid dot product per
-    # centroid (centroids are driver constants — no join, no shuffle)
-    from fastpyvectordb_spark.functions.distances import EPS, dot, norm
-
-    def _cos_to(c: "np.ndarray") -> Column:
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        return dot(F.col("_v"), lit) / (norm(F.col("_v")) + F.lit(EPS))
-
-    # argmax over centroids as ONE array_max of (cos, −cid) structs —
-    # linear expression size (a nested when-chain would duplicate every
-    # branch's subtree per centroid: exponential blowup, JVM OOM at
-    # analysis). Lexicographic struct-max = max cos, ties → lower cid.
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    _cos_to(c).alias("cos"), F.lit(-cid).alias("ncid")
-                )
-                for cid, c in cents
-            ]
-        )
+    # nearest-centroid assignment + angle to own centroid as ONE Arrow
+    # GEMM per batch (round 9): the former expression-tree argmax (an
+    # array_max over K (cos, −cid) structs, each cos a higher-order
+    # aggregate dot) is INTERPRETED per element — K·D lambda evals per
+    # row ≈ 16×10⁹ at N=1M, K=256, D=64, which made assignment the
+    # λ-phase wall (~13 min). The GEMM computes the identical
+    # cos(v, ĉ) = v·ĉ/(‖v‖+ε) (centroids arrive unit-normalized);
+    # np.argmax takes the FIRST maximum, matching the struct-max's
+    # ties→lower-cid rule with centroid columns in ascending-cid
+    # order. Assignment only shapes the pruning geometry (radii/blocks
+    # use the same assignment), never the returned values — the exact
+    # arm stays bit-identical to brute force either way.
+    from pyspark.sql.types import (
+        DoubleType as _DT,
+        IntegerType as _IT,
+        StructField as _SFd,
+        StructType as _STd,
     )
-    assigned = (
-        base.select("_id", "_v", best.alias("_m"))
-        .select(
-            "_id",
-            "_v",
-            (-F.col("_m.ncid")).alias("_cid"),
-            F.acos(
-                F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.col("_m.cos")))
-            ).alias("_theta"),
-        )
-        .localCheckpoint()
+
+    from fastpyvectordb_spark.functions.distances import EPS
+
+    _corder = np.argsort([cid for cid, _ in cents])
+    _cmat = np.stack(
+        [np.asarray(cents[i][1], dtype=np.float64) for i in _corder]
     )
+    _cidv = np.asarray([cents[i][0] for i in _corder], dtype=np.int64)
+    assign_schema = _STd(
+        [
+            _SFd("_id", emb.schema[id_col].dataType),
+            _SFd("_v", emb.schema[vec_col].dataType),
+            _SFd("_cid", _IT()),
+            _SFd("_theta", _DT()),
+        ]
+    )
+
+    def _assign_batches(it):
+        import numpy as _n
+        import pandas as _pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = _n.stack(
+                [_n.asarray(v, dtype=_n.float64) for v in pdf["_v"]]
+            )
+            nv = _n.linalg.norm(V, axis=1) + EPS
+            cosm = (V @ _cmat.T) / nv[:, None]
+            ti = _n.argmax(cosm, axis=1)
+            best = cosm[_n.arange(len(ti)), ti]
+            yield _pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "_v": pdf["_v"],
+                    "_cid": _cidv[ti].astype("int32"),
+                    "_theta": _n.arccos(_n.clip(best, -1.0, 1.0)),
+                }
+            )
+
+    assigned = base.mapInPandas(
+        _assign_batches, schema=assign_schema
+    ).localCheckpoint()
 
     _cstats = assigned.groupBy("_cid").agg(
         F.max("_theta").alias("r"), F.count(F.lit(1)).alias("n")
@@ -1039,11 +1079,38 @@ def embedding_neardup_topk(
     cids = sorted(radii)
     keep = _neardup_kept_blocks(cids, unit, radii, lam, margin)
     kept_frac = len(keep) / max(1, len(cids) * (len(cids) + 1) // 2)
-    routed = mode == "auto" and kept_frac > warn_kept_frac
+    # routing signal #2 (round 9): kept WORK, not just kept fraction.
+    # A manifold corpus at 1M rows keeps only ~35% of blocks — under
+    # the old fraction-only rule the exact arm ran — but those blocks
+    # still hold Σ|Cᵢ||Cⱼ| ≈ 1.75×10¹¹ pair-similarities (measured:
+    # a 40+-minute mining wall). The kept-work sum is free driver-side
+    # arithmetic over the K² size table; the exact arm is only the
+    # right plan while that work stays near the well-clustered
+    # O(N^1.5) envelope, so the budget is 8·N·√N with a floor below
+    # which brute GEMM volume is trivially affordable either way.
+    kept_work = sum(
+        (csizes[i] * (csizes[i] - 1)) // 2
+        if i == j
+        else csizes[i] * csizes[j]
+        for _pid, i, j in keep
+    )
+    if n_rows is None:
+        n_rows = sum(csizes.values())
+    work_budget = exact_work_budget
+    if work_budget is None:
+        work_budget = max(
+            NEARDUP_EXACT_WORK_FLOOR,
+            8 * n_rows * math.isqrt(max(n_rows, 1)),
+        )
+    routed = mode == "auto" and (
+        kept_frac > warn_kept_frac or kept_work > work_budget
+    )
     if _stats_out is not None:  # test/diagnostic hook: pruning efficacy
         nc = len(cids)
         _stats_out["kept_blocks"] = len(keep)
         _stats_out["total_blocks"] = nc * (nc + 1) // 2
+        _stats_out["kept_work"] = kept_work
+        _stats_out["work_budget"] = work_budget
         _stats_out["routed"] = routed
     if routed:
         # say so out loud, once per process (ADVICE r8): callers who
@@ -1060,11 +1127,13 @@ def embedding_neardup_topk(
             logging.getLogger(__name__).warning(
                 "embedding_neardup_topk: mode='auto' delegated to the "
                 "banded LSH regime (angular pruning kept %.0f%% of "
-                "cluster blocks > %.0f%%) — result is approximate "
-                "(band-recall-limited); pass mode='exact' to force the "
-                "exact miner. (logged once per process)",
+                "cluster blocks / %.2g of %.2g budgeted pair-sims) — "
+                "result is approximate (band-recall-limited); pass "
+                "mode='exact' to force the exact miner. (logged once "
+                "per process)",
                 100 * kept_frac,
-                100 * warn_kept_frac,
+                float(kept_work),
+                float(work_budget),
             )
         # regime router, delegating arm (VERDICT r7 #3): the pruning
         # estimate says the exact candidate join is near-quadratic
@@ -1120,18 +1189,19 @@ def embedding_neardup_topk(
         seed_df = spark.createDataFrame(seed_rows, schema=seed_schema)
         cand = seed_df.unionByName(lsh).dropDuplicates(["id_a", "id_b"])
         return cand.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(k)
-    if kept_frac > warn_kept_frac:
-        # exact mode in the weak regime: run anyway, but say so out
-        # loud — the result stays bit-identical to brute force.
+    if kept_frac > warn_kept_frac or kept_work > work_budget:
+        # exact mode in the weak/high-work regime: run anyway, but say
+        # so out loud — the result stays bit-identical to brute force.
         import warnings
 
         warnings.warn(
             f"embedding_neardup_topk: angular pruning kept "
-            f"{kept_frac:.0%} of cluster blocks (> "
-            f"{warn_kept_frac:.0%}) — the candidate join is near-"
-            "quadratic on this corpus. For threshold-style near-dup "
-            "at scale use embedding_lsh_threshold_pairs; the exact "
-            "top-k result returned here is unaffected.",
+            f"{kept_frac:.0%} of cluster blocks / {kept_work:.2g} "
+            f"pair-similarities (budget {work_budget:.2g}) — the "
+            "exact mining volume is near-quadratic on this corpus. "
+            "For threshold-style near-dup at scale use "
+            "embedding_lsh_threshold_pairs; the exact top-k result "
+            "returned here is unaffected.",
             stacklevel=2,
         )
     # Exact arm: mine each SURVIVING cluster-pair block with the shared
@@ -1386,6 +1456,14 @@ span_stats AS (
 # ---------------------------------------------------------------------------
 
 
+# buckets at or below this row count verify through the band-key
+# self-join (B² ≤ 128·N·bands rows corpus-wide — bounded); bigger
+# buckets verify inside bounded GEMM groups. Sized so the join arm's
+# worst case stays ~1% of what an unsplit join materializes on a
+# sign-skewed 1M corpus while the GEMM arm stays a few thousand groups.
+_GEMM_BUCKET_MIN = 128
+
+
 def embedding_lsh_threshold_pairs(
     emb: DataFrame,
     planes: DataFrame,
@@ -1396,6 +1474,8 @@ def embedding_lsh_threshold_pairs(
     plane_id_col: str = "plane_id",
     plane_vec_col: str = "plane_vec",
     round_digits: int = 6,
+    max_bucket_rows: int = 8192,
+    _stats_out: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) for candidate pairs with cosine ≥
     ``min_cos``; candidates share at least one full sign band against
@@ -1408,9 +1488,34 @@ def embedding_lsh_threshold_pairs(
     a pair missed by every band is not returned (probability falls
     geometrically with bands for pairs above the bar), and the oracle
     twin replicates the identical banding, so both engines agree
-    bit-for-bit. Scale shape: P·N tiny sign rows → groupBy(doc, band)
-    → band-key equi-join → exact cosine on candidates only."""
+    bit-for-bit.
+
+    Scale shape (round 9): P·N tiny sign rows → groupBy(doc, band) →
+    **hybrid verify** → exact-expression rerank of the survivors only.
+    The verify used to be one band-key self-join whose output is
+    Σ_buckets B² candidate ROWS before any similarity test — on
+    sign-skewed corpora (a low-dimensional manifold puts a large
+    fraction of the corpus into a handful of sign patterns) that
+    materialized ~4×10⁹ pairs at 1M rows and went quadratic in shuffle
+    volume. Now buckets ≤ ``_GEMM_BUCKET_MIN`` rows keep the self-join
+    (their B² is bounded and SQL avoids per-group Arrow overhead over
+    the huge small-bucket tail), while bigger buckets — 99%+ of the
+    candidate volume under skew — ship each vector ONCE into an
+    Arrow-batched ``applyInPandas`` GEMM group where only pairs at
+    ≥ ``min_cos − slack`` ever become rows. Buckets above
+    ``max_bucket_rows`` additionally sub-split into deterministic
+    ``pmod(xxhash64(doc_id, band), n_sub)`` sub-blocks mined as
+    sub-block PAIRS — the same task-memory bound as the exact miner's
+    ``max_gemm_rows`` — so no task holds more than ~2·``max_bucket_rows``
+    vectors regardless of bucket skew. The returned pair set is
+    IDENTICAL to the pure-join plan's (each bucket is verified by
+    exactly one arm; slack covers GEMM-vs-expression float drift plus
+    the rounding quantum; final values come from the shared rounded
+    cosine expression), which the DuckDB oracle pins."""
+    from pyspark.sql.types import StructField, StructType
+
     from fastpyvectordb_spark.functions.distances import (
+        EPS as _EPS,
         cosine_similarity,
         dot,
     )
@@ -1442,19 +1547,152 @@ def embedding_lsh_threshold_pairs(
             )
         ).alias("bkey")
     ).localCheckpoint()
-    a = keys.alias("a")
+    if _stats_out is not None:  # scale telemetry (bucket skew audit)
+        top = (
+            keys.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("mx"))
+            .collect()[0]
+        )
+        _stats_out["max_bucket_rows_seen"] = int(top["mx"] or 0)
+        _stats_out["max_bucket_rows_cap"] = max_bucket_rows
+
+    # hybrid verify: small buckets keep the band-key self-join (B² is
+    # tiny there and SQL avoids per-group Arrow overhead across the
+    # huge number of small buckets); buckets above _GEMM_BUCKET_MIN go
+    # through the GEMM miner (B² through a join is where sign skew
+    # explodes — at 1M on a manifold corpus the >128-row buckets hold
+    # 99.4% of the 4×10⁹ candidate pairs but only ~9k groups). Each
+    # (band, bkey) bucket is verified by exactly ONE arm, so the
+    # unioned candidate set equals the pure-join plan's.
+    sizes = keys.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    keyed = keys.join(sizes, ["band", "bkey"])
+    small = keyed.filter(F.col("_cnt") <= _GEMM_BUCKET_MIN)
+    a = small.alias("a")
     # shuffle-hash, not sort-merge: band keys are low-cardinality and
-    # per-key buckets are what LSH sizes to be small
-    b = keys.alias("b").hint("shuffle_hash")
-    cands = (
+    # the small-bucket arm is sized so per-key blocks stay tiny
+    b = small.alias("b").hint("shuffle_hash")
+    join_cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(
+            F.col("a.doc_id").alias("xa"), F.col("b.doc_id").alias("xb")
+        )
+    )
+    rows = (
+        keyed.filter(F.col("_cnt") > _GEMM_BUCKET_MIN)
+        .join(
+            emb.select(
+                F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")
+            ),
+            "doc_id",
+        )
+        .withColumn(
+            "_nsub",
+            F.ceil(F.col("_cnt") / F.lit(max_bucket_rows)).cast("int"),
+        )
+        .withColumn(
+            "_sub",
+            F.pmod(
+                F.xxhash64(F.col("doc_id"), F.col("band")), F.col("_nsub")
+            ).cast("int"),
+        )
+        # each row fans to its sub-block PAIR groups: with every other
+        # sub t of the same bucket — (least, greatest) names the
+        # group; the row is side 0 when its own sub is the lesser (or
+        # the triangle t == _sub), side 1 otherwise. n_sub == 1 (the
+        # normal case) fans to exactly one triangle group.
+        .withColumn(
+            "_t", F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1))
+        )
+        .select(
+            "doc_id",
+            "band",
+            "bkey",
+            "_v",
+            F.least("_sub", "_t").alias("_ga"),
+            F.greatest("_sub", "_t").alias("_gb"),
+            F.when(F.col("_sub") <= F.col("_t"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("_side"),
+        )
+    )
+
+    id_type = emb.schema[id_col].dataType
+    id_np = (
+        "int64" if id_type.typeName() in ("long", "integer") else "object"
+    )
+    cand_schema = StructType(
+        [StructField("xa", id_type), StructField("xb", id_type)]
+    )
+    # any pair whose ROUNDED exact-expression cosine can reach min_cos
+    # survives the GEMM cut: |GEMM − expression| ≤ ~1e-13 (same
+    # formula, summation order only) and rounding moves ≤ half a
+    # quantum — the exact miner's slack argument
+    thr = min_cos - (2.0 * (10.0 ** (-round_digits)) + 1e-9)
+
+    def _mine_thr(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"xa": [], "xb": []}).astype(
+            {"xa": id_np, "xb": id_np}
+        )
+        a = pdf[pdf["_side"] == 0]
+        if not len(a):
+            return empty
+        ids_a = a["doc_id"].to_numpy()
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a["_v"]])
+        na = np.linalg.norm(A, axis=1) + _EPS
+        b = pdf[pdf["_side"] == 1]
+        same = not len(b)
+        if same:
+            if len(ids_a) < 2:
+                return empty
+            ids_b, B, nb = ids_a, A, na
+        else:
+            ids_b = b["doc_id"].to_numpy()
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in b["_v"]])
+            nb = np.linalg.norm(B, axis=1) + _EPS
+        out_a, out_b = [], []
+        # bound the sim-matrix at ~32M doubles per chunk (the exact
+        # miner's chunking); thresholding is chunk-independent
+        step = max(1, 32_000_000 // max(len(ids_b), 1))
+        for s in range(0, len(ids_a), step):
+            e = min(s + step, len(ids_a))
+            S = (A[s:e] @ B.T) / np.outer(na[s:e], nb)
+            if same:
+                keep_m = (
+                    np.arange(len(ids_b))[None, :]
+                    > np.arange(s, e)[:, None]
+                ) & (S >= thr)
+            else:
+                keep_m = S >= thr
+            ri, cj_ = np.nonzero(keep_m)
+            if len(ri):
+                out_a.append(ids_a[s:e][ri])
+                out_b.append(ids_b[cj_])
+        if not out_a:
+            return empty
+        xa = np.concatenate(out_a)
+        xb = np.concatenate(out_b)
+        lo = np.minimum(xa, xb)
+        hi = np.maximum(xa, xb)
+        return pd.DataFrame({"xa": lo, "xb": hi})
+
+    cands = (
+        rows.groupBy("band", "bkey", "_ga", "_gb")
+        .applyInPandas(_mine_thr, schema=cand_schema)
+        .unionByName(join_cands)
+        # a pair can collide in several bands — candidates, not results
         .distinct()
+        .select(F.col("xa").alias("id_a"), F.col("xb").alias("id_b"))
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))

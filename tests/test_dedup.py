@@ -910,6 +910,43 @@ def test_neardup_regime_router_delegates_by_default(spark):
         D.embedding_neardup_topk(corpus, k=5, mode="nope")
 
 
+def test_neardup_router_work_trigger(spark):
+    """Round 9: the router also delegates on kept WORK, not just kept
+    fraction — a manifold corpus at 1M keeps only ~35% of blocks (the
+    fraction rule stays quiet) yet 1.75e11 pair-similarities. On a
+    clustered corpus whose kept fraction is below warn_kept_frac, a
+    tiny exact_work_budget must flip the decision to routed; the
+    default budget (≥ the 2.56e8 floor) must keep it exact. The routed
+    result still surfaces a planted identical pair at rank 1 with its
+    exact similarity."""
+    clustered = _rand_embeddings(spark, n=200, clustered=True, seed=9)
+    dup = spark.createDataFrame(
+        [(900, [0.5] * 8), (901, [0.5] * 8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    corpus = clustered.unionByName(dup)
+
+    stats: dict = {}
+    got = D.embedding_neardup_topk(
+        corpus, k=5, n_clusters=6, centroids="kmeans",
+        exact_work_budget=1, _stats_out=stats,
+    ).collect()
+    assert stats["routed"] is True
+    assert stats["kept_work"] > 1
+    assert stats["work_budget"] == 1
+    assert (got[0]["id_a"], got[0]["id_b"]) == (900, 901)
+    assert got[0]["cos_sim"] == 1.0
+
+    stats2: dict = {}
+    exact = D.embedding_neardup_topk(
+        corpus, k=5, n_clusters=6, centroids="kmeans", _stats_out=stats2
+    ).collect()
+    assert stats2["routed"] is False  # default budget: floor >= 2.56e8
+    assert stats2["work_budget"] >= 256_000_000
+    brute = D.embedding_neardup_topk_bruteforce(corpus, k=5).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in brute]
+
+
 def test_neardup_routed_arm_topk_quality_at_30k(spark):
     """Routed-arm recall at scale: a 30k manifold corpus with 1%
     planted near-identical copies (cos ≈ 0.9998). Planted dups push λ

@@ -104,6 +104,14 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _partial(out: dict) -> None:
+    """Crash insurance: long phases can die (disk, OOM) hours in —
+    emit the accumulated numbers after every phase so a failed section
+    still yields its completed measurements. The FINAL plain-JSON line
+    remains the authoritative record."""
+    print("PARTIAL " + json.dumps(out), flush=True)
+
+
 def _section_emb(spark, n: int, dims: int, out: dict) -> None:
     emb = _build_emb(spark, n, dims)
     qpdf = _query_pdf(emb, n)
@@ -113,6 +121,7 @@ def _section_emb(spark, n: int, dims: int, out: dict) -> None:
     cnt = knn_batch_gemm(emb, qpdf, k=10, metric="cosine").count()
     out["knn_batch_gemm_sec"] = round(time.perf_counter() - t0, 1)
     assert cnt == len(qpdf) * 10
+    _partial(out)
 
     # -- embedding near-dup, routed default, 1M x 64 (VERDICT r8 #4):
     # the OTHER LLM-pipeline headline. mode="auto" must route to the
@@ -129,25 +138,39 @@ def _section_emb(spark, n: int, dims: int, out: dict) -> None:
     out["neardup_routed_1m"] = 1 if stats.get("routed") else 0
     out["neardup_max_task_rows_est"] = stats.get("max_task_rows_est")
     assert nd == 10
+    _partial(out)
 
-    # task-memory bound engaged for real at 1M (VERDICT r8 #2): force
-    # a small per-task budget so clusters sub-split — peak mining-group
-    # size must obey 2x the budget no matter the corpus size.
+    # task-memory bound engaged for real (VERDICT r8 #2): force a
+    # small per-task budget so clusters sub-split — peak mining-group
+    # size must obey 2× the budget no matter the corpus size. Run on a
+    # 250k-row subset: sub-splitting multiplies the λ-seed shuffle by
+    # n_sub over every kept cluster-pair block, so the probe's cost is
+    # duplication-bound — at the full 1M with budget 2000 it spills
+    # >80 GB (measured: killed two runs on this host), while 250k with
+    # budget 400 exercises the identical mechanism (n_sub ≥ 2, 2×
+    # bound asserted) within this host's disk. Production never
+    # triggers splitting at these corpus sizes (default budget is
+    # ~262k rows/side); the bound exists for billion-row clusters.
+    n_sub_corpus = max(n // 4, min(n, 20_000))
+    emb_sub = emb.filter(F.col("vec_id") % 4 == 0) if n > 20_000 else emb
+    budget = 400
     stats2: dict = {}
     t0 = time.perf_counter()
     embedding_neardup_topk(
-        emb, k=10, centroids="seed", max_gemm_rows=2000, _stats_out=stats2
+        emb_sub, k=10, centroids="seed", max_gemm_rows=budget,
+        _stats_out=stats2,
     ).count()
-    out["neardup_subsplit_1m_sec"] = round(time.perf_counter() - t0, 1)
+    out["neardup_subsplit_250k_sec"] = round(time.perf_counter() - t0, 1)
     out["neardup_subsplit_n_sub_max"] = stats2.get("n_sub_max")
     out["neardup_subsplit_max_task_rows_est"] = stats2.get(
         "max_task_rows_est"
     )
-    # at full scale clusters MUST split (avg cluster ≈ n/256 rows);
-    # tiny smoke-test n keeps every cluster under the forced budget
-    if n // 256 > 2 * 2000:
+    # at probe scale clusters MUST split (avg cluster ≈ n_sub_corpus/256
+    # rows); tiny smoke-test n keeps every cluster under the budget
+    if n_sub_corpus // 256 > 2 * budget:
         assert stats2["n_sub_max"] > 1
-    assert stats2["max_task_rows_est"] <= 2 * 2000
+    assert stats2["max_task_rows_est"] <= 2 * budget
+    _partial(out)
 
 
 def _section_text(spark, n: int, out: dict) -> None:
@@ -190,6 +213,7 @@ def _section_text(spark, n: int, out: dict) -> None:
     n_pairs = minhash_lsh_duplicates(docs).count()
     out["dedup_minhash_lsh_sec"] = round(time.perf_counter() - t0, 1)
     out["dedup_pairs"] = n_pairs
+    _partial(out)
 
     from fastpyvectordb_spark.operators.bm25 import BM25Index
 
@@ -207,6 +231,7 @@ def _section_text(spark, n: int, out: dict) -> None:
     nq = idx.search_batch(queries, k=10).count()
     out["bm25_query20_sec"] = round(time.perf_counter() - t0, 1)
     assert nq > 0
+    _partial(out)
 
     # -- pipeline_clean_corpus at scale (VERDICT r7 #5): the
     # LLM-pipeline headline — quality → lang-id → fingerprint dedup →
@@ -250,6 +275,7 @@ def _section_text(spark, n: int, out: dict) -> None:
         out["n_docs"] / max(out["pipeline_clean_corpus_sec"], 1e-9), 1
     )
     assert n_langs >= 1
+    _partial(out)
 
 
 def _section_serve(spark, n: int, dims: int, out: dict) -> None:
@@ -311,6 +337,7 @@ def _section_serve(spark, n: int, dims: int, out: dict) -> None:
     t0 = time.perf_counter()
     c.delete(ids=[f"u{i}" for i in range(1000)], verify_existing=False)
     out["delete_fast_1k_at_1m_sec"] = round(time.perf_counter() - t0, 2)
+    _partial(out)
 
     # -- collection ANN at genuine oversize scale ----------------------
     # 2M x 64 = 128M floats > SERVING_PACK_MAX_FLOATS (80M): search_ann
