@@ -735,9 +735,12 @@ def embedding_neardup_topk(
     by construction (pruning only discards pairs provably below the
     kth-best), which the parity tests pin.
 
-    ``n_clusters=None`` auto-sizes to ``≈ √N`` capped at 256 (driver
-    holds K² bound rows only; all collects here are K-row or k-row —
-    bounded). Pass an explicit value to pin the blocking.
+    ``n_clusters=None`` auto-sizes to ``≈ √N`` capped at 1024 (raised
+    from 256 in round 9 once assignment became one Arrow GEMM — the
+    within-cluster λ-seed work is Θ(N²/K), so the cap is the direct
+    lever on the quadratic-over-K term; at the cap the driver-side
+    bound table is 1024²/2 ≈ 5×10⁵ block rows, still trivially
+    driver-resident). Pass an explicit value to pin the blocking.
 
     Task-memory bound: no mining task holds more than
     ``~2·max_gemm_rows`` vectors regardless of corpus size — clusters
@@ -797,7 +800,7 @@ def embedding_neardup_topk(
     n_rows: int | None = None
     if n_clusters is None:
         n_rows = emb.count()
-        n_clusters = max(2, min(256, math.isqrt(max(n_rows, 1))))
+        n_clusters = max(2, min(1024, math.isqrt(max(n_rows, 1))))
     cents = _centroid_rows(
         emb, n_clusters, id_col, vec_col, centroids, seed, kmeans_max_iter
     )
@@ -879,8 +882,8 @@ def embedding_neardup_topk(
     spark = emb.sparkSession
 
     # -- GEMM task-memory bound (round 9, VERDICT r8 #2) ---------------
-    # n_clusters caps at 256, so without a second level of blocking a
-    # single cluster's mining task holds O(N/256) vectors — unbounded
+    # n_clusters caps at 1024, so without a second level of blocking a
+    # single cluster's mining task holds O(N/K) vectors — unbounded
     # at billion-row scale. Clusters larger than ``max_gemm_rows`` are
     # therefore sub-split into ⌈n/max_gemm_rows⌉ deterministic id-hash
     # sub-blocks (pmod(xxhash64(id), n_sub) — engine-reproducible), and
