@@ -960,11 +960,17 @@ def embedding_neardup_topk(
         A = np.stack([np.asarray(v, dtype=np.float64) for v in a["_v"]])
         na = np.linalg.norm(A, axis=1) + _EPS
         b = pdf[pdf["_side"] == 1]
-        same = not len(b)
+        # triangle-ness comes from the GROUP KEY (_tri is constant per
+        # gid), never from side-1 emptiness: a cross sub-block pair
+        # whose side-1 sub hashed empty must return empty rather than
+        # re-mine the side-0 triangle its (sa, sa) group already covers
+        same = bool(key[1])
         if same:
             if len(ids_a) < 2:
                 return empty
             ids_b, B, nb = ids_a, A, na
+        elif not len(b):
+            return empty
         else:
             ids_b = b["_id"].to_numpy()
             B = np.stack([np.asarray(v, dtype=np.float64) for v in b["_v"]])
@@ -1052,17 +1058,32 @@ def embedding_neardup_topk(
         a_side = assigned.join(
             F.broadcast(gt),
             (assigned["_cid"] == gt["ci"]) & (assigned["_sub"] == gt["sa"]),
-        ).select("gid", F.lit(0).alias("_side"), "_id", "_v")
+        ).select(
+            "gid",
+            ((gt["ci"] == gt["cj"]) & (gt["sa"] == gt["sb"])).alias("_tri"),
+            F.lit(0).alias("_side"),
+            "_id",
+            "_v",
+        )
         bt = gt.filter(
             ~((F.col("ci") == F.col("cj")) & (F.col("sa") == F.col("sb")))
         )
         b_side = assigned.join(
             F.broadcast(bt),
             (assigned["_cid"] == bt["cj"]) & (assigned["_sub"] == bt["sb"]),
-        ).select("gid", F.lit(1).alias("_side"), "_id", "_v")
+        ).select(
+            "gid",
+            F.lit(False).alias("_tri"),
+            F.lit(1).alias("_side"),
+            "_id",
+            "_v",
+        )
+        # _tri is constant within a gid, so adding it to the key keeps
+        # the grouping identical while letting _mine read triangle-ness
+        # from the key instead of inferring it from side-1 emptiness
         return (
             a_side.unionByName(b_side)
-            .groupBy("gid")
+            .groupBy("gid", "_tri")
             .applyInPandas(_mine, schema=cand_schema)
         )
 
@@ -1568,10 +1589,15 @@ def embedding_lsh_threshold_pairs(
     # 99.4% of the 4×10⁹ candidate pairs but only ~9k groups). Each
     # (band, bkey) bucket is verified by exactly ONE arm, so the
     # unioned candidate set equals the pure-join plan's.
-    sizes = keys.groupBy("band", "bkey").agg(
-        F.count(F.lit(1)).alias("_cnt")
+    # bucket size via a count() window over the SAME (band, bkey)
+    # partitioning — one shuffle, no second aggregate-and-join (the
+    # aggregate+re-join formulation planned an avoidable SortMergeJoin)
+    from pyspark.sql import Window as _W
+
+    keyed = keys.withColumn(
+        "_cnt",
+        F.count(F.lit(1)).over(_W.partitionBy("band", "bkey")),
     )
-    keyed = keys.join(sizes, ["band", "bkey"])
     small = keyed.filter(F.col("_cnt") <= _GEMM_BUCKET_MIN)
     a = small.alias("a")
     # shuffle-hash, not sort-merge: band keys are low-cardinality and
@@ -1654,11 +1680,18 @@ def embedding_lsh_threshold_pairs(
         A = np.stack([np.asarray(v, dtype=np.float64) for v in a["_v"]])
         na = np.linalg.norm(A, axis=1) + _EPS
         b = pdf[pdf["_side"] == 1]
-        same = not len(b)
+        # `same` comes from the GROUP KEY (_ga == _gb names the
+        # triangle group), never from side-1 emptiness: a cross pair
+        # group whose side-1 sub hashed empty must return empty, not
+        # re-mine the side-0 triangle that the (ga, ga) group already
+        # produces
+        same = key[2] == key[3]
         if same:
             if len(ids_a) < 2:
                 return empty
             ids_b, B, nb = ids_a, A, na
+        elif not len(b):
+            return empty
         else:
             ids_b = b["doc_id"].to_numpy()
             B = np.stack([np.asarray(v, dtype=np.float64) for v in b["_v"]])

@@ -65,6 +65,48 @@ def vector_search_nodes(
     ).orderBy(F.desc("similarity"), id_col)
 
 
+def vector_search_edges(
+    edges: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    edge_type: str | None = None,
+    properties: dict | None = None,
+    metric: str = "cosine",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN over EDGE embeddings → (src, dst, type, similarity) desc.
+
+    The reference's hybrid store persists per-edge embeddings alongside
+    the node sidecar (``hybrid_graph_vector.py:235-247``) but exposes
+    no search over them — this twin of :func:`vector_search_nodes`
+    closes that stores-but-can't-query asymmetry. Edge identity is the
+    (src, dst, type) triple; ties break on the deterministic
+    ``src→dst#type`` string so results are stable like every other
+    top-k in the suite. Same plan shape as node search: pre-filter →
+    TakeOrderedAndProject, no shuffle beyond the top-k merge."""
+    pre = None
+    if edge_type is not None:
+        pre = F.col("type") == F.lit(edge_type)
+    for key, val in (properties or {}).items():
+        c = F.col(key) == F.lit(val)
+        pre = c if pre is None else (pre & c)
+    keyed = edges.withColumn(
+        "_eid",
+        F.concat_ws("", F.col("src"), F.lit("->"), F.col("dst"),
+                    F.lit("#"), F.col("type")),
+    )
+    top = knn(
+        keyed, query_vec, k=k, metric=metric, pre_filter=pre,
+        id_col="_eid", vec_col=vec_col, keep_cols=["src", "dst", "type"],
+    )
+    return top.select(
+        "src",
+        "dst",
+        "type",
+        F.round(_similarity(F.col("dist"), metric), ROUND).alias("similarity"),
+    ).orderBy(F.desc("similarity"), "src", "dst", "type")
+
+
 def undirected(edges: DataFrame) -> DataFrame:
     """Both-direction adjacency (the reference expands direction='both')."""
     fwd = edges.select("src", "dst")

@@ -60,10 +60,13 @@ def knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = ROUND_DIGITS,
+    keep_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Exact top-k nearest neighbours of a single query vector.
 
     Plan: scan → (pushed-down) filter → distance expr → TakeOrdered(k).
+    ``keep_cols`` rides extra payload columns through the top-k (they
+    don't change the plan shape — still TakeOrderedAndProject).
     """
     if pre_filter is not None:
         df = df.filter(pre_filter)
@@ -71,7 +74,10 @@ def knn(
     if round_digits is not None:
         dist = F.round(dist, round_digits)
     return (
-        df.select(F.col(id_col), dist.alias("dist"))
+        df.select(
+            F.col(id_col), dist.alias("dist"),
+            *[F.col(c) for c in (keep_cols or [])],
+        )
         .orderBy("dist", id_col)
         .limit(k)
     )

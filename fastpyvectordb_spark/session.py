@@ -8,6 +8,7 @@ pandas-UDF exchange), sensible shuffle parallelism.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
@@ -58,5 +59,12 @@ def get_spark(
     for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
         if "=" in pair:
             key, val = pair.split("=", 1)
+            # visible in startup output: a leftover env var from a
+            # heavy-run tool would otherwise invisibly alter every
+            # later get_spark() in the process (ADVICE r9)
+            logging.getLogger(__name__).info(
+                "SPARK_GRAFT_EXTRA_CONF applying %s=%s",
+                key.strip(), val.strip(),
+            )
             builder = builder.config(key.strip(), val.strip())
     return builder.getOrCreate()

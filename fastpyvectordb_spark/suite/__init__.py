@@ -35,18 +35,55 @@ def register(name: str, oracle: str | None = None):
 
 # The driver samples a capped prefix (50 names) of this list each round.
 # Every query has at least one driver-green row, so ordering is
-# STALENESS-based (VERDICT r5 item #2, re-affirmed r8 item #1):
-# round-9 code changes first (near-dup GEMM sub-splitting touches the
-# exact miner; IVF-PQ encode/search touched for the recall work; IVF
-# colocate fallback), then the 29 round-6-era names — the stalest green
-# rows at r9 — then the oldest round-7-checked names to fill the 50
-# prefix, keeping every query ≤3 rounds stale. The 47 names the r8
-# driver just re-verified go last.
+# STALENESS-based (VERDICT r5 item #2, re-affirmed each round; r10
+# rotation is VERDICT r9 item #2): round-10 code changes first (the
+# hybrid banded verify's window-count bucket sizing and the miners'
+# key-derived triangle flag touch both near-dup paths; IVF-PQ residual
+# encoding touches ann_ivfpq), then the 29 names last driver-verified
+# in r7 — the stalest green rows at r10 — then the oldest r8-verified
+# names to fill the 50 prefix, keeping every query ≤3 rounds stale.
+# The 50 names the r9 driver just re-verified go last.
 _PRIORITY = [
-    # round-9 code changes: near-dup GEMM sub-split + IVF-PQ recall +
-    # colocate fallback
-    "dedup_embedding_topk", "ann_ivfpq_knn", "ann_ivf_knn",
-    # last verified round 6 (oldest green rows — 29 names)
+    # round-10 code changes: near-dup verify/miner edits + IVF-PQ
+    # residual encoding
+    "dedup_embedding_lsh_threshold", "dedup_embedding_topk",
+    "ann_ivfpq_knn",
+    # last driver-verified round 7 (oldest green rows — 29 names)
+    "agg_count_by_source", "agg_embedding_dim_stats",
+    "agg_lang_source_matrix", "agg_pricing_summary", "agg_revenue_by_nation",
+    "agg_rollup_suppliers", "agg_top_customers_by_orders",
+    "agg_top_orders_by_revenue", "bm25_search", "bm25_search_batch",
+    "bq_hamming_knn", "dedup_clusters", "dedup_exact",
+    "dedup_lines_reconstruct", "dedup_ngram_jaccard",
+    "join_semi_anti_segments", "join_small_qty_orders_q17",
+    "join_top_supplier_q15", "join_volume_shipping_q7",
+    "join_waiting_suppliers_q21", "page_customers",
+    "pipeline_chunk_documents", "pipeline_filter_funnel",
+    "pipeline_pack_sequences", "pipeline_upsample_mixture",
+    "setops_customer_activity", "text_moore_lewis_selection",
+    "text_word_entropy", "window_running_revenue",
+    # oldest round-8-verified names (fill the 50 prefix)
+    "knn_cosine", "knn_l2", "knn_ip", "knn_batch", "knn_filtered",
+    "sq_train_stats", "sq_knn_cosine", "sq_knn_l2", "sq_knn_ip",
+    "pq_adc_knn", "hybrid_search_alpha05", "hybrid_search_alpha08",
+    "hybrid_search_batch", "graph_find_nodes", "graph_neighbors",
+    "graph_traverse", "graph_bfs_levels", "graph_shortest_path",
+    # remaining round-8-verified names (next in line)
+    "graph_degree_topk", "graph_stats", "graph_hyperedge_membership",
+    "graph_part_copurchase_topk", "gv_semantic_expansion",
+    "gv_traverse_rerank", "dedup_minhash_lsh", "dedup_simhash",
+    "text_corpus_stats", "text_fingerprint", "text_lang_id",
+    "text_postings_top_terms", "pipeline_clean_corpus",
+    "pipeline_split_counts",
+    "dedup_incremental_lsh", "pipeline_source_cap", "text_quality",
+    "text_scrub_audit", "text_token_counts", "agg_order_trend_pivot",
+    "codec_int8_roundtrip_error", "dedup_decontaminate",
+    "events_replay_last10", "events_sessionize",
+    "events_subscription_filter", "events_user_outlier_counts",
+    "events_value_percentiles", "events_window_hourly",
+    "join_shipping_priority_q3",
+    # freshest: re-verified by the r9 driver (CORRECTNESS_r09 green)
+    "ann_ivf_knn",
     "media_audio_chunks", "media_features",
     "media_frame_sample", "media_manifest", "pipeline_stratified_counts",
     "pipeline_token_budget", "text_repetition_filter",
@@ -61,7 +98,6 @@ _PRIORITY = [
     "cypher_match_where", "cypher_nation_customer_counts",
     "cypher_node_props", "cypher_region_chain_counts",
     "dedup_substring_spans",
-    # oldest round-7-checked names (fill the 50 prefix)
     "ann_lsh_knn", "ann_partitioned_knn", "ann_nsw_knn",
     "events_conversion_funnel",
     "events_gap_percentiles", "events_ohlc_hourly",
@@ -71,41 +107,6 @@ _PRIORITY = [
     "join_orders_above_cust_avg", "join_promotion_suppliers_q20",
     "join_range_click_burst", "join_sales_opportunity",
     "join_salted_customer_nation",
-    # remaining round-7-checked names (next in line)
-    "join_semi_anti_segments",
-    "join_small_qty_orders_q17", "join_top_supplier_q15",
-    "join_volume_shipping_q7", "join_waiting_suppliers_q21", "page_customers",
-    "pipeline_chunk_documents", "pipeline_filter_funnel",
-    "pipeline_pack_sequences", "setops_customer_activity",
-    "text_moore_lewis_selection", "text_word_entropy",
-    "window_running_revenue",
-    "dedup_ngram_jaccard", "dedup_clusters", "dedup_lines_reconstruct",
-    "pipeline_upsample_mixture",
-    "agg_count_by_source", "agg_embedding_dim_stats",
-    "agg_lang_source_matrix", "agg_pricing_summary", "agg_revenue_by_nation",
-    "agg_rollup_suppliers", "agg_top_customers_by_orders",
-    "agg_top_orders_by_revenue", "bm25_search", "bm25_search_batch",
-    "bq_hamming_knn", "dedup_exact",
-    # freshest: re-verified by the r8 driver (CORRECTNESS_r08 green)
-    "dedup_embedding_lsh_threshold",
-    "knn_cosine", "knn_l2", "knn_ip", "knn_batch", "knn_filtered",
-    "sq_train_stats", "sq_knn_cosine", "sq_knn_l2", "sq_knn_ip",
-    "pq_adc_knn", "hybrid_search_alpha05", "hybrid_search_alpha08",
-    "hybrid_search_batch", "graph_find_nodes", "graph_neighbors",
-    "graph_traverse", "graph_bfs_levels", "graph_shortest_path",
-    "graph_degree_topk", "graph_stats", "graph_hyperedge_membership",
-    "graph_part_copurchase_topk", "gv_semantic_expansion",
-    "gv_traverse_rerank", "dedup_minhash_lsh", "dedup_simhash",
-    "text_corpus_stats", "text_fingerprint", "text_lang_id",
-    "text_postings_top_terms", "pipeline_clean_corpus",
-    "pipeline_split_counts",
-    "dedup_incremental_lsh", "pipeline_source_cap", "text_quality",
-    "text_scrub_audit", "text_token_counts", "agg_order_trend_pivot",
-    "codec_int8_roundtrip_error", "dedup_decontaminate",
-    "events_replay_last10", "events_sessionize",
-    "events_subscription_filter", "events_user_outlier_counts",
-    "events_value_percentiles", "events_window_hourly",
-    "join_shipping_priority_q3",
 ]
 
 

@@ -112,10 +112,12 @@ def test_topk_rows_tied_sampled_path_matches_ground_truth():
     n = 2000
     ids = np.arange(n, dtype=np.int64)
     rng.shuffle(ids)
-    # clean random rows across kk values (kk=31 stays on the sampled
-    # path: 2000 ≥ 64·31 is false → also covers the dispatch boundary)
+    # clean random rows across kk values, covering BOTH sides of the
+    # n ≥ 64·kk dispatch: kk=31 (64·31 = 1984 ≤ 2000) is the last kk on
+    # the sampled path, kk=32 (64·32 = 2048 > 2000) falls to
+    # _topk_rows_tied_full
     d = rng.randn(23, n).astype(np.float32)
-    for kk in (1, 5, 10, 31):
+    for kk in (1, 5, 10, 31, 32):
         check(d, ids, kk)
     # ties exactly at the cut boundary: 20 equal minima, kk=10
     db = rng.randn(8, n).astype(np.float32)

@@ -170,3 +170,45 @@ def test_pagerank_fixed_point_hand_checked(spark):
     }
     # iter1: r=(1.0, 1.85, 0.15)e6; iter2 below
     assert out == {"a": 1_722_500, "b": 1_127_500, "c": 150_000}
+
+
+def test_vector_search_edges_twin(spark):
+    """Edge-embedding kNN twin of vector_search_nodes (VERDICT r9 #8):
+    the reference stores edge embeddings (hybrid_graph_vector.py:
+    235-247) but has no search over them — this pins our twin's
+    ordering, type filter, and (src, dst, type) tie-break against a
+    hand-computed cosine ranking."""
+    from fastpyvectordb_spark.operators.graphvector import (
+        vector_search_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "REL", [1.0, 0.0, 0.0]),
+            ("b", "c", "REL", [0.9, 0.1, 0.0]),
+            ("c", "d", "OTHER", [1.0, 0.0, 0.0]),
+            ("a", "c", "REL", [0.0, 1.0, 0.0]),
+            # exact duplicate embedding of (a, b, REL): similarity ties,
+            # (src, dst, type) ordering must break it deterministically
+            ("a", "z", "REL", [1.0, 0.0, 0.0]),
+        ],
+        "src string, dst string, type string, embedding array<float>",
+    )
+    q = [1.0, 0.0, 0.0]
+    out = vector_search_edges(edges, q, k=4).collect()
+    got = [(r["src"], r["dst"], r["type"]) for r in out]
+    # ties at sim=1.0: (a,b) < (a,z) < (c,d) lexicographically on the
+    # composite a->b#REL / a->z#REL / c->d#OTHER id used in the top-k
+    assert got == [
+        ("a", "b", "REL"),
+        ("a", "z", "REL"),
+        ("c", "d", "OTHER"),
+        ("b", "c", "REL"),
+    ]
+    assert out[0]["similarity"] == 1.0
+    assert out[3]["similarity"] < 1.0
+
+    typed = vector_search_edges(edges, q, k=4, edge_type="REL").collect()
+    assert [(r["src"], r["dst"]) for r in typed] == [
+        ("a", "b"), ("a", "z"), ("b", "c"), ("a", "c")
+    ]

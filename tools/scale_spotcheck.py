@@ -32,6 +32,7 @@ scale table.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -151,8 +152,8 @@ def _section_emb(spark, n: int, dims: int, out: dict) -> None:
     # bound asserted) within this host's disk. Production never
     # triggers splitting at these corpus sizes (default budget is
     # ~262k rows/side); the bound exists for billion-row clusters.
-    n_sub_corpus = max(n // 4, min(n, 20_000))
     emb_sub = emb.filter(F.col("vec_id") % 4 == 0) if n > 20_000 else emb
+    rows_actual = emb_sub.count()
     budget = 400
     stats2: dict = {}
     t0 = time.perf_counter()
@@ -165,9 +166,14 @@ def _section_emb(spark, n: int, dims: int, out: dict) -> None:
     out["neardup_subsplit_max_task_rows_est"] = stats2.get(
         "max_task_rows_est"
     )
-    # at probe scale clusters MUST split (avg cluster ≈ n_sub_corpus/256
-    # rows); tiny smoke-test n keeps every cluster under the budget
-    if n_sub_corpus // 256 > 2 * budget:
+    # at probe scale clusters MUST split; the gate mirrors the REAL
+    # auto-K sizing (min(1024, isqrt(rows)) — ann/ivf auto cap, round
+    # 9) over the REAL sub-corpus count, not the old fixed-256
+    # estimate (ADVICE r9): avg cluster ≈ rows/K > 2·budget forces
+    # n_sub ≥ 2 somewhere; tiny smoke-test n keeps clusters under
+    # the budget
+    auto_k = max(2, min(1024, math.isqrt(max(rows_actual, 1))))
+    if rows_actual // auto_k > 2 * budget:
         assert stats2["n_sub_max"] > 1
     assert stats2["max_task_rows_est"] <= 2 * budget
     _partial(out)
