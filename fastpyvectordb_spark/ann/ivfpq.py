@@ -124,6 +124,26 @@ class IVFPQIndex:
     codebooks: np.ndarray   # (M, K, D/M) float64 — residual PQ codebooks
     codes: DataFrame        # (id_col, list_id, codes ARRAY<INT>)
     id_col: str = "vec_id"
+    # OPQ rotation (Ge et al., "Optimized Product Quantization", CVPR
+    # 2013): orthonormal (D, D); codes quantize R·(x − c) instead of
+    # (x − c). None = identity (pre-OPQ indexes keep working). Probe
+    # selection stays in ORIGINAL space (rotation preserves L2, so
+    # probing rotated or not is equivalent — unrotated avoids touching
+    # the shared centroid_probe_scores path); only the ADC residual
+    # space is rotated, via `rot_centroids` + a once-per-call q @ Rᵀ.
+    rotation: np.ndarray | None = None
+
+    @property
+    def rot_centroids(self) -> np.ndarray:
+        """(L, D) centroids in the rotated residual space — the
+        list-dependent LUT half is built from these (cached)."""
+        if self.rotation is None:
+            return self.centroids
+        rc = getattr(self, "_rot_centroids", None)
+        if rc is None:
+            rc = self.centroids @ self.rotation.T
+            object.__setattr__(self, "_rot_centroids", rc)
+        return rc
 
     def save(self, path: str) -> None:
         """Codes table partitioned by list: probes prune partitions."""
@@ -188,6 +208,97 @@ def _train_residual_codebooks(
     return cents
 
 
+def _kmeanspp_init(xs: np.ndarray, k: int, r: np.random.RandomState) -> np.ndarray:
+    """k-means++ seeding (Arthur & Vassilvitskii 2007) — at K=256 on a
+    20k sample, random init leaves duplicate/dead centroids that cost
+    ~0.01 raw recall; ++ seeding removes that failure mode."""
+    n = len(xs)
+    cents = np.empty((k, xs.shape[1]), dtype=np.float64)
+    cents[0] = xs[r.randint(n)]
+    d2 = ((xs - cents[0]) ** 2).sum(1)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:  # fewer distinct points than centroids
+            cents[j:] = xs[r.choice(n, k - j)]
+            break
+        cents[j] = xs[r.choice(n, p=d2 / tot)]
+        d2 = np.minimum(d2, ((xs - cents[j]) ** 2).sum(1))
+    return cents
+
+
+def _pq_assign_all(x3: np.ndarray, cbs: np.ndarray) -> np.ndarray:
+    """(n, M) codes — nearest codebook entry per subspace, ALL
+    subspaces in one einsum (the vectorized trainer hot path)."""
+    d2 = (
+        (x3 ** 2).sum(2)[:, :, None]
+        - 2.0 * np.einsum("nms,mks->nmk", x3, cbs)
+        + (cbs ** 2).sum(2)[None]
+    )
+    return d2.argmin(2)
+
+
+def _pq_lloyd_all(x3: np.ndarray, cbs: np.ndarray, iters: int) -> np.ndarray:
+    """Batch Lloyd over all M subspaces; dead centroids stay put (the
+    ++ init makes them rare on real residuals)."""
+    m_subspaces, n_centroids, _ = cbs.shape
+    for _ in range(iters):
+        codes = _pq_assign_all(x3, cbs)
+        for m in range(m_subspaces):
+            cnt = np.bincount(codes[:, m], minlength=n_centroids)
+            sums = np.zeros_like(cbs[m])
+            np.add.at(sums, codes[:, m], x3[:, m])
+            nz = cnt > 0
+            cbs[m][nz] = sums[nz] / cnt[nz][:, None]
+    return cbs
+
+
+def _train_opq(
+    sample: np.ndarray,
+    m_subspaces: int,
+    n_centroids: int,
+    seed: int,
+    opq_iters: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ-NP (Ge et al. CVPR 2013, non-parametric): alternate
+    per-subspace Lloyd on the rotated sample with the orthogonal
+    Procrustes solve ``R = (U Vᵀ)ᵀ, U S Vᵀ = svd(Xᵀ · decoded(X R ᵀ))``
+    that minimizes ``‖X Rᵀ − decoded‖_F`` over orthonormal R. Identity
+    init + warm-started codebooks: on the bench corpus this beat both
+    PCA-eigenvalue-balanced init and cold restarts (measured r10 —
+    PCA init landed in a worse local optimum, 0.864 vs 0.884 raw
+    recall). Everything is driver-side NumPy on the BOUNDED sample
+    (≤ train_rows rows ≈ 10 MB at 20k×64) — deterministic, seconds,
+    and scale-independent because the sample is."""
+    n, dims = sample.shape
+    sub = dims // m_subspaces
+    x3 = sample.reshape(n, m_subspaces, sub)
+    cbs = np.stack(
+        [
+            _kmeanspp_init(
+                np.ascontiguousarray(x3[:, m]),
+                n_centroids,
+                np.random.RandomState(seed + m),
+            )
+            for m in range(m_subspaces)
+        ]
+    )
+    cbs = _pq_lloyd_all(x3, cbs, 8)
+    rot = np.eye(dims)
+    rotated = sample
+    for _ in range(opq_iters):
+        x3 = rotated.reshape(n, m_subspaces, sub)
+        codes = _pq_assign_all(x3, cbs)
+        dec = np.concatenate(
+            [cbs[m][codes[:, m]] for m in range(m_subspaces)], axis=1
+        )
+        u, _, vt = np.linalg.svd(sample.T @ dec)
+        rot = (u @ vt).T
+        rotated = sample @ rot.T
+        cbs = _pq_lloyd_all(rotated.reshape(n, m_subspaces, sub), cbs, 3)
+    cbs = _pq_lloyd_all(rotated.reshape(n, m_subspaces, sub), cbs, 8)
+    return rot, cbs
+
+
 def ivfpq_build(
     df: DataFrame,
     n_lists: int = 16,
@@ -198,6 +309,7 @@ def ivfpq_build(
     seed: int = 42,
     max_iter: int = 10,
     train_rows: int = 20_000,
+    opq_iters: int = 10,
 ) -> IVFPQIndex:
     from fastpyvectordb_spark.ann.ivf import ivf_build
 
@@ -228,9 +340,33 @@ def ivfpq_build(
             ).alias("residual"),
         )
     )
-    cents = _train_residual_codebooks(
-        residuals, m_subspaces, n_centroids, dims, seed, max_iter, train_rows
-    )
+    rot: np.ndarray | None = None
+    if opq_iters > 0:
+        # OPQ training: bounded residual sample → driver NumPy (the
+        # sample is ≤ train_rows rows regardless of corpus size, so
+        # this collect is scale-independent like every other bounded
+        # collect in the repo). The count/sample/checkpoint discipline
+        # matches _train_residual_codebooks.
+        n = residuals.count()
+        res_s = residuals
+        if n > train_rows:
+            res_s = residuals.sample(
+                fraction=min(1.0, train_rows * 1.1 / n), seed=seed
+            ).limit(train_rows)
+        sample = np.stack(
+            [
+                np.asarray(r["residual"], dtype=np.float64)
+                for r in res_s.select("residual").collect()
+            ]
+        )
+        rot, cents = _train_opq(
+            sample, m_subspaces, n_centroids, seed, opq_iters
+        )
+    else:
+        cents = _train_residual_codebooks(
+            residuals, m_subspaces, n_centroids, dims, seed, max_iter,
+            train_rows,
+        )
 
     # Arrow-batched encoder: nearest codebook centroid per subspace.
     # The codebooks are tiny (M·K·D/M doubles) — closure-shipped.
@@ -250,7 +386,10 @@ def ivfpq_build(
                 continue
             r = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["residual"]]
-            ).reshape(len(pdf), m_subspaces, sub)
+            )
+            if rot is not None:  # OPQ: quantize the ROTATED residual
+                r = r @ rot.T
+            r = r.reshape(len(pdf), m_subspaces, sub)
             codes = np.empty((len(pdf), m_subspaces), dtype=np.int32)
             for m in range(m_subspaces):
                 # (n, K) squared L2 to the m-th codebook; argmin picks
@@ -267,7 +406,8 @@ def ivfpq_build(
 
     codes_df = residuals.mapInPandas(encode, schema=out_schema)
     return IVFPQIndex(
-        centroids=ivf.centroids, codebooks=cents, codes=codes_df, id_col=id_col
+        centroids=ivf.centroids, codebooks=cents, codes=codes_df,
+        id_col=id_col, rotation=rot,
     )
 
 
@@ -304,7 +444,12 @@ def ivfpq_search_batch(
 
     n_fetch = max(k, refine)
     cents = index.codebooks
-    coarse = index.centroids
+    # ADC runs in the (optionally OPQ-rotated) residual space: rotate
+    # the queries ONCE per call and use the cached rotated centroids —
+    # probe selection above already ran in original space (rotation
+    # preserves L2, so the probed lists are identical either way)
+    coarse = index.rot_centroids
+    qmat_r = qmat if index.rotation is None else qmat @ index.rotation.T
     # decomposed-LUT inputs: ONLY the small factors ship in the task
     # closure (codebooks + centroids + queries, ~100s of KB); the
     # (q, M, K) and (M, K) table halves are recomputed inside each
@@ -341,10 +486,10 @@ def ivfpq_search_batch(
         o = np.argsort(ids, kind="stable")
         ids = ids[o]
         codes = codes[o]
-        # residual queries for THIS list; LUT assembled from the
-        # decomposed halves, computed here from the small factors
-        qr = (qmat[qidx] - coarse[lid]).reshape(len(qidx), m_subspaces, sub)
-        a_q = _query_cb_dots(qmat[qidx], cents)
+        # residual queries for THIS list (rotated space); LUT assembled
+        # from the decomposed halves, computed here from the small factors
+        qr = (qmat_r[qidx] - coarse[lid]).reshape(len(qidx), m_subspaces, sub)
+        a_q = _query_cb_dots(qmat_r[qidx], cents)
         c_l = _list_lut_const(coarse[lid][None, :], cents)[0]
         lut = _decomposed_lut(qr, a_q, c_l)  # (q, M, K)
         # gathers run against the CONTIGUOUS flattened float32 LUT (a
@@ -462,6 +607,17 @@ class IVFPQPacked:
     codes: np.ndarray       # (N, M) uint8, rows grouped by list_id
     ids: np.ndarray         # (N,) int64
     offsets: np.ndarray     # (L+1,)
+    rotation: np.ndarray | None = None  # OPQ rotation (see IVFPQIndex)
+
+    @property
+    def rot_centroids(self) -> np.ndarray:
+        if self.rotation is None:
+            return self.centroids
+        rc = getattr(self, "_rot_centroids", None)
+        if rc is None:
+            rc = self.centroids @ self.rotation.T
+            object.__setattr__(self, "_rot_centroids", rc)
+        return rc
 
     @property
     def codes_flat(self) -> np.ndarray:
@@ -481,7 +637,7 @@ class IVFPQPacked:
         index (see :func:`_list_lut_const`)."""
         t = getattr(self, "_lut_const", None)
         if t is None:
-            t = _list_lut_const(self.centroids, self.codebooks)
+            t = _list_lut_const(self.rot_centroids, self.codebooks)
             object.__setattr__(self, "_lut_const", t)
         return t
 
@@ -508,6 +664,7 @@ def ivfpq_pack(index: IVFPQIndex) -> IVFPQPacked:
         codes=np.ascontiguousarray(codes[order].astype(np.uint8)),
         ids=np.ascontiguousarray(ids[order]),
         offsets=np.searchsorted(lists, np.arange(n_lists + 1)),
+        rotation=index.rotation,
     )
 
 
@@ -561,8 +718,11 @@ def ivfpq_search_local(
     cd = centroid_probe_scores(packed.centroids, qmat)
     probe = np.argsort(cd, axis=1)[:, :nprobe]
     # decomposed-LUT tables — identical expressions to the distributed
-    # kernel (the list-constant half cached on the packed index)
-    a_all = _query_cb_dots(qmat, packed.codebooks)
+    # kernel (the list-constant half cached on the packed index);
+    # ADC in the rotated space, probe in the original (see IVFPQIndex)
+    qmat_r = qmat if packed.rotation is None else qmat @ packed.rotation.T
+    rcoarse = packed.rot_centroids
+    a_all = _query_cb_dots(qmat_r, packed.codebooks)
     c_all = packed.lut_const
 
     out_d = np.full((nq, nprobe * k), np.inf, dtype=np.float64)
@@ -574,7 +734,7 @@ def ivfpq_search_local(
         if e <= s:
             continue
         qidx = all_rows[(probe == lid).any(axis=1)]
-        qr = (qmat[qidx] - packed.centroids[lid]).reshape(
+        qr = (qmat_r[qidx] - rcoarse[lid]).reshape(
             len(qidx), m_subspaces, sub
         )
         lut = _decomposed_lut(qr, a_all[qidx], c_all[lid])
