@@ -20,6 +20,7 @@ def _recall(approx, exact):
     return len(set(approx) & set(exact)) / len(exact)
 
 
+@pytest.mark.slow
 def test_lsh_recall(embeddings):
     """This corpus is weakly clustered (nearest cosine sim ~0.3), the
     hardest regime for hyperplane LSH. Offline numpy sweep: ~0.53
@@ -52,6 +53,7 @@ def test_lsh_prunes_candidates(embeddings):
     assert 0 < n_cand < n_all * 0.5, f"candidates {n_cand}/{n_all} — no pruning"
 
 
+@pytest.mark.slow
 def test_ivf_recall_and_pruning(embeddings):
     index = ivf_build(embeddings, n_lists=32)
     index.assigned.cache()
@@ -74,6 +76,7 @@ def test_ivf_recall_and_pruning(embeddings):
     assert float(np.mean(frac)) < 0.5, f"probed fraction {frac} — weak pruning"
 
 
+@pytest.mark.slow
 def test_ivf_batch_matches_single(embeddings):
     """Batched IVF (one GEMM per probed list for that list's query
     subset) must return exactly what per-query IVF probing returns —
@@ -163,6 +166,7 @@ def test_ivf_local_matches_distributed(embeddings):
     assert len(auto) == 16 * 10
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_and_refine(embeddings, spark):
     """IVF-PQ ADC with full probing must land in the reference's PQ
     recall regime (≥0.85 with exact refine, README:508); the refined
@@ -295,6 +299,7 @@ def test_ivf_add_assigns_like_build(embeddings):
     assert grown.assigned.count() == embeddings.count()
 
 
+@pytest.mark.slow
 def test_partitioned_index_recall(embeddings):
     """Partition-local IVF-Flat artifacts (§7-M8c): recall ≥0.95 on
     the weakly-clustered fixture at a 62% probe fraction (this corpus
@@ -396,6 +401,7 @@ def test_partitioned_indexed_batch_full_probe_is_exact(embeddings, spark, tmp_pa
         assert list(mine["vec_id"]) == _exact(embeddings, r["embedding"])
 
 
+@pytest.mark.slow
 def test_nsw_graph_recall(embeddings):
     """NSW graph artifacts (the reference's hnswlib family, built
     natively per partition): beam search must reach ≥0.95 recall on
@@ -483,6 +489,7 @@ def test_nsw_local_twin_empty_and_single(spark):
     assert list(out1["vec_id"]) == [7] and abs(out1["dist"].iloc[0]) < 1e-6
 
 
+@pytest.mark.slow
 def test_nsw_local_twin_adaptive_gemm_exact(embeddings):
     """Default serving path: components under the graph cutover score
     by exact GEMM — results must equal the exact kNN operator."""
@@ -561,6 +568,7 @@ def test_nsw_gemm_merge_caps_candidates_at_accumulated_cols():
         assert list(mine["vec_id"]) == list(order)
 
 
+@pytest.mark.slow
 def test_serving_default_recall_equivalence(spark):
     """README §Serving (round-6 decision): IVF is the serving default
     graded against the reference's hnswlib row; NSW stays the
@@ -649,6 +657,7 @@ def test_ivf_search_batch_string_ids(spark):
     assert len(out) == 10
 
 
+@pytest.mark.slow
 def test_gemm_and_ivfpq_batch_string_ids(spark):
     """knn_batch_gemm and ivfpq_search_batch on string-id tables: id
     column keeps its type, top-1 of a stored query is itself."""
@@ -677,6 +686,7 @@ def test_gemm_and_ivfpq_batch_string_ids(spark):
     assert adc[adc["rank"] == 1]["vec_id"].iloc[0] == "g042"
 
 
+@pytest.mark.slow
 def test_suite_exhaustive_ann_queries_match_exact(spark):
     """VERDICT r6 #3: the driver-facing ann_* suite queries run each
     ANN operator at its exhaustive limit (nprobe = n_lists, all LSH
@@ -708,6 +718,7 @@ def test_suite_exhaustive_ann_queries_match_exact(spark):
         assert got == want, f"{name} diverged from exact"
 
 
+@pytest.mark.slow
 def test_colocate_preserves_batch_results(embeddings, spark):
     """VERDICT r7 #4: colocate() (materialize the assigned/codes table
     hash-partitioned by list_id — the in-memory twin of save()'s
@@ -759,6 +770,7 @@ def test_colocate_preserves_batch_results(embeddings, spark):
     assert np.allclose(pq_before["dist"], pq_after["dist"])
 
 
+@pytest.mark.slow
 def test_ivfpq_256_centroids_local_distributed_parity(embeddings):
     """8-bit codebooks (n_centroids=256, the uint8 boundary) through
     build → distributed ADC → pack → local ADC: codes must stay in
@@ -814,6 +826,7 @@ def test_colocate_partitions_auto_conf_fallback(embeddings, spark, monkeypatch):
     assert n == max(1, embeddings.rdd.getNumPartitions())
 
 
+@pytest.mark.slow
 def test_ivfpq_batch_prunes_unprobed_lists(embeddings):
     """The IVF-PQ batch plan must filter codes to the probed lists
     BEFORE the groupBy shuffle (parity with ivf_search_batch): at

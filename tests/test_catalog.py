@@ -322,6 +322,7 @@ def test_upsert_commit_is_manifest_delta_not_per_file_links(spark, tmp_path):
     assert old["id0"] == [0.0, 0.0]
 
 
+@pytest.mark.slow
 def test_delete_then_reinsert_and_optimize_compacts_dv(spark, tmp_path):
     """Kill-only delete; re-insert of a killed id becomes visible again
     (its _seq postdates the kill); optimize() folds deletion vectors
@@ -724,6 +725,7 @@ def test_first_commit_conflict_detected(spark, tmp_path):
     assert c.count() == 1  # B's rows intact
 
 
+@pytest.mark.slow
 def test_upsert_local_fast_path_full_contract(spark, db, monkeypatch):
     """Round-4 driver-local small-upsert path: zero distributed write
     jobs, but the full commit contract must hold — kills suppress old
@@ -852,6 +854,7 @@ def test_upsert_local_conflict_on_concurrent_commit(spark, db, monkeypatch):
     ] == [9, 9, 9, 9]
 
 
+@pytest.mark.slow
 def test_manifest_chain_checkpoints_and_version_dirs_stay_metadata_only(
     spark, tmp_path
 ):
@@ -1067,6 +1070,7 @@ def _pack_equal(a, b):
     assert ta == tb
 
 
+@pytest.mark.slow
 def test_pack_serving_incremental_equals_full_rebuild(spark, db):
     """Round 6: after DML commits the serving pack refreshes via the
     manifest delta (added pool files + current kill map) — the result
@@ -1217,6 +1221,7 @@ def test_pack_serving_restore_resurrects_killed_rows(spark, db):
     assert len(p3["ids"]) == 30 and victim in set(p3["ids"])
 
 
+@pytest.mark.slow
 def test_pointer_flip_never_reads_empty(spark, db, tmp_path):
     """The version pointer must flip ATOMICALLY: an in-place truncating
     write exposes an empty pointer to concurrent readers (a healthy
@@ -1251,6 +1256,7 @@ def test_pointer_flip_never_reads_empty(spark, db, tmp_path):
     assert c._current_version() == v2
 
 
+@pytest.mark.slow
 def test_pack_refresh_merge_random_dml_parity(spark, db):
     """Round 7 merge-refresh pin: the incremental pack (binary-search
     kill resolution + searchsorted inserts, one gather per side) must
@@ -1363,6 +1369,7 @@ def test_list_ids_cold_skips_pack_build(spark, db, monkeypatch):
     monkeypatch.undo()
 
 
+@pytest.mark.slow
 def test_pack_delta_duplicate_id_falls_back_to_full_rebuild(spark, db):
     """ADVICE r7: the incremental pack merge assumes new-file ids are
     disjoint from surviving old ids. A commit that re-adds an existing

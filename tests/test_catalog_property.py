@@ -18,6 +18,7 @@ import tempfile
 import uuid
 
 import numpy as np
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -57,6 +58,7 @@ def _table_state(c):
     print_blob=True,
 )
 @given(ops=ops_strategy)
+@pytest.mark.slow
 def test_dml_state_machine_matches_model(spark, ops):
     from fastpyvectordb_spark.catalog import Collection, CollectionConfig
 

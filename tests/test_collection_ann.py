@@ -37,6 +37,7 @@ def _mk(db, spark, n=300, seed=0, metric="cosine", name="c"):
     return c
 
 
+@pytest.mark.slow
 def test_search_ann_exhaustive_probe_matches_exact(spark, db):
     """nprobe = n_lists probes every list — identical id set to the
     exact serving twin (distances agree to float32 rounding)."""
@@ -67,6 +68,7 @@ def test_search_ann_recall_at_reduced_probe(spark, db):
     assert hits / tot >= 0.9
 
 
+@pytest.mark.slow
 def test_search_ann_tracks_dml_without_retrain(spark, db, monkeypatch):
     """Upserted/inserted vectors are findable and deleted ids vanish
     right after the commit, with the trainer booby-trapped — the
@@ -121,6 +123,7 @@ def test_search_ann_retrains_past_drift_threshold(spark, db, monkeypatch):
     assert calls, "expected a retrain after 50% churn"
 
 
+@pytest.mark.slow
 def test_search_ann_persists_across_handles(spark, db, monkeypatch):
     """A fresh handle must serve from the persisted centroids without
     retraining (reference index.bin load)."""
@@ -252,6 +255,7 @@ def test_ensure_publishes_atomically_under_threads(spark, db):
     assert not errs, errs
 
 
+@pytest.mark.slow
 def test_search_ann_distributed_reduced_probe_recall(spark, db):
     """The distributed fallback at nprobe < n_lists keeps high recall
     (same coarse-quantizer geometry as the packed path)."""
@@ -281,6 +285,7 @@ def test_search_ann_distributed_reduced_probe_recall(spark, db):
         cat.Collection.SERVING_PACK_MAX_FLOATS = old
 
 
+@pytest.mark.slow
 def test_optimize_ann_cluster_file_skipping(spark, db):
     """optimize(ann_cluster=True) stores the IVF list id as a hidden
     column, splits files by list range, and the distributed fallback
@@ -386,6 +391,7 @@ def test_optimize_ann_cluster_empty_collection_refuses(spark, db):
         c.optimize(ann_cluster=True)
 
 
+@pytest.mark.slow
 def test_ann_lifecycle_state_machine(spark, tmp_path):
     """Adversarial pin for the whole index lifecycle: random
     interleavings of DML, at-rest clustering, drop and rebuild — after
@@ -461,6 +467,7 @@ def test_ann_lifecycle_state_machine(spark, tmp_path):
     run()
 
 
+@pytest.mark.slow
 def test_retrain_without_commit_invalidates_cluster_stats(spark, db):
     """ADVICE r6: the clustered-stats marker used to key on
     train_version (a version STRING) — a retrain with no intervening
@@ -583,6 +590,7 @@ def test_config_ef_search_sets_default_probe_width(spark, db):
                     Collection.nprobe_from_ef(50), 2]
 
 
+@pytest.mark.slow
 def test_search_one_matches_batch_rows(spark, db):
     """The pandas-free single-query serving path (round 7,
     ivf_search_local_one) must return exactly search_batch's rows —

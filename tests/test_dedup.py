@@ -423,6 +423,7 @@ def _rand_embeddings(spark, n=120, dims=8, seed=3, clustered=False):
 
 
 @pytest.mark.parametrize("centroids", ["seed", "kmeans"])
+@pytest.mark.slow
 def test_embedding_topk_pruned_equals_bruteforce(spark, centroids):
     emb = _rand_embeddings(spark, clustered=False)
     brute = [
@@ -440,6 +441,7 @@ def test_embedding_topk_pruned_equals_bruteforce(spark, centroids):
     assert brute == fast
 
 
+@pytest.mark.slow
 def test_embedding_topk_pruned_clustered_parity_and_prunes(spark):
     """On clustered data (the real near-dup shape) the bound must
     actually discard cross-cluster blocks, and the result must still be
@@ -463,6 +465,7 @@ def test_embedding_topk_pruned_clustered_parity_and_prunes(spark):
     assert stats["routed"] is False
 
 
+@pytest.mark.slow
 def test_embedding_topk_gemm_subsplit_parity(spark):
     """VERDICT r8 #2: clusters above max_gemm_rows are sub-split into
     id-hash sub-blocks so no mining task holds O(N/n_clusters) vectors.
@@ -496,6 +499,7 @@ def test_embedding_topk_gemm_subsplit_parity(spark):
     assert stats2["n_sub_max"] == 1
 
 
+@pytest.mark.slow
 def test_embedding_topk_pruned_empty_and_tiny(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     assert D.embedding_neardup_topk(empty, k=5).count() == 0
@@ -521,6 +525,7 @@ from hypothesis import strategies as st
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(seed=st.integers(0, 10_000), t=st.sampled_from([0.2, 0.4, 0.6, 0.8]))
+@pytest.mark.slow
 def test_property_jaccard_prefix_exactness(spark, seed, t):
     """Prefix filtering must equal the full inverted-index join for any
     corpus and threshold (the AllPairs/PPJoin lemma, as implemented)."""
@@ -546,6 +551,7 @@ def test_property_jaccard_prefix_exactness(spark, seed, t):
     n_clusters=st.sampled_from([2, 5, 9]),
     clustered=st.booleans(),
 )
+@pytest.mark.slow
 def test_property_embedding_topk_exactness(spark, seed, n_clusters, clustered):
     """Cluster-bound pruning must equal brute force for any data shape,
     cluster count, and seed — the angular bound is exact, pruning only
@@ -685,6 +691,7 @@ def test_embedding_neardup_auto_cluster_sizing(spark):
     assert 0 < stats["kept_blocks"] <= stats["total_blocks"]
 
 
+@pytest.mark.slow
 def test_embedding_lsh_threshold_at_100k(spark):
     """The threshold-regime scale default (README: SemDeDup shape) at
     100k vectors: sign-band candidates + exact cosine verify completes
@@ -801,6 +808,7 @@ def test_lsh_incremental_boundary_only(spark):
     assert all(r["jaccard"] >= 0.3 for r in out)
 
 
+@pytest.mark.slow
 def test_neardup_regime_router_estimator_and_warning(spark):
     """VERDICT r6 #6: the kept-block fraction is estimable from the K²
     bound table BEFORE the candidate join, and past warn_kept_frac the
@@ -847,6 +855,7 @@ def test_neardup_regime_router_estimator_and_warning(spark):
     assert got == brute
 
 
+@pytest.mark.slow
 def test_neardup_regime_router_delegates_by_default(spark):
     """VERDICT r7 #3: past warn_kept_frac the DEFAULT (mode='auto')
     delegates to the banded LSH path instead of running the
@@ -910,6 +919,7 @@ def test_neardup_regime_router_delegates_by_default(spark):
         D.embedding_neardup_topk(corpus, k=5, mode="nope")
 
 
+@pytest.mark.slow
 def test_neardup_router_work_trigger(spark):
     """Round 9: the router also delegates on kept WORK, not just kept
     fraction — a manifold corpus at 1M keeps only ~35% of blocks (the
@@ -947,6 +957,7 @@ def test_neardup_router_work_trigger(spark):
     assert [tuple(r) for r in exact] == [tuple(r) for r in brute]
 
 
+@pytest.mark.slow
 def test_neardup_routed_arm_topk_quality_at_30k(spark):
     """Routed-arm recall at scale: a 30k manifold corpus with 1%
     planted near-identical copies (cos ≈ 0.9998). Planted dups push λ

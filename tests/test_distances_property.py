@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 
 from fastpyvectordb_spark.functions.distances import distance
 
+# whole-file slow lane: scale soak / hypothesis property suites
+pytestmark = pytest.mark.slow
+
 DIMS = 8
 
 _vec = st.lists(

@@ -15,6 +15,9 @@ from hypothesis import strategies as st
 
 from fastpyvectordb_spark import filters as Flt
 
+# whole-file slow lane: scale soak / hypothesis property suites
+pytestmark = pytest.mark.slow
+
 INTS = [None, 0, 1, 2, 3]
 STRS = [None, "a", "b", "ab", "xyz"]
 NUMS = [None, 0.5, 1.5, 2.5]

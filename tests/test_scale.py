@@ -7,6 +7,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+# whole-file slow lane: scale soak / hypothesis property suites
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
