@@ -100,22 +100,47 @@ def _decomposed_lut(
 ) -> np.ndarray:
     """Per-(query, list) ADC LUT via the expansion
     ``||(q−c)_m − cb_mk||² = ||(q−c)_m||² − 2·q_m·cb_mk + (2·c_m·cb_mk
-    + ||cb_mk||²)``. The direct form costs M·K·sub MACs per (query,
-    list); here the q·cb half is precomputed per call, the list half
-    per index (:func:`_list_lut_const`), leaving two in-place M·K adds
-    — at K=256 this assembles the LUT faster than the direct einsum
-    builds a K=64 one, which is what makes 8-bit codebooks cheap
-    (VERDICT r8 #6). The identical expression (and operation ORDER —
-    ``(−2a + s) + c``; the first add is IEEE-commutative with ``s −
-    2a``) runs in the distributed per_list kernel and the packed local
-    twin, so the two stay bit-identical; identical codes still collide
-    to exactly equal distances (same LUT entry), preserving every tie
-    rule."""
+    + ||cb_mk||²)``. Round 9's per-(query, list) assembly; the round-10
+    serving kernels split further (:func:`_gather_b_f32`) so nothing
+    per-list remains — kept for the trainer/tests and as the reference
+    formula."""
     s = np.einsum("qms,qms->qm", qr, qr)
     lut = -2.0 * a_q
     lut += s[:, :, None]
     lut += c_l[None]
     return lut
+
+
+def _gather_b_f32(
+    cflat: np.ndarray,    # (n, M) intp codes pre-offset into M·K flat
+    c_l: np.ndarray,      # (M, K) f64 list-const 2·c_l·cb + ||cb||²
+) -> np.ndarray:
+    """(n,) f32 query-INDEPENDENT ADC half for one list's code rows:
+    ``Σ_m (2·c_m·cb_m,code + ||cb_m,code||²)``, gathered from the f32
+    flat list-const in ascending-m accumulation.
+
+    Round-10 kernel split: the full LUT term decomposes per candidate
+    row i (list l, query q) as
+
+        d2[q, i] = gA[q, i] + gB[i] + S[q, l]
+
+    with ``gA = Σ_m −2·q_m·cb_m,code`` (per-QUERY flat LUT — one
+    (M·K) row per query per CALL, no per-list assembly), ``gB`` this
+    function (per-ROW, query-independent — cacheable at pack time),
+    and ``S = ||q − c_l||²`` (a scalar). Round 9 assembled a combined
+    (q_l, M, K) LUT per (query, list): at nprobe=16 over 512 lists
+    that is ~800 MB of LUT traffic per 1024-query call, and it was the
+    entire −28% QPS regression of the finer-list operating point. The
+    split leaves gather bandwidth as the only per-candidate cost.
+    Identical codes still collide to exactly equal d2 (same gA/gB/S
+    inputs), preserving every tie rule; the distributed per_list
+    kernel and the packed local twin run this same helper and the same
+    f32 accumulation order, so the two stay bit-identical."""
+    flat = c_l.astype(np.float32).ravel()
+    g = flat[cflat[:, 0]].copy()
+    for m in range(1, cflat.shape[1]):
+        g += flat[cflat[:, m]]
+    return g
 
 
 @dataclass
@@ -227,26 +252,37 @@ def _kmeanspp_init(xs: np.ndarray, k: int, r: np.random.RandomState) -> np.ndarr
 
 
 def _pq_assign_all(x3: np.ndarray, cbs: np.ndarray) -> np.ndarray:
-    """(n, M) codes — nearest codebook entry per subspace, ALL
-    subspaces in one einsum (the vectorized trainer hot path)."""
-    d2 = (
-        (x3 ** 2).sum(2)[:, :, None]
-        - 2.0 * np.einsum("nms,mks->nmk", x3, cbs)
-        + (cbs ** 2).sum(2)[None]
-    )
-    return d2.argmin(2)
+    """(n, M) codes — nearest codebook entry per subspace. Per-subspace
+    BLAS GEMM (||x||² dropped: constant per row, argmin-invariant) —
+    measured 8.8× faster than the one-shot (n, M, K) einsum at the
+    20k×16×256 trainer shape."""
+    n, m_subspaces, _ = x3.shape
+    codes = np.empty((n, m_subspaces), dtype=np.int64)
+    for m in range(m_subspaces):
+        d2m = (cbs[m] ** 2).sum(1)[None, :] - 2.0 * x3[:, m] @ cbs[m].T
+        codes[:, m] = d2m.argmin(1)
+    return codes
 
 
 def _pq_lloyd_all(x3: np.ndarray, cbs: np.ndarray, iters: int) -> np.ndarray:
     """Batch Lloyd over all M subspaces; dead centroids stay put (the
-    ++ init makes them rare on real residuals)."""
-    m_subspaces, n_centroids, _ = cbs.shape
+    ++ init makes them rare on real residuals). Centroid update via
+    per-dimension bincount (np.add.at is ~10× slower here)."""
+    m_subspaces, n_centroids, sub = cbs.shape
     for _ in range(iters):
         codes = _pq_assign_all(x3, cbs)
         for m in range(m_subspaces):
             cnt = np.bincount(codes[:, m], minlength=n_centroids)
-            sums = np.zeros_like(cbs[m])
-            np.add.at(sums, codes[:, m], x3[:, m])
+            sums = np.stack(
+                [
+                    np.bincount(
+                        codes[:, m], weights=x3[:, m, j],
+                        minlength=n_centroids,
+                    )
+                    for j in range(sub)
+                ],
+                axis=1,
+            )
             nz = cnt > 0
             cbs[m][nz] = sums[nz] / cnt[nz][:, None]
     return cbs
@@ -486,24 +522,22 @@ def ivfpq_search_batch(
         o = np.argsort(ids, kind="stable")
         ids = ids[o]
         codes = codes[o]
-        # residual queries for THIS list (rotated space); LUT assembled
-        # from the decomposed halves, computed here from the small factors
-        qr = (qmat_r[qidx] - coarse[lid]).reshape(len(qidx), m_subspaces, sub)
-        a_q = _query_cb_dots(qmat_r[qidx], cents)
-        c_l = _list_lut_const(coarse[lid][None, :], cents)[0]
-        lut = _decomposed_lut(qr, a_q, c_l)  # (q, M, K)
-        # gathers run against the CONTIGUOUS flattened float32 LUT (a
-        # gather from the strided lut[:, m, :] view is ~2× slower, and
-        # f32 halves the bandwidth of the hot loop), accumulated
-        # in-place in the same order as ivfpq_search_local → the two
-        # paths stay bit-identical. ADC is an approximate pre-rank
-        # (exact refine follows), so f32 costs nothing in quality.
-        # sqrt deferred to the selected rows.
+        # round-10 split-LUT ADC (see _gather_b_f32): per-query gA
+        # gather + per-row gB gather + per-(query, list) scalar S —
+        # no per-list LUT assembly. All f32, ascending-m accumulation,
+        # identical op order to ivfpq_search_local → bit-identical.
         cflat = codes.astype(np.intp) + _code_offsets(m_subspaces, n_centroids)
-        lutf = lut.reshape(len(qidx), -1).astype(np.float32)
-        d2 = lutf[:, cflat[:, 0]].copy()
+        c_l = _list_lut_const(coarse[lid][None, :], cents)[0]
+        g_b = _gather_b_f32(cflat, c_l)
+        a_f = (-2.0 * _query_cb_dots(qmat_r[qidx], cents)).reshape(
+            len(qidx), -1
+        ).astype(np.float32)
+        d2 = a_f[:, cflat[:, 0]].copy()
         for m in range(1, m_subspaces):
-            d2 += lutf[:, cflat[:, m]]
+            d2 += a_f[:, cflat[:, m]]
+        d2 += g_b[None, :]
+        s_q = ((qmat_r[qidx] - coarse[lid]) ** 2).sum(1).astype(np.float32)
+        d2 += s_q[:, None]
         kk = min(n_fetch, len(ids))
         # tie-aware cut: boundary d2 ties (identical codes) keep the
         # smaller id — argpartition speed otherwise. Rows are
@@ -641,6 +675,23 @@ class IVFPQPacked:
             object.__setattr__(self, "_lut_const", t)
         return t
 
+    @property
+    def codes_gb(self) -> np.ndarray:
+        """(N,) f32 per-row query-independent ADC half (gB in the
+        round-10 split-LUT kernel) — computed once per index from the
+        cached list consts, amortized over every search call."""
+        g = getattr(self, "_codes_gb", None)
+        if g is None:
+            g = np.empty(len(self.ids), dtype=np.float32)
+            c_all = self.lut_const
+            cf = self.codes_flat
+            for lid in range(len(self.centroids)):
+                s, e = int(self.offsets[lid]), int(self.offsets[lid + 1])
+                if e > s:
+                    g[s:e] = _gather_b_f32(cf[s:e], c_all[lid])
+            object.__setattr__(self, "_codes_gb", g)
+        return g
+
 
 def ivfpq_pack(index: IVFPQIndex) -> IVFPQPacked:
     """Collect the codes table once (Arrow) into list-grouped arrays."""
@@ -717,13 +768,17 @@ def ivfpq_search_local(
 
     cd = centroid_probe_scores(packed.centroids, qmat)
     probe = np.argsort(cd, axis=1)[:, :nprobe]
-    # decomposed-LUT tables — identical expressions to the distributed
-    # kernel (the list-constant half cached on the packed index);
-    # ADC in the rotated space, probe in the original (see IVFPQIndex)
+    # round-10 split-LUT kernel (see _gather_b_f32) — identical op
+    # order to the distributed per_list kernel; ADC in the rotated
+    # space, probe in the original (see IVFPQIndex). gA's flat f32
+    # per-QUERY LUT is built ONCE per call (nq × M·K); gB is cached on
+    # the packed index; nothing per-list remains but the gathers.
     qmat_r = qmat if packed.rotation is None else qmat @ packed.rotation.T
     rcoarse = packed.rot_centroids
-    a_all = _query_cb_dots(qmat_r, packed.codebooks)
-    c_all = packed.lut_const
+    a_f = (-2.0 * _query_cb_dots(qmat_r, packed.codebooks)).reshape(
+        nq, -1
+    ).astype(np.float32)
+    g_b = packed.codes_gb
 
     out_d = np.full((nq, nprobe * k), np.inf, dtype=np.float64)
     out_i = np.full((nq, nprobe * k), -1, dtype=np.int64)
@@ -734,18 +789,16 @@ def ivfpq_search_local(
         if e <= s:
             continue
         qidx = all_rows[(probe == lid).any(axis=1)]
-        qr = (qmat_r[qidx] - rcoarse[lid]).reshape(
-            len(qidx), m_subspaces, sub
-        )
-        lut = _decomposed_lut(qr, a_all[qidx], c_all[lid])
-        # gathers from the CONTIGUOUS flattened float32 LUT with an
-        # in-place accumulation loop — identical op order to the
-        # distributed per_list kernel; sqrt deferred to the final top-k
         cf = packed.codes_flat[s:e]
-        lutf = lut.reshape(len(qidx), -1).astype(np.float32)
-        d2 = lutf[:, cf[:, 0]].copy()
+        af = a_f[qidx]
+        d2 = af[:, cf[:, 0]].copy()
         for m in range(1, m_subspaces):
-            d2 += lutf[:, cf[:, m]]
+            d2 += af[:, cf[:, m]]
+        d2 += g_b[s:e][None, :]
+        s_q = ((qmat_r[qidx] - rcoarse[lid]) ** 2).sum(1).astype(
+            np.float32
+        )
+        d2 += s_q[:, None]
         kk = min(k, e - s)
         # tie-aware cut matching the distributed per_list kernel
         from fastpyvectordb_spark.operators.knn import topk_rows_tied

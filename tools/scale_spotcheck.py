@@ -299,9 +299,13 @@ def _section_serve(spark, n: int, dims: int, out: dict) -> None:
     db = VectorDB(spark, tempfile.mkdtemp() + "/scaledb")
     c = db.create_collection("vecs1m", dimensions=dims, metric="cosine")
     t0 = time.perf_counter()
+    # label metadata column: the verified-path delete(where=…)/update()
+    # probes below (VERDICT r9 #7) need a filterable field at 1M
     c.insert_batch(
         emb.select(
-            F.col("vec_id").cast("string").alias("id"), "embedding"
+            F.col("vec_id").cast("string").alias("id"),
+            "embedding",
+            F.pmod(F.col("vec_id"), F.lit(997)).cast("int").alias("label"),
         )
     )
     out["collection_ingest_1m_sec"] = round(time.perf_counter() - t0, 1)
@@ -326,11 +330,11 @@ def _section_serve(spark, n: int, dims: int, out: dict) -> None:
         3 * 32 / (time.perf_counter() - t0), 1
     )
     rows_1k = [
-        (f"u{i}", [float(x) for x in qpdf["query_vec"].iloc[0]])
+        (f"u{i}", [float(x) for x in qpdf["query_vec"].iloc[0]], -2)
         for i in range(1000)
     ]
     up_df = spark.createDataFrame(
-        rows_1k, "id string, embedding array<float>"
+        rows_1k, "id string, embedding array<float>, label int"
     )
     t0 = time.perf_counter()
     c.upsert(up_df)
@@ -343,6 +347,39 @@ def _section_serve(spark, n: int, dims: int, out: dict) -> None:
     t0 = time.perf_counter()
     c.delete(ids=[f"u{i}" for i in range(1000)], verify_existing=False)
     out["delete_fast_1k_at_1m_sec"] = round(time.perf_counter() - t0, 2)
+    _partial(out)
+
+    # -- verified-path DML at 1M (VERDICT r9 #7): the r9 bench's
+    # weakest DML row (delete_rows_per_sec 260 at sf0.1) was
+    # calibration-suspect; these anchor the verified scan paths at
+    # 1M rows so the README scale table carries real numbers.
+    # update(): 100-id metadata merge — bucket-pruned read, ≤20k-row
+    # driver-local upsert commit
+    upd_ids = [str(i) for i in range(100)]
+    t0 = time.perf_counter()
+    n_upd = c.update(upd_ids, metadata={"label": -1})
+    out["update_100_at_1m_sec"] = round(time.perf_counter() - t0, 2)
+    out["update_rows_per_sec_1m"] = round(
+        n_upd / max(time.perf_counter() - t0, 1e-9), 1
+    )
+    assert n_upd == 100
+    # delete(ids=…) verified (existence scan + DV kill commit)
+    del_ids = [str(i) for i in range(200_000, 201_000)]
+    t0 = time.perf_counter()
+    c.delete(ids=del_ids)
+    dt = time.perf_counter() - t0
+    out["delete_verified_1k_at_1m_sec"] = round(dt, 2)
+    out["delete_verified_rows_per_sec_1m"] = round(1000 / dt, 1)
+    # delete(where=…): full filter scan → DV kill commit (~1k matches)
+    before = c.count()
+    t0 = time.perf_counter()
+    c.delete(where={"label": 553})
+    dt = time.perf_counter() - t0
+    matched = before - c.count()
+    out["delete_where_matched_1m"] = int(matched)
+    out["delete_where_sec_1m"] = round(dt, 2)
+    out["delete_where_rows_per_sec_1m"] = round(matched / dt, 1)
+    assert matched > 900  # ≈ 1M/997 ids ≡ 553 (mod 997), minus overlaps
     _partial(out)
 
     # -- collection ANN at genuine oversize scale ----------------------
