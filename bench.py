@@ -151,11 +151,18 @@ def main() -> None:
         if not (pv and pc and cc and extras[row]):
             return
         ratio = extras[row] / pv
-        if not (ratio > 2.0 or ratio < 0.5):
-            return
         cal_ratio = cc / pc
-        if not (1.0 / 1.3 < cal_ratio < 1.3):
-            return  # probe moved with the row: host-explained, keep it
+        # trigger when the row CONTRADICTS its probe: a >2× row swing
+        # the probe doesn't echo (probe within 1.3×), or the row and
+        # probe moving apart by >2× overall (covers a row swinging
+        # AGAINST the probe's direction). A row tracking its probe is
+        # host-explained and stands.
+        big_row_swing = (ratio > 2.0 or ratio < 0.5) and (
+            1.0 / 1.3 < cal_ratio < 1.3
+        )
+        rel = ratio / cal_ratio
+        if not (big_row_swing or rel > 2.0 or rel < 0.5):
+            return
         import gc as _cgc
 
         _cgc.collect()
