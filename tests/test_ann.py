@@ -853,3 +853,79 @@ def test_ivfpq_batch_prunes_unprobed_lists(embeddings):
     # the pruning predicate compares list_id to literal probe ids —
     # Catalyst renders a 1-element isin as equality, wider ones as IN
     assert re.search(r"list_id#\d+ (=|IN) ?\(?\d", plan), plan[:1500]
+
+
+def test_opq_trainer_properties():
+    """OPQ trainer pins (round 10, no Spark needed): the learned
+    rotation is orthonormal, the rotated-space codebooks reconstruct
+    an ANISOTROPIC sample strictly better than subspace-aligned PQ
+    (the case OPQ exists for: energy concentrated in a few directions
+    that a fixed subspace split cannot isolate), and the trainer is
+    deterministic in its seed."""
+    import numpy as np
+
+    from fastpyvectordb_spark.ann.ivfpq import (
+        _pq_assign_all,
+        _train_opq,
+        _kmeanspp_init,
+    )
+
+    rng = np.random.RandomState(3)
+    n, dims, m, kc = 4000, 16, 4, 16
+    # anisotropic: strong energy on a few rotated directions
+    basis, _ = np.linalg.qr(rng.randn(dims, dims))
+    scales = np.array([8.0, 5.0, 3.0, 2.0] + [0.3] * (dims - 4))
+    x = (rng.randn(n, dims) * scales) @ basis.T
+
+    rot, cbs = _train_opq(x, m, kc, seed=11, opq_iters=6)
+    assert np.allclose(rot @ rot.T, np.eye(dims), atol=1e-9)
+
+    def recon_err(sample, rotation, codebooks):
+        xr = sample if rotation is None else sample @ rotation.T
+        codes = _pq_assign_all(xr.reshape(len(xr), m, dims // m), codebooks)
+        dec = np.concatenate(
+            [codebooks[j][codes[:, j]] for j in range(m)], axis=1
+        )
+        return ((xr - dec) ** 2).sum()
+
+    # plain PQ baseline: same trainer with 0 rotation iterations
+    rot0, cbs0 = _train_opq(x, m, kc, seed=11, opq_iters=0)
+    assert np.allclose(rot0, np.eye(dims))
+    assert recon_err(x, rot, cbs) < 0.9 * recon_err(x, None, cbs0)
+
+    rot2, cbs2 = _train_opq(x, m, kc, seed=11, opq_iters=6)
+    assert np.array_equal(rot, rot2) and np.array_equal(cbs, cbs2)
+
+    # ++ seeding handles fewer distinct points than centroids
+    tiny = np.repeat(rng.randn(3, 4), 2, axis=0)
+    cents = _kmeanspp_init(tiny, 8, np.random.RandomState(0))
+    assert cents.shape == (8, 4) and np.isfinite(cents).all()
+
+
+def test_ivfpq_packed_codes_gb_matches_direct():
+    """The pack-time gB cache must equal the per-list gather the
+    distributed kernel computes (same helper, same f32 order)."""
+    import numpy as np
+
+    from fastpyvectordb_spark.ann.ivfpq import (
+        IVFPQPacked,
+        _code_offsets,
+        _gather_b_f32,
+        _list_lut_const,
+    )
+
+    rng = np.random.RandomState(7)
+    n_lists, m, kc, sub = 3, 4, 8, 2
+    packed = IVFPQPacked(
+        centroids=rng.randn(n_lists, m * sub),
+        codebooks=rng.randn(m, kc, sub),
+        codes=rng.randint(0, kc, size=(30, m)).astype(np.uint8),
+        ids=np.arange(30, dtype=np.int64),
+        offsets=np.array([0, 10, 22, 30]),
+        rotation=None,
+    )
+    g = packed.codes_gb
+    c_all = _list_lut_const(packed.centroids, packed.codebooks)
+    for lid, (s, e) in enumerate(((0, 10), (10, 22), (22, 30))):
+        cf = packed.codes[s:e].astype(np.intp) + _code_offsets(m, kc)
+        assert np.array_equal(g[s:e], _gather_b_f32(cf, c_all[lid]))
