@@ -41,6 +41,7 @@ def test_lsh_recall(embeddings):
     assert mean >= 0.4, f"LSH mean recall@10 {mean} ({recalls})"
 
 
+@pytest.mark.slow
 def test_lsh_prunes_candidates(embeddings):
     planes = hyperplanes(64, n_bits=6, seed=42)
     signed = add_signatures(embeddings, planes).cache()
@@ -107,6 +108,7 @@ def test_ivf_batch_matches_single(embeddings):
         assert batch == single, f"query {qid}: {batch} != {single}"
 
 
+@pytest.mark.slow
 def test_ivf_partitioned_save_prunes_files(embeddings, tmp_path, spark):
     index = ivf_build(embeddings, n_lists=8)
     path = str(tmp_path / "ivf")
@@ -121,6 +123,7 @@ def test_ivf_partitioned_save_prunes_files(embeddings, tmp_path, spark):
     assert "PartitionFilters" in plan and "list_id" in plan
 
 
+@pytest.mark.slow
 def test_ivf_local_matches_distributed(embeddings):
     """The packed driver-local IVF path (ivf_pack + ivf_search_local)
     must return exactly what the distributed per-list plan returns —
@@ -208,6 +211,7 @@ def test_ivfpq_recall_and_refine(embeddings, spark):
     assert m_ref >= m_adc, (m_ref, m_adc)
 
 
+@pytest.mark.slow
 def test_ivfpq_codes_table_is_compact(embeddings, tmp_path):
     """The codes table must carry only (id, list_id, codes[M]) — the
     at-rest representation that makes 100 TB feasible — and a
@@ -228,6 +232,7 @@ def test_ivfpq_codes_table_is_compact(embeddings, tmp_path):
     assert len(parts) == 4
 
 
+@pytest.mark.slow
 def test_ivfpq_local_matches_distributed(embeddings, spark):
     """Packed driver-local IVF-PQ ADC must reproduce the distributed
     per-list plan exactly (same probes, same float64 LUT accumulation
@@ -268,6 +273,7 @@ def test_ivfpq_local_matches_distributed(embeddings, spark):
     assert np.allclose(got["dist"], want["dist"], atol=1e-9)
 
 
+@pytest.mark.slow
 def test_ivf_add_assigns_like_build(embeddings):
     """Incrementally added vectors get the same list assignment the
     builder's KMeans transform gives them (same centroids, argmin by
@@ -374,6 +380,7 @@ def test_partitioned_indexed_serving_matches_in_df(embeddings, spark, tmp_path):
         assert np.allclose(a["dist"], b["dist"])
 
 
+@pytest.mark.slow
 def test_partitioned_indexed_batch_full_probe_is_exact(embeddings, spark, tmp_path):
     """nprobe >= n_lists turns the cached-artifact batch scanner into
     an EXACT batch kNN — results must match the exact operator."""
@@ -433,6 +440,7 @@ def test_nsw_build_is_deterministic(embeddings):
     assert ra == rb
 
 
+@pytest.mark.slow
 def test_nsw_local_twin_matches_distributed(embeddings):
     """Round 4: the packed local twin (concatenated components,
     parts×queries lockstep lanes) must return the same (id, dist) sets
@@ -628,6 +636,7 @@ def test_serving_default_recall_equivalence(spark):
     assert r_nsw >= 0.95 and r_ivf >= r_nsw - 1e-9, (r_ivf, r_nsw)
 
 
+@pytest.mark.slow
 def test_ivf_search_batch_string_ids(spark):
     """The distributed batch kernel works on string-id tables (the
     collection id type), ranking by (dist, id) with the id column

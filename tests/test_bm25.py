@@ -4,6 +4,8 @@ save/load round-trip (the persisted-derived-table story at scale)."""
 
 from __future__ import annotations
 
+import pytest
+
 QUERY = "spark filter join stream table"
 
 
@@ -11,6 +13,7 @@ def _rows(df):
     return [(r["doc_id"], r["score"]) for r in df.collect()]
 
 
+@pytest.mark.slow
 def test_index_search_equals_oneshot(spark, documents):
     from fastpyvectordb_spark.operators.bm25 import BM25Index, bm25_search
 
@@ -21,6 +24,7 @@ def test_index_search_equals_oneshot(spark, documents):
     assert len(got) == 10
 
 
+@pytest.mark.slow
 def test_index_save_load_round_trip(spark, documents, tmp_path):
     from fastpyvectordb_spark.operators.bm25 import BM25Index
 
@@ -33,6 +37,7 @@ def test_index_save_load_round_trip(spark, documents, tmp_path):
     assert _rows(loaded.search(QUERY, k=10)) == _rows(idx.search(QUERY, k=10))
 
 
+@pytest.mark.slow
 def test_index_multi_query_reuse(spark, documents):
     from fastpyvectordb_spark.operators.bm25 import BM25Index, bm25_search
 
@@ -43,6 +48,7 @@ def test_index_multi_query_reuse(spark, documents):
         )
 
 
+@pytest.mark.slow
 def test_search_batch_equals_per_query(spark, documents):
     """One-job batched search must return, per query, exactly what the
     per-query path returns (same scores, same tie order, ranks 1..k)."""
@@ -60,6 +66,7 @@ def test_search_batch_equals_per_query(spark, documents):
         )
 
 
+@pytest.mark.slow
 def test_bm25_incremental_equals_rebuild(spark):
     """T2 add/remove_document parity: an index built on docs A then
     incrementally extended with docs B (and one built on A∪B minus the

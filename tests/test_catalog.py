@@ -38,6 +38,7 @@ def test_create_insert_count_get(spark, db):
     assert "embedding" not in got[0].asDict()
 
 
+@pytest.mark.slow
 def test_duplicate_id_rejected(spark, db):
     c = db.create_collection("col2", dimensions=4)
     c.insert_batch(_batch(spark, _vecs(3)))
@@ -53,6 +54,7 @@ def test_dimension_validation(spark, db):
         c.search([1.0] * 4)
 
 
+@pytest.mark.slow
 def test_upsert_and_delete(spark, db):
     c = db.create_collection("col4", dimensions=4)
     c.insert_batch(_batch(spark, _vecs(5)))
@@ -161,6 +163,7 @@ def test_vacuum_drops_old_snapshots(spark, tmp_path):
         c.df(version=v1).collect()
 
 
+@pytest.mark.slow
 def test_optimize_compacts_small_files(spark, tmp_path):
     """OPTIMIZE rewrites an append-fragmented snapshot into few
     right-sized files; contents identical, committed as a new version
@@ -363,6 +366,7 @@ def test_delete_then_reinsert_and_optimize_compacts_dv(spark, tmp_path):
     assert rows2 == rows
 
 
+@pytest.mark.slow
 def test_legacy_nonbucketed_snapshot_dml(spark, db, tmp_path):
     """DML against a snapshot written WITHOUT _bucket partition dirs
     (pre-bucketing layout / restored old version) must not raise: it
@@ -447,6 +451,7 @@ def test_bloom_filter_option_grows_files(spark, tmp_path):
     assert size(p2) > size(p1)
 
 
+@pytest.mark.slow
 def test_commit_conflict_detection(spark, tmp_path):
     """Optimistic concurrency: a commit built against a stale base is
     rejected at the pointer flip and its orphan version dir removed."""
@@ -599,6 +604,7 @@ def test_empty_upsert_batch_commits_nothing(spark, db):
     assert len(c.history()) == before
 
 
+@pytest.mark.slow
 def test_insert_none_metadata_value(spark, db):
     """None metadata values are legal (they round-trip as SQL NULL);
     schema inference would raise on them."""
@@ -813,6 +819,7 @@ def test_search_local_parity_and_version_invalidation(spark, db):
         cat.Collection.SERVING_PACK_MAX_FLOATS = old
 
 
+@pytest.mark.slow
 def test_upsert_local_conflict_on_concurrent_commit(spark, db, monkeypatch):
     """The driver-local upsert path must keep the optimistic-commit
     contract: if another writer flips the pointer between the local
@@ -1107,6 +1114,7 @@ def test_pack_serving_incremental_equals_full_rebuild(spark, db):
     assert note["x0"] == "drifted" and note["v1"] is None
 
 
+@pytest.mark.slow
 def test_pack_serving_incremental_runs_zero_spark_jobs(spark, db, monkeypatch):
     """The delta refresh must not touch Spark at all: with the full
     rebuild path (and count()) booby-trapped, a post-DML pack_serving
@@ -1134,6 +1142,7 @@ def test_pack_serving_incremental_runs_zero_spark_jobs(spark, db, monkeypatch):
     _pack_equal(pack, db.get_collection("zerojob").pack_serving())
 
 
+@pytest.mark.slow
 def test_pack_serving_falls_back_on_optimize_and_restore(spark, db):
     """File-removing shapes (optimize rewrite, restore) can't be
     expressed as a pack delta — the refresh must detect them and fall
@@ -1175,6 +1184,7 @@ def test_pack_serving_incremental_respects_size_refusal(spark, db):
         cat.Collection.SERVING_PACK_MAX_FLOATS = old
 
 
+@pytest.mark.slow
 def test_pack_serving_vacuumed_base_version_falls_back(spark, db):
     """vacuum() drops old version dirs AND pops their manifest-cache
     entries — a pack cached at a now-vacuumed base version must NOT

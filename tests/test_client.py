@@ -26,6 +26,7 @@ def client(spark, tmp_path_factory):
     srv.shutdown()
 
 
+@pytest.mark.slow
 def test_client_lifecycle(client):
     assert client.health()["status"] == "ok"
     client.create_collection("docs", dimensions=4, metric="l2")

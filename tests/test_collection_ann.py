@@ -100,6 +100,7 @@ def test_search_ann_tracks_dml_without_retrain(spark, db, monkeypatch):
     assert res3[0][0] == "newpt"
 
 
+@pytest.mark.slow
 def test_search_ann_retrains_past_drift_threshold(spark, db, monkeypatch):
     """Churning more than REBUILD_THRESHOLD of the corpus retrains the
     coarse centroids (merge-policy rebuild)."""
@@ -155,6 +156,7 @@ def test_search_ann_auto_builds_on_first_use(spark, db):
     assert os.path.exists(os.path.join(c.path, "_ann", "meta.json"))
 
 
+@pytest.mark.slow
 def test_search_ann_oversize_serves_distributed(spark, db):
     """Above the serving-pack threshold ann search stays available:
     the same centroids run as a compute-pruned distributed probed
@@ -223,6 +225,7 @@ def test_serving_snapshot_survives_concurrent_retrain(spark, db):
     assert [i for i, _ in again] == [i for i, _ in want]
 
 
+@pytest.mark.slow
 def test_ensure_publishes_atomically_under_threads(spark, db):
     """Hammer search_ann from N threads while DML commits land: every
     result must be internally consistent (ids exist in the collection,
@@ -365,6 +368,7 @@ def test_optimize_ann_cluster_no_spurious_retrain(spark, db, monkeypatch):
     assert res is not None and len(res) == 5
 
 
+@pytest.mark.slow
 def test_list_id_udf_matches_codegen(spark, db):
     """The vectorized assignment kernel (large-centroid path) agrees
     with the codegen argmin on non-boundary data."""
@@ -534,6 +538,7 @@ def test_drop_race_serves_held_snapshot_and_misses_cleanly(spark, db):
     assert st.search_distributed_batch([q], k=5) is None
 
 
+@pytest.mark.slow
 def test_optimize_ann_cluster_warns_below_break_even(spark, db):
     """VERDICT r6 #4: below the sizing break-even (files-per-bucket ≤
     default nprobe) the clustering rewrite can't pay for itself — the
@@ -617,6 +622,7 @@ def test_search_one_matches_batch_rows(spark, db):
             assert one == want, f"{metric} diverged"
 
 
+@pytest.mark.slow
 def test_ann_on_single_row_collection(spark, db):
     """Round-7 state-machine catch: a collection DML'd down to ONE row
     used to crash optimize(ann_cluster=True) / build_ann_index with

@@ -105,6 +105,7 @@ def test_duplicate_clusters_chain_transitivity(spark):
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
 
 
+@pytest.mark.slow
 def test_duplicate_clusters_long_chain_converges(spark):
     """A 12-node path graph needs multiple propagation rounds; the
     fixpoint check must converge to a single component."""
@@ -665,6 +666,7 @@ def test_upsample_copies_sql_contract():
         upsample_copies_sql({"web": -0.5})
 
 
+@pytest.mark.slow
 def test_embedding_neardup_auto_cluster_sizing(spark):
     """VERDICT r5 #6: n_clusters=None auto-sizes to ~sqrt(N) (capped),
     and the pruning-efficacy hook reports the block stats the bench

@@ -24,6 +24,7 @@ def corpus(spark):
     )
 
 
+@pytest.mark.slow
 def test_hybrid_indexed_equals_oneshot(spark, corpus):
     from fastpyvectordb_spark.operators.bm25 import BM25Index
     from fastpyvectordb_spark.operators.fusion import hybrid_search
@@ -55,6 +56,7 @@ def test_exact_search_packed_matches_knn(spark, corpus):
         ), metric
 
 
+@pytest.mark.slow
 def test_hybrid_batch_equals_per_query(spark, corpus):
     """One-job batched hybrid fusion must reproduce, per query, exactly
     what the single-query operator returns (which is itself
@@ -93,6 +95,7 @@ def test_hybrid_batch_equals_per_query(spark, corpus):
             assert (sub[c].to_numpy() == want[c].to_numpy()).all(), c
 
 
+@pytest.mark.slow
 def test_bm25_packed_matches_distributed(spark, corpus):
     """The driver-local packed BM25 searcher must reproduce
     BM25Index.search / search_batch exactly (values and tie order)."""
@@ -117,6 +120,7 @@ def test_bm25_packed_matches_distributed(spark, corpus):
     assert (bt["score"].to_numpy() == wt["score"].to_numpy()).all()
 
 
+@pytest.mark.slow
 def test_hybrid_local_matches_distributed(spark, corpus):
     """Packed-local hybrid fusion == the oracle-gated distributed plan."""
     from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_pack
@@ -180,6 +184,7 @@ def test_exact_batch_packed_matches_auto(spark, corpus):
         assert np.allclose(g["dist"], w["dist"], atol=1e-6), metric
 
 
+@pytest.mark.slow
 def test_hybrid_weight_aliases(spark, corpus):
     """H3 (hybrid_search.py:392-395): vector_weight/keyword_weight
     override alpha as vw/(vw+kw)."""

@@ -44,6 +44,7 @@ def test_sq_encode_roundtrip_error_bounded(embeddings):
     assert np.max(np.abs(decoded - v)) <= np.max(np.array(scales) / 255.0) + 1e-9
 
 
+@pytest.mark.slow
 def test_sq_recall(embeddings):
     stats = Q.sq_train(embeddings).collect()
     mins = [r["vmin"] for r in stats]
@@ -131,6 +132,7 @@ def test_bq_packed_equals_unpacked(embeddings):
         assert r["h1"] == r["h2"]
 
 
+@pytest.mark.slow
 def test_pq_kmeans_candidates_plus_rerank_recall(embeddings):
     """PQ(M=8, K=16) ADC as candidate generator + exact rerank.
 
@@ -196,6 +198,7 @@ def test_bq_local_matches_spark_hamming(embeddings):
         assert sub["h"].tolist() == list(d[qi]), f"query {qid}"
 
 
+@pytest.mark.slow
 def test_sq_cosine_recall(embeddings):
     """Q3 cosine variant (decode+normalize): recall@10 vs exact cosine."""
     stats = Q.sq_train(embeddings).collect()
@@ -322,6 +325,7 @@ def test_pq_local_matches_spark_adc(embeddings):
         assert np.allclose([r["dist"] for r in want], d[qi], atol=1e-9), qi
 
 
+@pytest.mark.slow
 def test_quantizer_save_load_roundtrip_all_kinds(spark, tmp_path):
     """Verdict r5 #4: train → save → load must reproduce the identical
     trained state (and identical codes) for SQ, BQ, and PQ — the

@@ -16,6 +16,7 @@ from fastpyvectordb_spark.operators.textanalysis import chunk_documents
 DIMS = 16
 
 
+@pytest.mark.slow
 def test_streaming_chunk_embed_ingest(spark, tmp_path):
     from fastpyvectordb_spark.streaming.events import stream_from_parquet_dir
 

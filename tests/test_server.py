@@ -38,6 +38,7 @@ def _req(base, method, path, payload=None):
         return e.code, json.loads(e.read())
 
 
+@pytest.mark.slow
 def test_rest_lifecycle(api):
     status, health = _req(api, "GET", "/health")
     assert status == 200 and health["status"] == "ok"
@@ -368,6 +369,7 @@ def test_rest_search_pack_none_falls_to_distributed(api, monkeypatch):
     _req(api, "DELETE", "/collections/nopack")
 
 
+@pytest.mark.slow
 def test_rest_search_ann_flag(api):
     """"ann": true routes through the collection IVF index (the
     reference server's always-index regime, opt-in here); results on
@@ -453,6 +455,7 @@ def test_rest_search_ann_oversize_distributed(api, monkeypatch):
     _req(api, "DELETE", "/collections/bigann")
 
 
+@pytest.mark.slow
 def test_rest_concurrent_search_dml_hammer(api):
     """Sustained concurrent exact+ANN searches against live DML over
     real HTTP: every response must be 200 with k well-ordered results.

@@ -139,6 +139,7 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path, events_batch):
     assert len(got_map) > 50
 
 
+@pytest.mark.slow
 def test_streaming_interval_join_equals_batch(spark, events_dir, events_batch):
     """Stream-stream interval join (watermarked both sides) must emit
     exactly the pairs the batch plan produces."""

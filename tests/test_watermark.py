@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from fastpyvectordb_spark.streaming.events import windowed_counts
@@ -48,6 +49,7 @@ def _run(spark, src, ckpt, out):
         return []
 
 
+@pytest.mark.slow
 def test_late_rows_beyond_watermark_dropped(spark, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
@@ -71,6 +73,7 @@ def test_late_rows_beyond_watermark_dropped(spark, tmp_path):
     assert total_counted <= len(fresh)
 
 
+@pytest.mark.slow
 def test_stream_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
     """dedup_within_watermark: duplicate event_ids delivered across
     micro-batches inside the horizon must be emitted exactly once, and
