@@ -45,9 +45,9 @@ def register(name: str, oracle: str | None = None):
 # The 50 names the r9 driver just re-verified go last.
 _PRIORITY = [
     # round-10 code changes: near-dup verify/miner edits + IVF-PQ
-    # residual encoding
+    # OPQ/split-LUT + the NEW edge-embedding search query
     "dedup_embedding_lsh_threshold", "dedup_embedding_topk",
-    "ann_ivfpq_knn",
+    "ann_ivfpq_knn", "gv_edge_similarity",
     # last driver-verified round 7 (oldest green rows — 29 names)
     "agg_count_by_source", "agg_embedding_dim_stats",
     "agg_lang_source_matrix", "agg_pricing_summary", "agg_revenue_by_nation",

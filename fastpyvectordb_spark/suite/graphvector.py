@@ -162,3 +162,59 @@ def gv_traverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_search_with_reranking(
         nodes, edges, "v:0", qvec, k=K, max_depth=3
     )
+
+
+_GV_EDGE_ORACLE = f"""
+WITH eedges AS (
+  SELECT 'v:' || prev AS src, 'v:' || vec_id AS dst, 'NEXT' AS type,
+         embedding
+  FROM (
+    SELECT vec_id, embedding,
+           lag(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS prev
+    FROM embeddings
+  ) WHERE prev IS NOT NULL
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+topk AS (
+  SELECT src, dst, type,
+         ROUND({duckdb_distance("eedges.embedding", "q.qvec", "cosine")}, 6)
+           AS dist
+  FROM eedges CROSS JOIN q
+  ORDER BY dist, src || '->' || dst || '#' || type
+  LIMIT {K}
+)
+SELECT src, dst, type, ROUND(1.0 - dist, 6) AS similarity
+FROM topk
+ORDER BY similarity DESC, src, dst, type
+"""
+
+
+@register("gv_edge_similarity", _GV_EDGE_ORACLE)
+def gv_edge_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-embedding kNN (round-10 GV+ extra): the NEXT chain edges
+    carry their dst node's embedding; top-k edges by cosine similarity
+    to the vec_id=0 query. The reference STORES per-edge embeddings
+    (hybrid_graph_vector.py:235-247) but has no search over them —
+    this is the closing query for vector_search_edges. Tie-break is
+    the deterministic src->dst#type composite in BOTH engines (the
+    selection key), then (similarity desc, src, dst, type) output
+    order."""
+    from fastpyvectordb_spark.operators.graphvector import (
+        vector_search_edges,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    edges = (
+        emb.select("vec_id", "label", "embedding")
+        .withColumn("prev", F.lag("vec_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.concat(F.lit("v:"), F.col("prev")).alias("src"),
+            F.concat(F.lit("v:"), F.col("vec_id")).alias("dst"),
+            F.lit("NEXT").alias("type"),
+            "embedding",
+        )
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return vector_search_edges(edges, qvec, k=K, metric="cosine")
