@@ -1462,6 +1462,12 @@ def main() -> None:
         "queries": timings,
         **{k: extras[k] for k in headline},
     }
+    if "reran" in compact:
+        # the full first line carries the row list; the tail-window
+        # line only needs the count (on a host whose regime changed
+        # between rounds the confirm can fire on most rows — 21 names
+        # is ~500 chars of a 2000-char budget)
+        compact["reran"] = len(extras["reran"])
     line = json.dumps(compact, separators=(",", ":"))
 
     def _shed_queries(keep: int) -> None:
@@ -1481,16 +1487,23 @@ def main() -> None:
         compact.pop("norm_per_gflops", None)
         compact.pop("norm_per_gbps", None)
 
+    def _shed_misc() -> None:
+        # secondary markers, all present in the full first line
+        for k in ("neardup_routed_sec", "neardup_kept_block_frac",
+                  "neardup_routed", "ann_cluster_optimize_sec"):
+            compact.pop(k, None)
+
     # shed order: per-query timings (12→8→4), then the derived norm
-    # blocks, and only then the last 4 queries — the driver should
-    # always see the top-4 query timings when anything has to give
-    # (VERDICT r8 #5; norms are derivable from the full first line,
-    # queries are not). Headline raw metrics (value + *_qps/*_per_sec/
-    # recalls/cal_*) are never dropped. Round 7 overflowed at keep=4
-    # (2,269 chars) and the driver recorded parsed:null; the tail
-    # window is 2,000 chars and this line MUST fit.
+    # blocks, then secondary markers, and only then the last 4
+    # queries — the driver should always see the top-4 query timings
+    # when anything has to give (VERDICT r8 #5; norms/markers are
+    # derivable from the full first line, queries are not). Headline
+    # raw metrics (value + *_qps/*_per_sec/recalls/cal_*) are never
+    # dropped. Round 7 overflowed at keep=4 (2,269 chars) and the
+    # driver recorded parsed:null; the tail window is 2,000 chars and
+    # this line MUST fit.
     sheds = [lambda: _shed_queries(12), lambda: _shed_queries(8),
-             lambda: _shed_queries(4), _shed_norms,
+             lambda: _shed_queries(4), _shed_norms, _shed_misc,
              lambda: _shed_queries(0)]
     for shed in sheds:
         if len(line) <= 2000:
