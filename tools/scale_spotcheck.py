@@ -124,10 +124,15 @@ def _section_emb(spark, n: int, dims: int, out: dict) -> None:
     assert cnt == len(qpdf) * 10
     _partial(out)
 
-    # -- embedding near-dup, routed default, 1M x 64 (VERDICT r8 #4):
-    # the OTHER LLM-pipeline headline. mode="auto" must route to the
-    # banded LSH arm on this weakly-clustered corpus; wall should scale
-    # ~linearly with N (banded equi-joins + bounded λ-seed GEMM).
+    # -- embedding near-dup, auto default, 1M x 64 (VERDICT r8 #4):
+    # the OTHER LLM-pipeline headline. The WORK-based router decides
+    # the regime: pre-round-9 (256-cluster cap) the kept work at 1M
+    # was ~1.75e11 pair-sims and auto routed to the banded LSH arm;
+    # with the 1024-cluster cap the tighter angular bounds keep the
+    # work under the 8·N·√N budget and auto runs the EXACT arm — at
+    # 233 s measured r10 (vs the 40+-minute exact wall the router was
+    # built to avoid). Either outcome is correct; `neardup_routed_1m`
+    # records which regime ran so the README row stays honest.
     from fastpyvectordb_spark.operators.dedup import embedding_neardup_topk
 
     stats: dict = {}
