@@ -805,13 +805,15 @@ def main() -> None:
     # max_iter=20 (not round 1's 5): an undertrained coarse quantizer
     # was the entire ivfpq recall gap (0.72 refined → 1.00 candidate
     # recall at the same nprobe/refine once KMeans converges).
-    # Round-10 operating point (VERDICT r9 #6): n_lists=512 with
-    # nprobe=16 — the SAME 3.1% scan fraction as the old 256/8 point
-    # (per-query candidate count and ADC gather work unchanged, so QPS
-    # holds), but halved per-list residual energy, which combined with
+    # Round-10 operating point (VERDICT r9 #6): n_lists=512, nprobe=8.
+    # Finer lists halve per-list residual energy, which combined with
     # the OPQ rotation (ivfpq_build default) lifts raw ADC recall
-    # 0.85 → ≥0.90 at candidate recall 1.0 (measured 0.9025 on this
-    # corpus, 1024-query eval). n_centroids=256 full 8-bit codes
+    # 0.85 → 0.9016. The measured operating curve on this corpus is
+    # FLAT in nprobe — 0.9016 at every probe count 4..64 (candidate
+    # recall saturates by 0.8% scan; ADC quantization is the sole
+    # recall limiter) — so nprobe=8 (1.6% scan) sits one doubling
+    # above the knee for corpus-drift margin while running HALF the
+    # old 256/8 point's scan work. n_centroids=256 full 8-bit codes
     # (round 9) — still 16 B/vector at rest.
     # train_rows=50k / opq_iters=12 (vs the 20k/10 defaults): the OPQ
     # codebooks are the recall bottleneck at this operating point —
@@ -827,7 +829,7 @@ def main() -> None:
 
     @bench("q_knn_ivfpq_batch_100k", repeats=3)
     def _():
-        n = ivfpq_search_batch(ivfpq, qpdf_big, k=K, nprobe=16).count()
+        n = ivfpq_search_batch(ivfpq, qpdf_big, k=K, nprobe=8).count()
         assert n == n_queries * K
 
     qps_row("ivfpq_batch_qps", "q_knn_ivfpq_batch_100k", n_queries)
@@ -837,11 +839,11 @@ def main() -> None:
     from fastpyvectordb_spark.ann.ivfpq import ivfpq_pack, ivfpq_search_local
 
     ivfpq_packed = ivfpq_pack(ivfpq)
-    ivfpq_search_local(ivfpq_packed, qpdf_big, k=K, nprobe=16)  # warm
+    ivfpq_search_local(ivfpq_packed, qpdf_big, k=K, nprobe=8)  # warm
 
     @bench("q_knn_ivfpq_local_100k", repeats=3)
     def _():
-        res = ivfpq_search_local(ivfpq_packed, qpdf_big, k=K, nprobe=16)
+        res = ivfpq_search_local(ivfpq_packed, qpdf_big, k=K, nprobe=8)
         assert len(res) == n_queries * K
 
     qps_row("ivfpq_local_qps", "q_knn_ivfpq_local_100k", n_queries)
@@ -870,7 +872,7 @@ def main() -> None:
     extras["ivfpq_codes_mb"] = round(N_BIG * 16 / 2**20, 2)
 
     extras["ivfpq_recall_at_k"] = _recall_vs_exact(
-        ivfpq_search_batch(ivfpq, sample_pq, k=K, nprobe=16).toPandas()
+        ivfpq_search_batch(ivfpq, sample_pq, k=K, nprobe=8).toPandas()
     )
     extras["ivfpq_refined_recall_at_k"] = _recall_vs_exact(
         ivfpq_search_batch(
