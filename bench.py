@@ -815,15 +815,17 @@ def main() -> None:
     # above the knee for corpus-drift margin while running HALF the
     # old 256/8 point's scan work. n_centroids=256 full 8-bit codes
     # (round 9) — still 16 B/vector at rest.
-    # train_rows=50k / opq_iters=12 (vs the 20k/10 defaults): the OPQ
+    # train_rows=60k / opq_iters=15 (vs the 20k/10 defaults): the OPQ
     # codebooks are the recall bottleneck at this operating point —
     # measured 0.899 -> 0.903 -> 0.909 raw recall at 20k/10, 40k/12,
-    # 60k/15 on 1024 queries; 50k/12 buys the 0.90 margin at ~2 min of
-    # driver-side training, still scale-independent (the sample is
-    # bounded regardless of corpus size).
+    # 60k/15 on 1024 queries. The round-10 chunked-f32 trainer assign
+    # made the bigger budget cheap (~45 s of driver-side training,
+    # build 103 s total vs 175 s at the f64 50k/12 point), still
+    # scale-independent (the sample is bounded regardless of corpus
+    # size); measured 0.9039 at this exact configuration.
     ivfpq = ivfpq_build(
         big, n_lists=512, m_subspaces=16, n_centroids=256, max_iter=20,
-        train_rows=50_000, opq_iters=12,
+        train_rows=60_000, opq_iters=15,
     ).colocate()
     extras["ivfpq_build_sec"] = round(time.perf_counter() - t0, 3)
 

@@ -253,14 +253,28 @@ def _kmeanspp_init(xs: np.ndarray, k: int, r: np.random.RandomState) -> np.ndarr
 
 def _pq_assign_all(x3: np.ndarray, cbs: np.ndarray) -> np.ndarray:
     """(n, M) codes — nearest codebook entry per subspace. Per-subspace
-    BLAS GEMM (||x||² dropped: constant per row, argmin-invariant) —
-    measured 8.8× faster than the one-shot (n, M, K) einsum at the
-    20k×16×256 trainer shape."""
+    f32 BLAS GEMM into a reused chunked buffer (||x||² dropped:
+    constant per row, argmin-invariant). TRAINER-internal assignment
+    only (the production encoder in ivfpq_build stays float64): f32 is
+    fine for Lloyd/Procrustes iterates, and the full-matrix f64 form
+    wrote 1.6 GB of temporaries per 50k-row assign — the chunked f32
+    buffer stays cache-resident and measured ~4× faster end-to-end."""
     n, m_subspaces, _ = x3.shape
+    n_centroids = cbs.shape[1]
     codes = np.empty((n, m_subspaces), dtype=np.int64)
+    chunk = 8192
+    buf = np.empty((min(chunk, n), n_centroids), dtype=np.float32)
     for m in range(m_subspaces):
-        d2m = (cbs[m] ** 2).sum(1)[None, :] - 2.0 * x3[:, m] @ cbs[m].T
-        codes[:, m] = d2m.argmin(1)
+        cb_t = np.ascontiguousarray(cbs[m].T, dtype=np.float32)
+        cb_n2 = (cbs[m] ** 2).sum(1).astype(np.float32)
+        xm = np.ascontiguousarray(x3[:, m], dtype=np.float32)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            b = buf[: e - s]
+            np.dot(xm[s:e], cb_t, out=b)
+            b *= -2.0
+            b += cb_n2[None, :]
+            codes[s:e, m] = b.argmin(1)
     return codes
 
 
