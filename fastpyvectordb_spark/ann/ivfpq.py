@@ -135,7 +135,18 @@ def _gather_b_f32(
     Identical codes still collide to exactly equal d2 (same gA/gB/S
     inputs), preserving every tie rule; the distributed per_list
     kernel and the packed local twin run this same helper and the same
-    f32 accumulation order, so the two stay bit-identical."""
+    f32 accumulation order, so the two stay bit-identical.
+
+    Conditioning assumption (ADVICE r10): the split sums large SIGNED
+    f32 terms (gA < 0, gB/S > 0) where the round-9 kernel assembled
+    non-negative per-subspace distances in f64 — fine for roughly
+    unit-norm residuals (coarse centering keeps |residual| ≪ |x|, and
+    every corpus here is ~unit-norm), but on uncentered/large-magnitude
+    embeddings the cancellation gA + (gB + S) loses more relative
+    precision and raw-ADC near-boundary ordering can drift. Exact
+    refine masks it; if an unnormalized-corpus raw-recall regression
+    ever shows up, accumulate gA + gB in f64 per row before the
+    conversion."""
     flat = c_l.astype(np.float32).ravel()
     g = flat[cflat[:, 0]].copy()
     for m in range(1, cflat.shape[1]):
@@ -351,7 +362,7 @@ def _train_opq(
 
 def ivfpq_build(
     df: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     m_subspaces: int = 8,
     n_centroids: int = 16,
     id_col: str = "vec_id",
@@ -361,7 +372,27 @@ def ivfpq_build(
     train_rows: int = 20_000,
     opq_iters: int = 10,
 ) -> IVFPQIndex:
+    """Build an IVF-PQ index: coarse KMeans lists + per-list residual
+    PQ codes (optionally OPQ-rotated, Ge et al. CVPR 2013).
+
+    ``n_lists=None`` auto-sizes the coarse quantizer to ``≈ √N``
+    (the FAISS sizing rule), clamped to [16, 65536] — 100k rows get
+    ~316 lists, 10M get ~3162, so small corpora keep coarse scan work
+    (and distributed-batch per-list group count) proportionate while
+    big ones get list sizes that stay probe-prunable. The clamp floor
+    matches the old fixed default.
+
+    ``max_iter`` bounds the coarse KMeans (always) and, on the
+    ``opq_iters=0`` path, the distributed residual-codebook Lloyd
+    passes. With ``opq_iters>0`` the residual training instead runs
+    ``_train_opq``'s fixed 8/3/8 driver-side Lloyd schedule (the
+    alternation with the Procrustes solve is the budget that matters
+    there — tune ``opq_iters``/``train_rows``, not ``max_iter``)."""
     from fastpyvectordb_spark.ann.ivf import ivf_build
+
+    if n_lists is None:
+        n_rows = df.count()
+        n_lists = max(16, min(65536, int(round(n_rows ** 0.5))))
 
     first = df.select(F.size(vec_col).alias("d")).head()
     if first is None:
@@ -395,8 +426,12 @@ def ivfpq_build(
         # OPQ training: bounded residual sample → driver NumPy (the
         # sample is ≤ train_rows rows regardless of corpus size, so
         # this collect is scale-independent like every other bounded
-        # collect in the repo). The count/sample/checkpoint discipline
-        # matches _train_residual_codebooks.
+        # collect in the repo). Unlike _train_residual_codebooks no
+        # localCheckpoint is needed: the sample is collected exactly
+        # once, so there is no recomputation to cut. NOTE: max_iter
+        # governs only the COARSE quantizer here (ivf_build above);
+        # the residual Lloyd budgets on this path are _train_opq's
+        # fixed 8/3/8 schedule (see ivfpq_build's docstring).
         n = residuals.count()
         res_s = residuals
         if n > train_rows:

@@ -80,24 +80,28 @@ def vector_search_edges(
     the node sidecar (``hybrid_graph_vector.py:235-247``) but exposes
     no search over them — this twin of :func:`vector_search_nodes`
     closes that stores-but-can't-query asymmetry. Edge identity is the
-    (src, dst, type) triple; ties break on the deterministic
-    ``src→dst#type`` string so results are stable like every other
-    top-k in the suite. Same plan shape as node search: pre-filter →
+    (src, dst, type) triple and ties break on that actual tuple — not
+    on a ``src->dst#type`` concat, whose ordering diverges from the
+    tuple's when ids contain '-'/'>'/'#' (e.g. dst='b#' vs dst='b').
+    Same plan shape as node search: pre-filter →
     TakeOrderedAndProject, no shuffle beyond the top-k merge."""
+    from fastpyvectordb_spark.operators.knn import _qvec_lit
+
     pre = None
     if edge_type is not None:
         pre = F.col("type") == F.lit(edge_type)
     for key, val in (properties or {}).items():
         c = F.col(key) == F.lit(val)
         pre = c if pre is None else (pre & c)
-    keyed = edges.withColumn(
-        "_eid",
-        F.concat_ws("", F.col("src"), F.lit("->"), F.col("dst"),
-                    F.lit("#"), F.col("type")),
+    if pre is not None:
+        edges = edges.filter(pre)
+    dist = F.round(
+        distance(F.col(vec_col), _qvec_lit(query_vec), metric), ROUND
     )
-    top = knn(
-        keyed, query_vec, k=k, metric=metric, pre_filter=pre,
-        id_col="_eid", vec_col=vec_col, keep_cols=["src", "dst", "type"],
+    top = (
+        edges.select("src", "dst", "type", dist.alias("dist"))
+        .orderBy("dist", "src", "dst", "type")
+        .limit(k)
     )
     return top.select(
         "src",

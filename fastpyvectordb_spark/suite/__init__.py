@@ -35,40 +35,20 @@ def register(name: str, oracle: str | None = None):
 
 # The driver samples a capped prefix (50 names) of this list each round.
 # Every query has at least one driver-green row, so ordering is
-# STALENESS-based (VERDICT r5 item #2, re-affirmed each round; r10
-# rotation is VERDICT r9 item #2): round-10 code changes first (the
-# hybrid banded verify's window-count bucket sizing and the miners'
-# key-derived triangle flag touch both near-dup paths; IVF-PQ residual
-# encoding touches ann_ivfpq), then the 29 names last driver-verified
-# in r7 — the stalest green rows at r10 — then the oldest r8-verified
-# names to fill the 50 prefix, keeping every query ≤3 rounds stale.
-# The 50 names the r9 driver just re-verified go last.
+# STALENESS-based (VERDICT r5 item #2, re-affirmed each round; r11
+# rotation is VERDICT r10 item #3): round-11 code changes first
+# (vector_search_edges' tuple tie-break touches gv_edge_similarity;
+# ivfpq.py's auto n_lists sizing touches ann_ivfpq_knn), then the 30
+# names last driver-verified in round 8 — the stalest green rows at
+# r11 (the block after graph_bfs_levels, exactly as the r10 verdict
+# prescribed) — then the oldest r9-verified names to fill the 50
+# prefix, keeping every query ≤3 rounds stale. The 50 names the r10
+# driver just re-verified go last.
 _PRIORITY = [
-    # round-10 code changes: near-dup verify/miner edits + IVF-PQ
-    # OPQ/split-LUT + the NEW edge-embedding search query
-    "dedup_embedding_lsh_threshold", "dedup_embedding_topk",
-    "ann_ivfpq_knn", "gv_edge_similarity",
-    # last driver-verified round 7 (oldest green rows — 29 names)
-    "agg_count_by_source", "agg_embedding_dim_stats",
-    "agg_lang_source_matrix", "agg_pricing_summary", "agg_revenue_by_nation",
-    "agg_rollup_suppliers", "agg_top_customers_by_orders",
-    "agg_top_orders_by_revenue", "bm25_search", "bm25_search_batch",
-    "bq_hamming_knn", "dedup_clusters", "dedup_exact",
-    "dedup_lines_reconstruct", "dedup_ngram_jaccard",
-    "join_semi_anti_segments", "join_small_qty_orders_q17",
-    "join_top_supplier_q15", "join_volume_shipping_q7",
-    "join_waiting_suppliers_q21", "page_customers",
-    "pipeline_chunk_documents", "pipeline_filter_funnel",
-    "pipeline_pack_sequences", "pipeline_upsample_mixture",
-    "setops_customer_activity", "text_moore_lewis_selection",
-    "text_word_entropy", "window_running_revenue",
-    # oldest round-8-verified names (fill the 50 prefix)
-    "knn_cosine", "knn_l2", "knn_ip", "knn_batch", "knn_filtered",
-    "sq_train_stats", "sq_knn_cosine", "sq_knn_l2", "sq_knn_ip",
-    "pq_adc_knn", "hybrid_search_alpha05", "hybrid_search_alpha08",
-    "hybrid_search_batch", "graph_find_nodes", "graph_neighbors",
-    "graph_traverse", "graph_bfs_levels", "graph_shortest_path",
-    # remaining round-8-verified names (next in line)
+    # round-11 code changes
+    "gv_edge_similarity", "ann_ivfpq_knn",
+    # last driver-verified round 8 (oldest green rows — 30 names)
+    "graph_shortest_path",
     "graph_degree_topk", "graph_stats", "graph_hyperedge_membership",
     "graph_part_copurchase_topk", "gv_semantic_expansion",
     "gv_traverse_rerank", "dedup_minhash_lsh", "dedup_simhash",
@@ -82,7 +62,7 @@ _PRIORITY = [
     "events_subscription_filter", "events_user_outlier_counts",
     "events_value_percentiles", "events_window_hourly",
     "join_shipping_priority_q3",
-    # freshest: re-verified by the r9 driver (CORRECTNESS_r09 green)
+    # oldest round-9-verified names (fill the 50 prefix)
     "ann_ivf_knn",
     "media_audio_chunks", "media_features",
     "media_frame_sample", "media_manifest", "pipeline_stratified_counts",
@@ -91,7 +71,9 @@ _PRIORITY = [
     "agg_disjunctive_parts_q19", "agg_forecast_revenue",
     "agg_grouping_sets_orders", "agg_important_parts_q11", "agg_large_orders",
     "agg_late_ship_priority", "agg_nation_market_share",
-    "agg_priority_class_by_linestatus", "agg_priority_line_counts",
+    "agg_priority_class_by_linestatus",
+    # remaining round-9-verified names (next in line)
+    "agg_priority_line_counts",
     "agg_product_profit_q9", "agg_promo_revenue_ratio",
     "agg_returned_item_ranking", "agg_rollup_nation_year",
     "agg_supplier_part_counts_q16", "cluster_centroid_profile",
@@ -107,6 +89,26 @@ _PRIORITY = [
     "join_orders_above_cust_avg", "join_promotion_suppliers_q20",
     "join_range_click_burst", "join_sales_opportunity",
     "join_salted_customer_nation",
+    # freshest: re-verified by the r10 driver (CORRECTNESS_r10 green)
+    "dedup_embedding_lsh_threshold", "dedup_embedding_topk",
+    "agg_count_by_source", "agg_embedding_dim_stats",
+    "agg_lang_source_matrix", "agg_pricing_summary", "agg_revenue_by_nation",
+    "agg_rollup_suppliers", "agg_top_customers_by_orders",
+    "agg_top_orders_by_revenue", "bm25_search", "bm25_search_batch",
+    "bq_hamming_knn", "dedup_clusters", "dedup_exact",
+    "dedup_lines_reconstruct", "dedup_ngram_jaccard",
+    "join_semi_anti_segments", "join_small_qty_orders_q17",
+    "join_top_supplier_q15", "join_volume_shipping_q7",
+    "join_waiting_suppliers_q21", "page_customers",
+    "pipeline_chunk_documents", "pipeline_filter_funnel",
+    "pipeline_pack_sequences", "pipeline_upsample_mixture",
+    "setops_customer_activity", "text_moore_lewis_selection",
+    "text_word_entropy", "window_running_revenue",
+    "knn_cosine", "knn_l2", "knn_ip", "knn_batch", "knn_filtered",
+    "sq_train_stats", "sq_knn_cosine", "sq_knn_l2", "sq_knn_ip",
+    "pq_adc_knn", "hybrid_search_alpha05", "hybrid_search_alpha08",
+    "hybrid_search_batch", "graph_find_nodes", "graph_neighbors",
+    "graph_traverse", "graph_bfs_levels",
 ]
 
 

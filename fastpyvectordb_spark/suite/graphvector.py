@@ -180,7 +180,7 @@ topk AS (
          ROUND({duckdb_distance("eedges.embedding", "q.qvec", "cosine")}, 6)
            AS dist
   FROM eedges CROSS JOIN q
-  ORDER BY dist, src || '->' || dst || '#' || type
+  ORDER BY dist, src, dst, type
   LIMIT {K}
 )
 SELECT src, dst, type, ROUND(1.0 - dist, 6) AS similarity
@@ -196,9 +196,8 @@ def gv_edge_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the vec_id=0 query. The reference STORES per-edge embeddings
     (hybrid_graph_vector.py:235-247) but has no search over them —
     this is the closing query for vector_search_edges. Tie-break is
-    the deterministic src->dst#type composite in BOTH engines (the
-    selection key), then (similarity desc, src, dst, type) output
-    order."""
+    the actual (src, dst, type) tuple in BOTH engines (the selection
+    key), then (similarity desc, src, dst, type) output order."""
     from fastpyvectordb_spark.operators.graphvector import (
         vector_search_edges,
     )

@@ -211,6 +211,24 @@ def test_ivfpq_recall_and_refine(embeddings, spark):
     assert m_ref >= m_adc, (m_ref, m_adc)
 
 
+def test_ivfpq_auto_n_lists(embeddings, spark):
+    """``n_lists=None`` auto-sizes the coarse quantizer to ≈√N clamped
+    to [16, 65536] (VERDICT r10 #2, the FAISS rule): small corpora get
+    proportionate list counts (and distributed-batch group counts)
+    instead of a fixed operating point tuned at another scale."""
+    from fastpyvectordb_spark.ann.ivfpq import ivfpq_build
+
+    n = embeddings.count()
+    expected = max(16, min(65536, int(round(n ** 0.5))))
+    idx = ivfpq_build(
+        embeddings, n_lists=None, m_subspaces=8, n_centroids=16,
+        max_iter=2, opq_iters=0, train_rows=500,
+    )
+    assert len(idx.centroids) == expected
+    # and the codes cover every row exactly once
+    assert idx.codes.count() == n
+
+
 @pytest.mark.slow
 def test_ivfpq_codes_table_is_compact(embeddings, tmp_path):
     """The codes table must carry only (id, list_id, codes[M]) — the

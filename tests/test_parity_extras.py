@@ -191,24 +191,29 @@ def test_vector_search_edges_twin(spark):
             # exact duplicate embedding of (a, b, REL): similarity ties,
             # (src, dst, type) ordering must break it deterministically
             ("a", "z", "REL", [1.0, 0.0, 0.0]),
+            # dst contains '#': the old src->dst#type concat key sorted
+            # 'a->b##REL' BEFORE 'a->b#REL' ('#' < 'R'), inverting the
+            # tuple order — pins the ADVICE-r10 fix to tuple tie-break
+            ("a", "b#", "REL", [1.0, 0.0, 0.0]),
         ],
         "src string, dst string, type string, embedding array<float>",
     )
     q = [1.0, 0.0, 0.0]
-    out = vector_search_edges(edges, q, k=4).collect()
+    out = vector_search_edges(edges, q, k=5).collect()
     got = [(r["src"], r["dst"], r["type"]) for r in out]
-    # ties at sim=1.0: (a,b) < (a,z) < (c,d) lexicographically on the
-    # composite a->b#REL / a->z#REL / c->d#OTHER id used in the top-k
+    # ties at sim=1.0 break on the ACTUAL (src, dst, type) tuple:
+    # (a,b) < (a,b#) < (a,z) < (c,d)
     assert got == [
         ("a", "b", "REL"),
+        ("a", "b#", "REL"),
         ("a", "z", "REL"),
         ("c", "d", "OTHER"),
         ("b", "c", "REL"),
     ]
     assert out[0]["similarity"] == 1.0
-    assert out[3]["similarity"] < 1.0
+    assert out[4]["similarity"] < 1.0
 
     typed = vector_search_edges(edges, q, k=4, edge_type="REL").collect()
     assert [(r["src"], r["dst"]) for r in typed] == [
-        ("a", "b"), ("a", "z"), ("b", "c"), ("a", "c")
+        ("a", "b"), ("a", "b#"), ("a", "z"), ("b", "c")
     ]
