@@ -816,27 +816,25 @@ def main() -> None:
     # max_iter=20 (not round 1's 5): an undertrained coarse quantizer
     # was the entire ivfpq recall gap (0.72 refined → 1.00 candidate
     # recall at the same nprobe/refine once KMeans converges).
-    # Round-10 operating point (VERDICT r9 #6): n_lists=512, nprobe=8.
-    # Finer lists halve per-list residual energy, which combined with
-    # the OPQ rotation (ivfpq_build default) lifts raw ADC recall
-    # 0.85 → 0.9016. The measured operating curve on this corpus is
-    # FLAT in nprobe — 0.9016 at every probe count 4..64 (candidate
-    # recall saturates by 0.8% scan; ADC quantization is the sole
-    # recall limiter) — so nprobe=8 (1.6% scan) sits one doubling
-    # above the knee for corpus-drift margin while running HALF the
-    # old 256/8 point's scan work. n_centroids=256 full 8-bit codes
-    # (round 9) — still 16 B/vector at rest.
-    # train_rows=60k / opq_iters=15 (vs the 20k/10 defaults): the OPQ
-    # codebooks are the recall bottleneck at this operating point —
-    # measured 0.899 -> 0.903 -> 0.909 raw recall at 20k/10, 40k/12,
-    # 60k/15 on 1024 queries. The round-10 chunked-f32 trainer assign
-    # made the bigger budget cheap (~45 s of driver-side training,
-    # build 103 s total vs 175 s at the f64 50k/12 point), still
-    # scale-independent (the sample is bounded regardless of corpus
-    # size); measured 0.9039 at this exact configuration.
+    # Round-11 operating point (VERDICT r10 #2): n_lists=None → the
+    # √N auto-sizing (316 lists at 100k), nprobe=8. Round 10's fixed
+    # 512-list point bought raw recall 0.9039 but cost the distributed
+    # batch arm −34% (642 QPS): more per-list groups over a small
+    # corpus. At auto-sized 316 lists the batch arm measured 933-1203
+    # QPS across three r11 runs (vs 642 at 512 on the r10 host) while
+    # raw recall reads 0.9008/0.9016 at train_rows 90k/100k — the
+    # recall curve stays FLAT in nprobe (identical at 8 and 16; ADC
+    # quantization is the sole limiter, ceiling ≈ 0.902 at this list
+    # count — coarser lists mean hotter residuals than 512's 0.904
+    # ceiling). n_centroids=256 full 8-bit codes — 16 B/vector at
+    # rest. train_rows=90k / opq_iters=20: recall saturates there
+    # (100k/30 adds +0.0008 for 2× the training wall); the margin
+    # above the 0.90 bar is thin (~0.001-0.002 plus ±0.006 sampling
+    # noise on 256 queries), which is exactly what the retry guard
+    # below absorbs.
     ivfpq = ivfpq_build(
-        big, n_lists=512, m_subspaces=16, n_centroids=256, max_iter=20,
-        train_rows=60_000, opq_iters=15,
+        big, n_lists=None, m_subspaces=16, n_centroids=256, max_iter=20,
+        train_rows=90_000, opq_iters=20,
     ).colocate()
     extras["ivfpq_build_sec"] = round(time.perf_counter() - t0, 3)
 
@@ -891,14 +889,15 @@ def main() -> None:
     # only ~0.004 above the 0.90 bar with the chunked-f32 trainer
     # assign, so margin noise (a slightly unlucky KMeans/OPQ draw on a
     # different host) can print <0.90 without any kernel regression.
-    # On a low reading, retry ONCE with train_rows +50% and report
-    # both values — a genuine kernel regression survives the retry, a
-    # margin-noise red does not.
+    # On a low reading, retry ONCE with train_rows +50% / opq_iters
+    # +25% and report both values — a genuine kernel regression
+    # survives the retry, a margin-noise red (an unlucky distributed-
+    # KMeans aggregation order) does not.
     if extras["ivfpq_recall_at_k"] < 0.90:
         extras["ivfpq_first_recall_at_k"] = extras["ivfpq_recall_at_k"]
         ivfpq_retry = ivfpq_build(
             big, n_lists=None, m_subspaces=16, n_centroids=256,
-            max_iter=20, train_rows=90_000, opq_iters=15,
+            max_iter=20, train_rows=135_000, opq_iters=25,
         ).colocate()
         extras["ivfpq_recall_at_k"] = _recall_vs_exact(
             ivfpq_search_batch(ivfpq_retry, sample_pq, k=K, nprobe=8)

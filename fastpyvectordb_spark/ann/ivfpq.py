@@ -371,9 +371,17 @@ def ivfpq_build(
     max_iter: int = 10,
     train_rows: int = 20_000,
     opq_iters: int = 10,
+    coarse_train_rows: int | None = None,
 ) -> IVFPQIndex:
     """Build an IVF-PQ index: coarse KMeans lists + per-list residual
     PQ codes (optionally OPQ-rotated, Ge et al. CVPR 2013).
+
+    ``coarse_train_rows`` bounds the COARSE KMeans fit to a sample
+    (fit-on-sample / assign-everything — the standard 100 TB shape;
+    FAISS trains IVF coarse quantizers on 30-256 points per centroid).
+    None fits on the full table, which is the right default up to a
+    few hundred thousand rows; at 10M+ pass ~1M so the fit cost stays
+    bounded while assignment (one pass, map-side) covers everything.
 
     ``n_lists=None`` auto-sizes the coarse quantizer to ``≈ √N``
     (the FAISS sizing rule), clamped to [16, 65536] — 100k rows get
@@ -405,7 +413,7 @@ def ivfpq_build(
         raise ValueError(f"n_centroids={n_centroids} > 256 (uint8 codes)")
 
     ivf = ivf_build(df, n_lists=n_lists, vec_col=vec_col, seed=seed,
-                    max_iter=max_iter)
+                    max_iter=max_iter, train_rows=coarse_train_rows)
     spark = df.sparkSession
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(ivf.centroids)],

@@ -19,7 +19,9 @@ and runs the four headline shapes once each:
 
 Usage: python tools/scale_spotcheck.py [n_docs] [sections]
 
-``sections`` is a comma-list of ``emb,text,serve`` (default: all).
+``sections`` is a comma-list of ``emb,text,serve,big`` (default:
+``emb,text,serve``; ``big`` is the 10M×64 section — request it
+explicitly, it ignores ``n_docs`` and always runs at 10M).
 Run the sections as SEPARATE invocations on disk-constrained hosts:
 each fresh JVM starts with empty shuffle dirs, so every section gets
 the full free-disk headroom (the 1.1M-doc text section's verify join
@@ -101,6 +103,8 @@ def main() -> None:
         _section_text(spark, n, out)
     if "serve" in sections:
         _section_serve(spark, n, dims, out)
+    if "big" in sections:
+        _section_big(spark, dims, out)
 
     print(json.dumps(out))
 
@@ -454,6 +458,120 @@ def _section_serve(spark, n: int, dims: int, out: dict) -> None:
         time.perf_counter() - t0, 1
     )
     assert [i for i, _ in hits2][:1] == [i for i, _ in hits][:1]
+
+
+def _section_big(spark, dims: int, out: dict) -> None:
+    """10M×64 spotcheck (VERDICT r10 #4): the 100× story previously
+    extrapolated from 1-2M anchors — this section measures the next
+    decade directly. Phases (crash-insured with _partial, the
+    longest-wall one last):
+
+      1. ingest 10M into a collection (manifest commit path)
+      2. serving decision: 10M×64 = 640M floats is 8× over the 80M
+         pack threshold — pack_serving() must return None and
+         search_ann must take the DISTRIBUTED probed-scan arm
+      3. IVF-PQ at 10M: auto n_lists (√N ≈ 3162), coarse fit bounded
+         to 1M rows (fit-on-sample/assign-everything), OPQ on a 60k
+         residual sample; codes at rest = 10M × 16 B ≈ 160 MB —
+         build wall, batch-search wall, recall@10 vs exact
+      4. near-dup router at 10M: regime choice (kept-work vs the
+         8·N·√N budget) + the measured wall of whichever arm ran
+
+    Run as its own invocation (fresh JVM/shuffle dirs):
+    ``python tools/scale_spotcheck.py 10000000 big``
+    """
+    n = 10_000_000
+    emb = _build_emb(spark, n, dims)
+    qpdf = _query_pdf(emb, n)
+    import tempfile
+
+    import numpy as np
+
+    from fastpyvectordb_spark.catalog import VectorDB
+
+    # -- 1. ingest ------------------------------------------------------
+    db = VectorDB(spark, tempfile.mkdtemp() + "/scaledb10m")
+    c = db.create_collection("vecs10m", dimensions=dims, metric="cosine")
+    t0 = time.perf_counter()
+    c.insert_batch(
+        emb.select(F.col("vec_id").cast("string").alias("id"), "embedding")
+    )
+    dt = time.perf_counter() - t0
+    out["collection_ingest_10m_sec"] = round(dt, 1)
+    out["ingest_vec_per_sec_10m"] = round(n / dt, 1)
+    _partial(out)
+
+    # -- 2. serving decision ---------------------------------------------
+    t0 = time.perf_counter()
+    c.build_ann_index(max_iter=10)  # coarse fit bounded to 200k rows
+    out["ann_train_10m_sec"] = round(time.perf_counter() - t0, 1)
+    assert c.pack_serving() is None, (
+        "10M x 64 = 640M floats must NOT pack resident (threshold 80M)"
+    )
+    q0 = [float(x) for x in qpdf["query_vec"].iloc[0]]
+    t0 = time.perf_counter()
+    hits = c.search_ann(q0, k=10, nprobe=8)
+    out["ann_distributed_scan_10m_sec"] = round(time.perf_counter() - t0, 1)
+    assert hits and len(hits) == 10
+    _partial(out)
+
+    # -- 3. IVF-PQ at 10M -------------------------------------------------
+    from fastpyvectordb_spark.ann.ivfpq import (
+        ivfpq_build,
+        ivfpq_search_batch,
+    )
+    from fastpyvectordb_spark.operators.knn import knn_batch_gemm
+
+    t0 = time.perf_counter()
+    idx = ivfpq_build(
+        emb, n_lists=None, m_subspaces=16, n_centroids=256, max_iter=10,
+        train_rows=60_000, opq_iters=15, coarse_train_rows=1_000_000,
+    ).colocate()
+    out["ivfpq_build_10m_sec"] = round(time.perf_counter() - t0, 1)
+    out["ivfpq_n_lists_10m"] = len(idx.centroids)  # √10M ≈ 3162
+    out["ivfpq_codes_mb_10m"] = round(n * 16 / 2**20, 1)
+    _partial(out)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cnt = ivfpq_search_batch(idx, qpdf, k=10, nprobe=8).count()
+        best = min(best, time.perf_counter() - t0)
+    assert cnt == len(qpdf) * 10
+    out["ivfpq_batch_100q_10m_sec"] = round(best, 1)
+    out["ivfpq_batch_qps_10m"] = round(len(qpdf) / best, 1)
+
+    # recall vs exact on 32 queries (refined path = the production plan)
+    sample = qpdf.head(32)
+    exact = knn_batch_gemm(emb, sample, k=10, metric="l2").toPandas()
+    adc = ivfpq_search_batch(idx, sample, k=10, nprobe=8).toPandas()
+    ref = ivfpq_search_batch(
+        idx, sample, k=10, nprobe=32, refine_df=emb, refine=200
+    ).toPandas()
+    for name, df in (("ivfpq_recall_10m", adc), ("ivfpq_refined_recall_10m", ref)):
+        hits_n = 0
+        for qid in sample["query_id"]:
+            a = set(df.loc[df.query_id == qid, "vec_id"])
+            e = set(exact.loc[exact.query_id == qid, "vec_id"])
+            hits_n += len(a & e)
+        out[name] = round(hits_n / (len(sample) * 10), 4)
+    _partial(out)
+
+    # -- 4. near-dup router at 10M (longest wall, last) -------------------
+    from fastpyvectordb_spark.operators.dedup import embedding_neardup_topk
+
+    stats: dict = {}
+    t0 = time.perf_counter()
+    nd = embedding_neardup_topk(
+        emb, k=10, centroids="seed", _stats_out=stats
+    ).count()
+    out["neardup_routed_10m_sec"] = round(time.perf_counter() - t0, 1)
+    out["neardup_routed_10m"] = 1 if stats.get("routed") else 0
+    out["neardup_kept_work_10m"] = stats.get("kept_work")
+    out["neardup_work_budget_10m"] = stats.get("work_budget")
+    out["neardup_max_task_rows_est_10m"] = stats.get("max_task_rows_est")
+    assert nd == 10
+    _partial(out)
 
 
 if __name__ == "__main__":
