@@ -106,6 +106,57 @@ class IVFPacked:
     sqnorms: np.ndarray    # (N,) float32 — ||v||² (l2)
 
 
+# above this many (rows × lists) work units, MLlib KMeans' per-row
+# per-centroid scalar loop (in fit iterations AND transform
+# prediction) is replaced by GEMM-batched twins: driver Lloyd on the
+# bounded sample + the Arrow-batched assignment kernel. 1e9 ≈ a
+# minute of the scalar path on this box; the 10M×3162 spotcheck shape
+# (3.2e10) measured as a multi-hour stall vs minutes of batched GEMM.
+# Bench and suite shapes (≤100k×512 = 5.1e7) stay on MLlib —
+# bit-identical to every recorded operating point.
+_MLLIB_ASSIGN_MAX_WORK = 1_000_000_000
+
+
+def _train_coarse_gemm(
+    sample: np.ndarray, k: int, max_iter: int, seed: int
+) -> np.ndarray:
+    """Driver-side Lloyd for LARGE-k coarse quantizers: chunked f32
+    GEMM assignment (the OPQ trainer's discipline — selection only
+    needs per-row argmin order, means accumulate in f64) over a
+    bounded in-RAM sample. Init = seeded random subset without
+    replacement (the FAISS coarse-quantizer standard; k-means++ at
+    k≈√N costs another O(k·n·d) pass for little coarse-level gain).
+    Empty clusters keep their previous centroid, like the PQ Lloyd.
+    Deterministic for fixed (sample, k, max_iter, seed)."""
+    n, d = sample.shape
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(n, size=k, replace=False)].astype(np.float64)
+    x32 = np.ascontiguousarray(sample, dtype=np.float32)
+    chunk = max(1, 16_000_000 // max(k, 1))  # (chunk, k) f32 scores ≈ 64 MB
+    codes = np.empty(n, dtype=np.int64)
+    for _ in range(max_iter):
+        c32 = cents.astype(np.float32)
+        csq = np.einsum("ij,ij->i", c32, c32)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sc = x32[s:e] @ c32.T
+            sc *= -2.0
+            sc += csq[None, :]
+            codes[s:e] = np.argmin(sc, axis=1)
+        cnt = np.bincount(codes, minlength=k)
+        acc = np.stack(
+            [
+                np.bincount(codes, weights=sample[:, j], minlength=k)
+                for j in range(d)
+            ],
+            axis=1,
+        )
+        nz = cnt > 0
+        cents[nz] = acc[nz] / cnt[nz][:, None]
+    return cents
+
+
 def ivf_build(
     df: DataFrame,
     n_lists: int = 16,
@@ -147,19 +198,80 @@ def ivf_build(
 
     feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
     fit_df = feats
+    n_rows: int | None = None
     if train_rows is not None:
-        n = feats.count()
-        if n > train_rows:
+        n_rows = feats.count()
+        if n_rows > train_rows:
             fit_df = feats.sample(
-                fraction=min(1.0, train_rows * 1.1 / n), seed=seed
+                fraction=min(1.0, train_rows * 1.1 / n_rows), seed=seed
             ).limit(train_rows)
-    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_features").fit(fit_df)
-    assigned = (
-        model.transform(feats)
-        .withColumnRenamed("prediction", "list_id")
-        .drop("_features")
+    if n_rows is None and (
+        n_lists >= 1024 or n_lists > _MLLIB_ASSIGN_MAX_WORK
+    ):
+        # only pay a count job when the list count alone says the
+        # work threshold is reachable (callers below 1024 lists would
+        # need >1M rows to cross it, and those pass train_rows — which
+        # already counted; the second clause exists for tests that
+        # shrink the threshold)
+        n_rows = feats.count()
+
+    # Large-k regime (round 11, found LIVE on the 10M spotcheck —
+    # stage 97 sat at ~4 busy cores for 30+ minutes): MLlib KMeans
+    # runs a per-row per-centroid scalar loop (norm-pruned but
+    # unbatched) in BOTH fit() iterations and transform() prediction.
+    # At 10M rows × 3162 lists that is ~4×10¹² scalar flops — hours —
+    # while the same work as batched GEMMs is minutes. Above the work
+    # threshold: train driver-side on the bounded sample with chunked
+    # f32 GEMM Lloyd (the OPQ trainer's discipline — FAISS-standard
+    # random-subset init, empty clusters keep their previous
+    # centroid), and assign the full table with the collection
+    # index's Arrow-batched GEMM kernel. Below it everything stays
+    # MLlib — bit-identical to every recorded operating point.
+    fit_work = (
+        min(n_rows, train_rows or n_rows) * n_lists
+        if n_rows is not None
+        else 0
     )
+    if fit_work > _MLLIB_ASSIGN_MAX_WORK:
+        if train_rows is None:
+            # no caller-provided bound: cap the driver sample at the
+            # FAISS heuristic (~256 points per centroid) so a huge
+            # table is never collected whole
+            cap = max(256 * n_lists, 100_000)
+            if n_rows > cap:
+                fit_df = feats.sample(
+                    fraction=min(1.0, cap * 1.1 / n_rows), seed=seed
+                ).limit(cap)
+        sample_tbl = fit_df.select(
+            F.col(vec_col).cast("array<double>").alias("_v")
+        ).toArrow()
+        flat = sample_tbl["_v"].combine_chunks()
+        n_s = len(sample_tbl)
+        sample = np.asarray(flat.flatten(), dtype=np.float64).reshape(
+            n_s, -1
+        )
+        centroids = _train_coarse_gemm(sample, n_lists, max_iter, seed)
+        from fastpyvectordb_spark.ann.collection_index import CollectionANN
+
+        lid = CollectionANN._list_id_udf(centroids)
+        assigned = df.withColumn("list_id", lid(F.col(vec_col)))
+        return IVFIndex(centroids=centroids, assigned=assigned)
+
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_features").fit(fit_df)
     centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    if n_rows is not None and n_rows * n_lists > _MLLIB_ASSIGN_MAX_WORK:
+        # fit was small enough for MLlib but the full-table assignment
+        # is not (e.g. a bounded fit sample over a huge table)
+        from fastpyvectordb_spark.ann.collection_index import CollectionANN
+
+        lid = CollectionANN._list_id_udf(centroids)
+        assigned = df.withColumn("list_id", lid(F.col(vec_col)))
+    else:
+        assigned = (
+            model.transform(feats)
+            .withColumnRenamed("prediction", "list_id")
+            .drop("_features")
+        )
     return IVFIndex(centroids=centroids, assigned=assigned)
 
 

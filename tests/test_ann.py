@@ -211,6 +211,59 @@ def test_ivfpq_recall_and_refine(embeddings, spark):
     assert m_ref >= m_adc, (m_ref, m_adc)
 
 
+def test_ivf_gemm_assignment_matches_mllib(embeddings, spark, monkeypatch):
+    """Above the assignment-work threshold, ivf_build assigns with the
+    Arrow-GEMM kernel instead of MLlib transform()'s per-centroid
+    scalar loop (round 11 — a 10M×3162 transform measured as a
+    multi-hour stall). Both argmins share the L2/ties-to-lower-id
+    rule, so under the SAME MLlib-fit centroids (fit work below the
+    threshold, assign work above) the assignments must be IDENTICAL
+    on a tie-free corpus."""
+    import fastpyvectordb_spark.ann.ivf as ivf_mod
+    from fastpyvectordb_spark.ann.ivf import ivf_build
+
+    n = embeddings.count()
+    base = ivf_build(embeddings, n_lists=8, max_iter=10, train_rows=100)
+    # fit work = 100·8 = 800 stays MLlib; assign work = n·8 goes GEMM
+    monkeypatch.setattr(ivf_mod, "_MLLIB_ASSIGN_MAX_WORK", 801)
+    assert n * 8 > 801
+    gemm = ivf_build(embeddings, n_lists=8, max_iter=10, train_rows=100)
+    a = {
+        r["vec_id"]: r["list_id"]
+        for r in base.assigned.select("vec_id", "list_id").collect()
+    }
+    b = {
+        r["vec_id"]: r["list_id"]
+        for r in gemm.assigned.select("vec_id", "list_id").collect()
+    }
+    assert a == b
+
+
+def test_ivf_driver_gemm_fit_stays_exact(embeddings, spark, monkeypatch):
+    """Full large-k regime (fit work over the threshold too): coarse
+    Lloyd runs driver-side on the bounded sample with chunked-f32 GEMM
+    assignment. Exhaustive probing is assignment-independent, so the
+    search must still return the exact top-k; every row must be
+    assigned to exactly one of the k trained lists."""
+    import fastpyvectordb_spark.ann.ivf as ivf_mod
+    from fastpyvectordb_spark.ann.ivf import ivf_build, ivf_search
+
+    monkeypatch.setattr(ivf_mod, "_MLLIB_ASSIGN_MAX_WORK", 1)
+    idx = ivf_build(embeddings, n_lists=8, max_iter=10, train_rows=200)
+    assert idx.centroids.shape[0] == 8
+    n = embeddings.count()
+    assert idx.assigned.count() == n
+    lids = {r["list_id"] for r in idx.assigned.select("list_id").distinct().collect()}
+    assert lids <= set(range(8))
+    qvec = embeddings.filter(F.col("vec_id") == 3).head()["embedding"]
+    exact = _exact(embeddings, qvec)
+    got = [
+        r["vec_id"]
+        for r in ivf_search(idx, qvec, k=10, nprobe=8).collect()
+    ]
+    assert got == list(exact)
+
+
 def test_ivfpq_auto_n_lists(embeddings, spark):
     """``n_lists=None`` auto-sizes the coarse quantizer to ≈√N clamped
     to [16, 65536] (VERDICT r10 #2, the FAISS rule): small corpora get
