@@ -1022,9 +1022,23 @@ def embedding_neardup_topk(
     _vb = assigned.select(F.col("_id").alias("xb"), F.col("_v").alias("vb"))
 
     def _rerank(cand_ids: DataFrame) -> DataFrame:
-        # exact-expression rerank of a mined (bounded) candidate pool
+        # exact-expression rerank of a mined (bounded) candidate pool.
+        # shuffle_hash hints (round 11, found live at the 10M
+        # spotcheck): the vector side scans a localCheckpointed
+        # mapInPandas plan whose size ESTIMATE still reflects the
+        # 8-bytes/row spark.range source, so the static planner
+        # broadcast-built the ENTIRE (id, vector) table — a driver
+        # collect that scales with the corpus (blew the 1 GiB
+        # maxResultSize at 10M×64; reproduced at 1M under a 200 MiB
+        # cap). The hint pins both joins to shuffled-hash (hints beat
+        # size-based broadcast in JoinSelection): candidates build the
+        # per-partition hash, the vector table streams through one
+        # id-shuffle — the correct plan at any corpus size, and AQE
+        # may still broadcast the genuinely-small CANDIDATE side from
+        # runtime stats.
         return (
-            cand_ids.join(_va, "xa")
+            cand_ids.hint("shuffle_hash").join(_va, "xa")
+            .hint("shuffle_hash")
             .join(_vb, "xb")
             .select(
                 F.least("xa", "xb").alias("id_a"),
