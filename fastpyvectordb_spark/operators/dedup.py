@@ -1207,9 +1207,17 @@ def embedding_neardup_topk(
             ],
             "plane_id int, plane_vec array<double>",
         )
+        # disk posture (round 11, measured at 10M): one pass holds
+        # bands × N vector rows across the bucket shuffle + sort —
+        # stage the verify so a pass carries ≤ ~25M banded rows, and
+        # pin the vector-side joins to shuffled-hash above ~1.5M rows
+        # (the size-estimate broadcast bug — see _rerank). At ≤ 4M
+        # rows both knobs are no-ops and the plan is unchanged.
         lsh = embedding_lsh_threshold_pairs(
             emb, planes, min_cos=floor, rows_per_band=rows_per_band,
             id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+            bands_per_pass=max(1, 25_000_000 // max(n_rows, 1)),
+            shuffle_joins=n_rows > 1_500_000,
         )
         # within-cluster arm: reuse the ALREADY-COLLECTED seed top-k
         # instead of re-evaluating the within join. Exactness of the
@@ -1513,6 +1521,8 @@ def embedding_lsh_threshold_pairs(
     plane_vec_col: str = "plane_vec",
     round_digits: int = 6,
     max_bucket_rows: int = 8192,
+    bands_per_pass: int | None = None,
+    shuffle_joins: bool = False,
     _stats_out: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) for candidate pairs with cosine ≥
@@ -1549,7 +1559,24 @@ def embedding_lsh_threshold_pairs(
     IDENTICAL to the pure-join plan's (each bucket is verified by
     exactly one arm; slack covers GEMM-vs-expression float drift plus
     the rounding quantum; final values come from the shared rounded
-    cosine expression), which the DuckDB oracle pins."""
+    cosine expression), which the DuckDB oracle pins.
+
+    Disk posture at 10M+ (round 11, measured kill): verifying ALL
+    bands in one job holds bands × N vector-carrying rows across the
+    bucket shuffle, its sort, and the small-bucket self-join at once —
+    ~50-60 GB of live spill for a 2.5 GB corpus at 10M×64×6 bands.
+    ``bands_per_pass`` stages the verify into sequential band-subset
+    passes, each eagerly checkpointed (candidate ids only — tiny) so
+    the pass's shuffle files are GC-reclaimable before the next pass:
+    peak disk divides by the pass count while the RETURNED PAIR SET is
+    identical (band filters commute with both verify arms; the
+    cross-band distinct runs over the union). ``shuffle_joins=True``
+    pins the vector-side joins (bucket fill + final rerank) to
+    shuffled-hash — the same size-estimate bug as the exact arm's
+    rerank (a localCheckpointed synth corpus advertises 8 bytes/row,
+    so the planner broadcast-builds the vector table through the
+    driver). Both default OFF: small-corpus plans stay byte-identical
+    to the recorded oracle-green shapes."""
     from pyspark.sql.types import StructField, StructType
 
     from fastpyvectordb_spark.functions.distances import (
@@ -1608,64 +1635,77 @@ def embedding_lsh_threshold_pairs(
     # aggregate+re-join formulation planned an avoidable SortMergeJoin)
     from pyspark.sql import Window as _W
 
-    keyed = keys.withColumn(
-        "_cnt",
-        F.count(F.lit(1)).over(_W.partitionBy("band", "bkey")),
-    )
-    small = keyed.filter(F.col("_cnt") <= _GEMM_BUCKET_MIN)
-    a = small.alias("a")
-    # shuffle-hash, not sort-merge: band keys are low-cardinality and
-    # the small-bucket arm is sized so per-key blocks stay tiny
-    b = small.alias("b").hint("shuffle_hash")
-    join_cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    def _verify_cands(keys_df: DataFrame) -> DataFrame:
+        """(xa, xb) candidates for the buckets in ``keys_df`` — the
+        hybrid small-join / GEMM-group verify over one band subset."""
+        keyed = keys_df.withColumn(
+            "_cnt",
+            F.count(F.lit(1)).over(_W.partitionBy("band", "bkey")),
         )
-        .select(
-            F.col("a.doc_id").alias("xa"), F.col("b.doc_id").alias("xb")
+        small = keyed.filter(F.col("_cnt") <= _GEMM_BUCKET_MIN)
+        a = small.alias("a")
+        # shuffle-hash, not sort-merge: band keys are low-cardinality
+        # and the small-bucket arm is sized so per-key blocks stay tiny
+        b = small.alias("b").hint("shuffle_hash")
+        join_cands = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("xa"), F.col("b.doc_id").alias("xb")
+            )
         )
-    )
-    rows = (
-        keyed.filter(F.col("_cnt") > _GEMM_BUCKET_MIN)
-        .join(
-            emb.select(
-                F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")
-            ),
-            "doc_id",
+        big_keyed = keyed.filter(F.col("_cnt") > _GEMM_BUCKET_MIN)
+        if shuffle_joins:
+            big_keyed = big_keyed.hint("shuffle_hash")
+        rows = (
+            big_keyed
+            .join(
+                emb.select(
+                    F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")
+                ),
+                "doc_id",
+            )
+            .withColumn(
+                "_nsub",
+                F.ceil(F.col("_cnt") / F.lit(max_bucket_rows)).cast("int"),
+            )
+            .withColumn(
+                "_sub",
+                F.pmod(
+                    F.xxhash64(F.col("doc_id"), F.col("band")),
+                    F.col("_nsub"),
+                ).cast("int"),
+            )
+            # each row fans to its sub-block PAIR groups: with every
+            # other sub t of the same bucket — (least, greatest) names
+            # the group; the row is side 0 when its own sub is the
+            # lesser (or the triangle t == _sub), side 1 otherwise.
+            # n_sub == 1 (the normal case) fans to exactly one
+            # triangle group.
+            .withColumn(
+                "_t", F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1))
+            )
+            .select(
+                "doc_id",
+                "band",
+                "bkey",
+                "_v",
+                F.least("_sub", "_t").alias("_ga"),
+                F.greatest("_sub", "_t").alias("_gb"),
+                F.when(F.col("_sub") <= F.col("_t"), F.lit(0))
+                .otherwise(F.lit(1))
+                .alias("_side"),
+            )
         )
-        .withColumn(
-            "_nsub",
-            F.ceil(F.col("_cnt") / F.lit(max_bucket_rows)).cast("int"),
+        return (
+            rows.groupBy("band", "bkey", "_ga", "_gb")
+            .applyInPandas(_mine_thr, schema=cand_schema)
+            .unionByName(join_cands)
         )
-        .withColumn(
-            "_sub",
-            F.pmod(
-                F.xxhash64(F.col("doc_id"), F.col("band")), F.col("_nsub")
-            ).cast("int"),
-        )
-        # each row fans to its sub-block PAIR groups: with every other
-        # sub t of the same bucket — (least, greatest) names the
-        # group; the row is side 0 when its own sub is the lesser (or
-        # the triangle t == _sub), side 1 otherwise. n_sub == 1 (the
-        # normal case) fans to exactly one triangle group.
-        .withColumn(
-            "_t", F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1))
-        )
-        .select(
-            "doc_id",
-            "band",
-            "bkey",
-            "_v",
-            F.least("_sub", "_t").alias("_ga"),
-            F.greatest("_sub", "_t").alias("_gb"),
-            F.when(F.col("_sub") <= F.col("_t"), F.lit(0))
-            .otherwise(F.lit(1))
-            .alias("_side"),
-        )
-    )
 
     id_type = emb.schema[id_col].dataType
     id_np = (
@@ -1736,18 +1776,46 @@ def embedding_lsh_threshold_pairs(
         hi = np.maximum(xa, xb)
         return pd.DataFrame({"xa": lo, "xb": hi})
 
+    if bands_per_pass is not None:
+        all_bands = sorted(
+            r["band"] for r in keys.select("band").distinct().collect()
+        )
+    else:
+        all_bands = []
+    if bands_per_pass is not None and bands_per_pass < len(all_bands):
+        # sequential band-subset passes: each pass's candidates (id
+        # pairs only — tiny) are EAGERLY checkpointed so the pass's
+        # vector-carrying bucket shuffle and sort files lose their
+        # last reference and the context cleaner reclaims the disk
+        # before the next pass starts — peak spill divides by the
+        # pass count, pair set unchanged
+        parts = []
+        for lo in range(0, len(all_bands), bands_per_pass):
+            sub = all_bands[lo:lo + bands_per_pass]
+            parts.append(
+                _verify_cands(
+                    keys.filter(F.col("band").isin(sub))
+                ).localCheckpoint()
+            )
+        raw = parts[0]
+        for extra in parts[1:]:
+            raw = raw.unionByName(extra)
+    else:
+        raw = _verify_cands(keys)
     cands = (
-        rows.groupBy("band", "bkey", "_ga", "_gb")
-        .applyInPandas(_mine_thr, schema=cand_schema)
-        .unionByName(join_cands)
         # a pair can collide in several bands — candidates, not results
-        .distinct()
+        raw.distinct()
         .select(F.col("xa").alias("id_a"), F.col("xb").alias("id_b"))
     )
+    if shuffle_joins:
+        cands = cands.hint("shuffle_hash")
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    joined = cands.join(va, "id_a")
+    if shuffle_joins:
+        joined = joined.hint("shuffle_hash")
     return (
-        cands.join(va, "id_a")
+        joined
         .join(vb, "id_b")
         .select(
             "id_a",

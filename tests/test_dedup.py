@@ -747,6 +747,65 @@ def test_embedding_lsh_threshold_at_100k(spark):
     assert found >= 0.95 * len(planted), f"{found}/{len(planted)} planted found"
 
 
+def test_lsh_threshold_staged_passes_identical(spark):
+    """bands_per_pass + shuffle_joins (round 11, the 10M disk-posture
+    knobs) must not change the RETURNED PAIR SET: band filters commute
+    with both verify arms, the cross-band distinct runs over the
+    unioned passes, and join strategy never changes rows. Pin staged
+    (1 band per pass, shuffled vector joins) == single-pass default on
+    a planted-dup corpus."""
+    n, dims = 4_000, 16
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda d: (
+                F.sin(F.col("id") * 0.7 + d * 1.3 + F.col("id") * d * 0.0137)
+                + F.sin(F.col("id") * 91.7 + d * 47.111) * 0.1
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    dups = base.filter(F.pmod("vec_id", 40) == 0).select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.98 + 0.005).alias(
+            "embedding"
+        ),
+    )
+    corpus = (
+        base.unionByName(dups)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .repartition(8)
+        .localCheckpoint()
+    )
+    planes = spark.range(32).select(
+        F.col("id").alias("plane_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda d: F.sin(
+                F.col("id") * 13.7 + d * 5.1 + F.col("id") * d * 0.91
+            ),
+        ).alias("plane_vec"),
+    )
+    kw = dict(min_cos=0.999, rows_per_band=8, round_digits=4)
+    single = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_lsh_threshold_pairs(
+            corpus, planes, **kw
+        ).collect()
+    }
+    staged = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_lsh_threshold_pairs(
+            corpus, planes, bands_per_pass=1, shuffle_joins=True, **kw
+        ).collect()
+    }
+    assert staged == single
+    assert len(single) > 0
+
+
 def test_cap_per_group_semantics(spark):
     """Keeps exactly min(cap, group size) rows per group, chosen by the
     (n_chars DESC, doc_id) total order; cap < 1 refuses."""

@@ -19,7 +19,7 @@ and runs the four headline shapes once each:
 
 Usage: python tools/scale_spotcheck.py [n_docs] [sections]
 
-``sections`` is a comma-list of ``emb,text,serve,big`` (default:
+``sections`` is a comma-list of ``emb,text,serve,big,bignd`` (default:
 ``emb,text,serve``; ``big`` is the 10M×64 section — request it
 explicitly, it ignores ``n_docs`` and always runs at 10M).
 Run the sections as SEPARATE invocations on disk-constrained hosts:
@@ -105,6 +105,8 @@ def main() -> None:
         _section_serve(spark, n, dims, out)
     if "big" in sections:
         _section_big(spark, dims, out)
+    if "bignd" in sections:
+        _section_bignd(spark, dims, out)
 
     print(json.dumps(out))
 
@@ -474,8 +476,9 @@ def _section_big(spark, dims: int, out: dict) -> None:
          to 1M rows (fit-on-sample/assign-everything), OPQ on a 60k
          residual sample; codes at rest = 10M × 16 B ≈ 160 MB —
          build wall, batch-search wall, recall@10 vs exact
-      4. near-dup router at 10M: regime choice (kept-work vs the
-         8·N·√N budget) + the measured wall of whichever arm ran
+    Phase 4 (the near-dup router) lives in its OWN section ``bignd``
+    — its banded arm's bucket shuffle must not share disk headroom
+    with these phases' shuffle files (measured disk-fill kill).
 
     Run as its own invocation (fresh JVM/shuffle dirs):
     ``python tools/scale_spotcheck.py 10000000 big``
@@ -557,7 +560,19 @@ def _section_big(spark, dims: int, out: dict) -> None:
         out[name] = round(hits_n / (len(sample) * 10), 4)
     _partial(out)
 
-    # -- 4. near-dup router at 10M (longest wall, last) -------------------
+def _section_bignd(spark, dims: int, out: dict) -> None:
+    """10M near-dup router (VERDICT r10 #4, phase 4): regime choice
+    (kept-work vs the 8·N·√N budget) + the measured wall of whichever
+    arm ran. Its OWN invocation/JVM — the banded arm ships the vector
+    payload once per band (6 bands × 10M ≈ 20+ GB of bucket shuffle),
+    which must not share disk headroom with the IVF-PQ phases'
+    accumulated shuffle files (the combined run filled this host's
+    disk — measured kill).
+
+    ``python tools/scale_spotcheck.py 10000000 bignd``
+    """
+    n = 10_000_000
+    emb = _build_emb(spark, n, dims)
     from fastpyvectordb_spark.operators.dedup import embedding_neardup_topk
 
     stats: dict = {}
