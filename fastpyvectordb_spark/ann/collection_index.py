@@ -492,7 +492,7 @@ class CollectionANN:
         return best["cid"]
 
     def search_distributed(
-        self, query_vecs, k: int = 10, nprobe: int = 8
+        self, query_vecs, k: int = 10, nprobe: int | None = None
     ) -> list[list[tuple[str, float]]]:
         """Probed search for collections ABOVE the serving-pack
         threshold — the regime the packed kernel refuses. Same trained
@@ -516,7 +516,9 @@ class CollectionANN:
         cents, meta = self.centroids, self.meta
         if cents is None or meta is None:
             return None
-        nprobe = min(nprobe, cents.shape[0])
+        from fastpyvectordb_spark.ann.ivf import _resolve_nprobe
+
+        nprobe = _resolve_nprobe(nprobe, cents.shape[0])
         lid = self._list_id(F.col("embedding"), cents)
         # at-rest clustering (optimize(ann_cluster=True)): plan the
         # probe against footer stats — files whose [min,max] list
@@ -576,7 +578,7 @@ class CollectionANN:
         return out
 
     def search_distributed_batch(
-        self, query_vecs, k: int = 10, nprobe: int = 8
+        self, query_vecs, k: int = 10, nprobe: int | None = None
     ):
         """ONE distributed job for an oversize query batch: the corpus
         scans once with its list id, each row joins (broadcast) only
@@ -595,7 +597,9 @@ class CollectionANN:
         cents, meta = self.centroids, self.meta
         if cents is None or meta is None:
             return None
-        nprobe = min(nprobe, cents.shape[0])
+        from fastpyvectordb_spark.ann.ivf import _resolve_nprobe
+
+        nprobe = _resolve_nprobe(nprobe, cents.shape[0])
         Q = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in query_vecs]
         )
@@ -665,7 +669,7 @@ class CollectionANN:
         )
 
     def search_one(
-        self, query_vec, k: int = 10, nprobe: int = 8, serving=None
+        self, query_vec, k: int = 10, nprobe: int | None = None, serving=None
     ) -> list[tuple[str, float]]:
         """Single-query packed search as ``[(id, dist), ...]`` — the
         pandas-free serving hot path (REST ANN route). Kernel is
@@ -677,11 +681,13 @@ class CollectionANN:
         packed, labels, _, meta = (
             serving if serving is not None else self._serving
         )
+        from fastpyvectordb_spark.ann.ivf import _resolve_nprobe
+
         pos, dist = ivf_search_local_one(
             packed,
             query_vec,
             k=k,
-            nprobe=min(nprobe, packed.centroids.shape[0]),
+            nprobe=_resolve_nprobe(nprobe, packed.centroids.shape[0]),
             metric=meta["metric"],
         )
         dist = np.round(dist, 6)
@@ -690,7 +696,7 @@ class CollectionANN:
         ]
 
     def search_batch(
-        self, queries_pdf, k: int = 10, nprobe: int = 8, serving=None
+        self, queries_pdf, k: int = 10, nprobe: int | None = None, serving=None
     ):
         """(query_id, rank, id, dist) with string ids; probed packed
         kernel (:func:`ivf_search_local`), distances rounded like
@@ -701,11 +707,13 @@ class CollectionANN:
         packed, labels, _, meta = (
             serving if serving is not None else self._serving
         )
+        from fastpyvectordb_spark.ann.ivf import _resolve_nprobe
+
         res = ivf_search_local(
             packed,
             queries_pdf,
             k=k,
-            nprobe=min(nprobe, packed.centroids.shape[0]),
+            nprobe=_resolve_nprobe(nprobe, packed.centroids.shape[0]),
             metric=meta["metric"],
             id_col="_pos",
         )

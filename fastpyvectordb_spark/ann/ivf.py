@@ -46,6 +46,39 @@ def centroid_probe_scores(centroids: np.ndarray, qmat) -> np.ndarray:
     return c_sq[None, :] - 2.0 * (q @ c.T)
 
 
+# Fraction of lists a probed search scans when the caller passes
+# nprobe=None. 2.5% is the bench operating point (8 probes at the
+# √N-auto 316 lists of a 100k corpus) and held recall 0.90 there; the
+# 10M spotcheck showed that holding the PROBE COUNT instead (nprobe=8
+# at 3,162 lists = 0.25% coverage) makes candidate recall the limiter
+# (raw ADC 0.80). Holding the fraction is the scale-stable default.
+DEFAULT_SCAN_FRACTION = 0.025
+
+
+def auto_nprobe(
+    n_lists: int,
+    scan_fraction: float = DEFAULT_SCAN_FRACTION,
+    floor: int = 8,
+) -> int:
+    """Probe count that holds a constant *fraction* of lists scanned as
+    the corpus (and hence the √N-auto ``n_lists``) grows — the FAISS
+    guidance of scaling nprobe with nlist, made the default. With √N
+    lists, a fixed fraction keeps per-query scanned rows at
+    ``scan_fraction · N`` — the same contract the exact scan has, just
+    40× cheaper — instead of silently degrading candidate recall by
+    √(N ratio) the way a fixed probe count does. Floor of 8 keeps tiny
+    indexes from probing too few lists to fill k."""
+    want = int(np.ceil(scan_fraction * n_lists))
+    return max(1, min(n_lists, max(floor, want)))
+
+
+def _resolve_nprobe(nprobe: int | None, n_lists: int) -> int:
+    """``None`` → :func:`auto_nprobe`; ints clamp to the list count."""
+    if nprobe is None:
+        return auto_nprobe(n_lists)
+    return max(1, min(int(nprobe), n_lists))
+
+
 def default_colocate_partitions(df: DataFrame) -> int:
     """Partition count for ``colocate()`` when the caller didn't pin
     one: ``spark.sql.shuffle.partitions`` — except that conf is the
@@ -279,11 +312,12 @@ def ivf_search(
     index: IVFIndex,
     query_vec: Sequence[float],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    nprobe = _resolve_nprobe(nprobe, index.centroids.shape[0])
     q = np.asarray(query_vec, dtype=np.float64)
     d = centroid_probe_scores(index.centroids, q[None, :])[0]
     probe = [int(i) for i in np.argsort(d)[:nprobe]]
@@ -295,12 +329,13 @@ def ivf_search_batch(
     index: IVFIndex,
     queries_pdf,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Batch ANN: every query probes its ``nprobe`` nearest lists; each
+    """Batch ANN: every query probes its ``nprobe`` nearest lists
+    (``None`` → :func:`auto_nprobe`, a constant scan fraction); each
     list is scanned ONCE for all queries probing it (one GEMM per list
     against that list's query subset), then a global window merge keeps
     the exact top-k of the probed candidates.
@@ -324,6 +359,7 @@ def ivf_search_batch(
 
     from fastpyvectordb_spark.operators.knn import _gemm_topk_chunked
 
+    nprobe = _resolve_nprobe(nprobe, index.centroids.shape[0])
     eps = 1e-10
     qids = queries_pdf["query_id"].to_numpy()
     qmat = np.stack(
@@ -432,7 +468,7 @@ def ivf_search_local_one(
     packed: IVFPacked,
     query_vec,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     metric: str = "cosine",
 ):
     """Pandas-free single-query probed search over the packed index:
@@ -447,6 +483,7 @@ def ivf_search_local_one(
     the single-vs-batch tests). The serving hot path (REST ANN route,
     ``Collection.search_ann``) calls this directly to skip two
     DataFrame constructions per request."""
+    nprobe = _resolve_nprobe(nprobe, packed.centroids.shape[0])
     eps = 1e-10
     qmat = np.stack([np.asarray(query_vec, dtype=np.float32)])
     if metric == "cosine":
@@ -494,7 +531,7 @@ def ivf_search_local(
     packed: IVFPacked,
     queries_pdf,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     metric: str = "cosine",
     id_col: str = "vec_id",
 ) -> "pd.DataFrame":
@@ -508,6 +545,7 @@ def ivf_search_local(
     """
     import pandas as pd
 
+    nprobe = _resolve_nprobe(nprobe, packed.centroids.shape[0])
     eps = 1e-10
     qids = queries_pdf["query_id"].to_numpy()
     nq = len(qids)
@@ -680,7 +718,7 @@ def ivf_search_auto(
     index: IVFIndex,
     queries_pdf,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",

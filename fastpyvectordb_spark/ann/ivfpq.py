@@ -508,7 +508,7 @@ def ivfpq_search_batch(
     index: IVFPQIndex,
     queries_pdf: pd.DataFrame,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     refine_df: DataFrame | None = None,
     refine: int = 0,
     vec_col: str = "embedding",
@@ -519,6 +519,9 @@ def ivfpq_search_batch(
     merge. With ``refine_df``/``refine`` the top ``refine`` ADC
     candidates are joined back to the raw vectors and exactly reranked
     (L2). Output: (query_id, rank, <id_col>, dist)."""
+    from fastpyvectordb_spark.ann.ivf import _resolve_nprobe
+
+    nprobe = _resolve_nprobe(nprobe, index.centroids.shape[0])
     id_col = index.id_col
     qids = queries_pdf["query_id"].to_numpy()
     qmat = np.stack(
@@ -638,8 +641,17 @@ def ivfpq_search_batch(
         ),
         "query_id long, query_vec array<double>",
     )
+    # shuffle_hash hint: same stats trap as dedup._rerank (round 11,
+    # found live at the 10M spotcheck) — when refine_df's plan carries
+    # an understated size estimate (mapInPandas/localCheckpoint keep
+    # the source's estimate), the static planner broadcast-builds the
+    # ENTIRE vector table. The hint pins the candidate side as the
+    # per-partition hash build (Q × refine rows — always the small
+    # side), the vector table streams through one id-shuffle; AQE may
+    # still broadcast the candidate side from runtime stats.
     exact = (
         topn.select("query_id", id_col)
+        .hint("shuffle_hash")
         .join(refine_df.select(id_col, vec_col), id_col)
         .join(F.broadcast(qdf), "query_id")
         .select(
@@ -671,7 +683,7 @@ def ivfpq_search(
     index: IVFPQIndex,
     query_vec: Sequence[float],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     refine_df: DataFrame | None = None,
     refine: int = 0,
     vec_col: str = "embedding",
@@ -780,7 +792,7 @@ def ivfpq_search_local(
     packed: IVFPQPacked,
     queries_pdf: pd.DataFrame,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     n_threads: int | None = None,
 ) -> pd.DataFrame:
@@ -791,6 +803,9 @@ def ivfpq_search_local(
     distributed plan. ``n_threads > 1`` fans independent query blocks
     across a pool (NumPy gathers release the GIL) — driver-side serving
     only; executor-side callers keep 1 (Spark runs one task per core)."""
+    from fastpyvectordb_spark.ann.ivf import _resolve_nprobe
+
+    nprobe = _resolve_nprobe(nprobe, packed.centroids.shape[0])
     if n_threads is None:
         # NumPy fancy-index gathers hold the GIL (unlike BLAS GEMM), so
         # threading buys nothing for ADC — measured slower. Kept as an

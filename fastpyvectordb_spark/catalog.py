@@ -2632,10 +2632,26 @@ class Collection:
     # config ef_search 50 ≡ nprobe 8 — monotone, so "raise ef_search
     # for better recall" keeps meaning exactly that.
     _NPROBE_PER_EF = 8 / 50
+    _EF_ANCHOR = 50
 
     @classmethod
-    def nprobe_from_ef(cls, ef_search: int) -> int:
-        return max(1, round(ef_search * cls._NPROBE_PER_EF))
+    def nprobe_from_ef(cls, ef_search: int, n_lists: int | None = None) -> int:
+        """ef_search → probe width. With ``n_lists`` the anchor scales:
+        ef 50 ≡ :func:`ann.ivf.auto_nprobe` lists (a constant FRACTION
+        of lists, floor 8 — identical to the fixed ``8`` at ≤320 lists,
+        i.e. every corpus up to ~100k rows under √N auto-sizing).
+        Holding the probe COUNT instead silently degrades candidate
+        recall as the index grows: the 10M spotcheck measured raw ADC
+        recall 0.80 at nprobe=8 over 3,162 lists (0.25% of lists)
+        vs 0.90 at the 2.5% operating fraction. Without ``n_lists``
+        (n/a or unknown) the fixed anchor applies."""
+        if n_lists is None:
+            return max(1, round(ef_search * cls._NPROBE_PER_EF))
+        from fastpyvectordb_spark.ann.ivf import auto_nprobe
+
+        return max(
+            1, round(ef_search / cls._EF_ANCHOR * auto_nprobe(n_lists))
+        )
 
     def search_ann(
         self,
@@ -2660,16 +2676,26 @@ class Collection:
         collection's CONFIGURED ef_search (reference
         vectordb_optimized.py:191-200 — config ef_search governs
         searches unless overridden per request)."""
-        if ef_search is not None:
-            nprobe = self.nprobe_from_ef(ef_search)
-        elif nprobe is None:
-            nprobe = self.nprobe_from_ef(self.config.ef_search)
+        # explicit nprobe wins; any ef (request or config default)
+        # resolves AFTER ensure(), when the trained list count is known
+        # and the anchor can scale with it (see nprobe_from_ef)
+        eff_ef = ef_search if ef_search is not None else (
+            self.config.ef_search if nprobe is None else None
+        )
         if len(query_vec) != self.config.dimensions:
             raise ValueError(
                 f"query dimension {len(query_vec)} != {self.config.dimensions}"
             )
         st = self._ann()
         serving = st.ensure(auto_build=auto_build)
+        if eff_ef is not None:
+            nprobe = self.nprobe_from_ef(
+                eff_ef,
+                n_lists=(
+                    st.centroids.shape[0]
+                    if st.centroids is not None else None
+                ),
+            )
         if serving is None:
             if st.centroids is None or self._current_version() is None:
                 return None
@@ -2697,10 +2723,11 @@ class Collection:
         ef_search mapping."""
         import pandas as pd
 
-        if ef_search is not None:
-            nprobe = self.nprobe_from_ef(ef_search)
-        elif nprobe is None:
-            nprobe = self.nprobe_from_ef(self.config.ef_search)
+        # same deferred ef→nprobe resolution as search_ann: the anchor
+        # scales with the trained list count once ensure() ran
+        eff_ef = ef_search if ef_search is not None else (
+            self.config.ef_search if nprobe is None else None
+        )
         for v in query_vecs:
             if len(v) != self.config.dimensions:
                 raise ValueError(
@@ -2708,6 +2735,14 @@ class Collection:
                 )
         st = self._ann()
         serving = st.ensure(auto_build=auto_build)
+        if eff_ef is not None:
+            nprobe = self.nprobe_from_ef(
+                eff_ef,
+                n_lists=(
+                    st.centroids.shape[0]
+                    if st.centroids is not None else None
+                ),
+            )
         if serving is None:
             if st.centroids is None or self._current_version() is None:
                 return None

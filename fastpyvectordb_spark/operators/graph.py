@@ -169,7 +169,21 @@ def traverse_df(
     pattern (e.g. a loose Cypher left node) never collects to the
     driver. Same output contract as :func:`traverse`."""
     e = edges if edge_type is None else edges_by_type(edges, edge_type)
-    e = e.select("src", "dst").distinct()
+    # ONE src-clustered shuffle serves every hop: dropDuplicates after
+    # repartition("src") dedups with no exchange of its own
+    # (HashPartitioning(src) satisfies the (src,dst) clustering), the
+    # identical repartition subtree is reused across hops
+    # (ReusedExchange), and the hop joins below pin the FRONTIER as the
+    # shuffled-hash build side — so the frontier is the only per-hop
+    # shuffle and the edge table is never re-sorted. The previous
+    # distinct + unhinted join sort-merge-joined every hop: the edge
+    # table re-sorted per hop, and at 100 TB each of those sorts
+    # dwarfs the traversal itself.
+    e = (
+        e.select("src", "dst")
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+    )
     frontier = start_df.select(
         F.col(start_col).cast("string").alias("start_id")
     ).distinct().select(
@@ -181,7 +195,7 @@ def traverse_df(
     results = None
     for hop in range(1, max_depth + 1):
         frontier = (
-            frontier.join(e, frontier.node == e.src)
+            frontier.hint("shuffle_hash").join(e, frontier.node == e.src)
             .filter(~F.array_contains(F.col("path_arr"), F.col("dst")))
             .select(
                 "start_id",
@@ -263,7 +277,14 @@ def _bfs_levels_distributed(
     start_hop: int, max_depth: int
 ) -> DataFrame:
     """Continuation of bfs_levels once the frontier outgrows the driver."""
-    e = e.distinct().localCheckpoint()
+    # src-clustered then checkpointed: the stored blocks keep the
+    # HashPartitioning(src), so every hop's shuffled-hash join streams
+    # the edge table with NO exchange (see traverse_df for the shape)
+    e = (
+        e.repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
     visited = spark.createDataFrame(
         list(seen.items()), "node_id string, hops int"
     ).localCheckpoint()
@@ -272,7 +293,8 @@ def _bfs_levels_distributed(
     )
     for hop in range(start_hop + 1, max_depth + 1):
         nxt = (
-            frontier.join(e, frontier.node_id == e.src)
+            frontier.hint("shuffle_hash")
+            .join(e, frontier.node_id == e.src)
             .select(F.col("dst").alias("node_id"))
             .distinct()
             .join(visited.select("node_id"), "node_id", "left_anti")
@@ -298,14 +320,20 @@ def shortest_path(
     Returns one row (src_id, dst_id, hops, path) or zero rows.
     """
     e = edges if edge_type is None else edges_by_type(edges, edge_type)
-    e = e.select("src", "dst").distinct()
+    # same hop-join shape as traverse_df: one src-clustered shuffle for
+    # the whole walk, frontier as the shuffled-hash build side
+    e = (
+        e.select("src", "dst")
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+    )
     spark = edges.sparkSession
     frontier = spark.createDataFrame(
         [(src_id, [src_id], 0)], "node string, path_arr array<string>, depth int"
     )
     for hop in range(1, max_depth + 1):
         frontier = (
-            frontier.join(e, frontier.node == e.src)
+            frontier.hint("shuffle_hash").join(e, frontier.node == e.src)
             .filter(~F.array_contains(F.col("path_arr"), F.col("dst")))
             .select(
                 F.col("dst").alias("node"),

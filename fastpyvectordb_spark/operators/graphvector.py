@@ -112,10 +112,19 @@ def vector_search_edges(
 
 
 def undirected(edges: DataFrame) -> DataFrame:
-    """Both-direction adjacency (the reference expands direction='both')."""
+    """Both-direction adjacency (the reference expands direction='both').
+    src-clustered in ONE shuffle (dropDuplicates after
+    repartition("src") needs no exchange of its own), so the hop joins
+    in :func:`semantic_graph_search` stream it shuffle- and sort-free
+    with the frontier as the shuffled-hash build side — the
+    traverse_df hop-join shape (operators/graph.py)."""
     fwd = edges.select("src", "dst")
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return fwd.unionByName(rev).distinct()
+    return (
+        fwd.unionByName(rev)
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+    )
 
 
 def semantic_graph_search(
@@ -161,7 +170,8 @@ def semantic_graph_search(
     expanded = []
     for hop in range(1, expand_hops + 1):
         nxt = (
-            frontier.join(adj, frontier.node_id == adj.src)
+            frontier.hint("shuffle_hash")
+            .join(adj, frontier.node_id == adj.src)
             .select(F.col("dst").alias("node_id"))
             .distinct()
             .join(visited, "node_id", "left_anti")
@@ -212,8 +222,11 @@ def graph_search_with_reranking(
     paths = traverse(edges, [start_id], max_depth=max_depth)
     emb = nodes.select(F.col(id_col).alias("end_id"), F.col(vec_col).alias("_v"))
     qlit = F.array(*[F.lit(float(v)).cast("float") for v in query_vec])
+    # paths (bounded path enumeration) is the small side; the hint
+    # keeps a mis-estimated node table from being broadcast-built and
+    # pins paths as the per-partition hash (dedup._rerank pattern)
     return (
-        paths.join(emb, "end_id")
+        paths.hint("shuffle_hash").join(emb, "end_id")
         .select(
             "end_id",
             "depth",

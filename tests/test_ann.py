@@ -282,6 +282,47 @@ def test_ivfpq_auto_n_lists(embeddings, spark):
     assert idx.codes.count() == n
 
 
+def test_auto_nprobe_holds_scan_fraction(embeddings):
+    """``nprobe=None`` resolves to a constant scan FRACTION of the
+    lists (floor 8), not a fixed probe count — the 10M spotcheck
+    showed fixed nprobe=8 over 3,162 lists (0.25% coverage) drops raw
+    candidate recall to 0.80 while 2.5% holds 0.90. The ef_search
+    anchor (ef 50 ≡ nprobe 8) scales the same way once the trained
+    list count is known."""
+    from fastpyvectordb_spark.ann.ivf import (
+        auto_nprobe,
+        ivf_build,
+        ivf_pack,
+        ivf_search_local,
+    )
+    from fastpyvectordb_spark.catalog import Collection
+
+    # fraction math: bench point (√100k → 316 lists) keeps today's 8;
+    # the 10M point (3,162 lists) scales to 80; tiny indexes clamp
+    assert auto_nprobe(316) == 8
+    assert auto_nprobe(3162) == 80
+    assert auto_nprobe(4) == 4
+    # ef anchor: identical to the fixed map at ≤320 lists, scaled above
+    assert Collection.nprobe_from_ef(50, n_lists=316) == 8
+    assert Collection.nprobe_from_ef(50, n_lists=3162) == 80
+    assert Collection.nprobe_from_ef(100, n_lists=3162) == 160
+    assert Collection.nprobe_from_ef(50) == Collection.nprobe_from_ef(
+        50, n_lists=316
+    )
+    # functional: nprobe=None ≡ the resolved explicit width
+    import pandas as pd
+
+    index = ivf_build(embeddings, n_lists=8, max_iter=3, seed=7)
+    packed = ivf_pack(index)
+    qvec = embeddings.filter(F.col("vec_id") == 5).head()["embedding"]
+    qpdf = pd.DataFrame({"query_id": [0], "query_vec": [list(qvec)]})
+    got_auto = ivf_search_local(packed, qpdf, k=10, nprobe=None)
+    got_explicit = ivf_search_local(
+        packed, qpdf, k=10, nprobe=auto_nprobe(8)
+    )
+    pd.testing.assert_frame_equal(got_auto, got_explicit)
+
+
 @pytest.mark.slow
 def test_ivfpq_codes_table_is_compact(embeddings, tmp_path):
     """The codes table must carry only (id, list_id, codes[M]) — the
