@@ -216,7 +216,7 @@ def partitioned_search_indexed(
     stubs: DataFrame,
     query_vec: Sequence[float],
     k: int = 10,
-    nprobe: int = 6,
+    nprobe: int | None = None,
     metric: str = "cosine",
     id_col: str = "vec_id",
     round_digits: int | None = 6,
@@ -251,10 +251,17 @@ def _unpack(row):
 
 
 def _scan_lists(
-    cents, offsets, ids, vmat, q: np.ndarray, k: int, nprobe: int, metric: str
+    cents, offsets, ids, vmat, q: np.ndarray, k: int,
+    nprobe: int | None, metric: str
 ):
     """Probe the nprobe nearest lists, exact distances on their rows.
-    Returns (ids, dists) of the partition-local top-k."""
+    Returns (ids, dists) of the partition-local top-k. ``nprobe=None``
+    holds the scan FRACTION of this artifact's local lists
+    (:func:`ann.ivf.auto_nprobe`), so recall is stable however many
+    lists the partition was built with."""
+    from fastpyvectordb_spark.ann.ivf import _resolve_nprobe
+
+    nprobe = _resolve_nprobe(nprobe, len(cents))
     if metric == "ip":
         crank = -(cents @ q)
     elif metric == "cosine":
@@ -292,7 +299,7 @@ def partitioned_search(
     index_df: DataFrame,
     query_vec: Sequence[float],
     k: int = 10,
-    nprobe: int = 6,
+    nprobe: int | None = None,
     metric: str = "cosine",
     id_col: str = "vec_id",
     round_digits: int | None = 6,
@@ -325,7 +332,11 @@ def _scan_artifact_batch(
     (nprobe >= n_lists) takes a vectorized GEMM fast path — one
     (Q, n) distance block per artifact instead of per-query gathers —
     which makes the cached-artifact serving path an exact batch
-    scanner."""
+    scanner. ``nprobe=None`` resolves per artifact (see
+    :func:`_scan_lists`)."""
+    from fastpyvectordb_spark.ann.ivf import _resolve_nprobe
+
+    nprobe = _resolve_nprobe(nprobe, len(cents))
     if nprobe >= len(cents) and len(ids):
         v = vmat.astype(np.float64)
         if metric == "l2":
@@ -377,7 +388,7 @@ def partitioned_search_indexed_batch(
     stubs: DataFrame,
     queries_pdf: pd.DataFrame,
     k: int = 10,
-    nprobe: int = 6,
+    nprobe: int | None = None,
     metric: str = "cosine",
     id_col: str = "vec_id",
     round_digits: int | None = 6,
@@ -422,7 +433,7 @@ def partitioned_search_batch(
     index_df: DataFrame,
     queries_pdf: pd.DataFrame,
     k: int = 10,
-    nprobe: int = 6,
+    nprobe: int | None = None,
     metric: str = "cosine",
     id_col: str = "vec_id",
     round_digits: int | None = 6,

@@ -259,3 +259,26 @@ def test_q21_single_fact_shuffle(spark):
     assert rep.broadcast_joins >= 1, rep.summary()
     plan = physical_plan(df)
     assert plan.count("lineitem.parquet") <= 1, "fact table scanned twice"
+
+
+def test_bfs_hop_joins_are_sortfree_shuffled_hash(spark):
+    """Round 11: every traversal hop used to sort-merge-join the edge
+    table — re-sorting it per hop. Now the edge table is src-clustered
+    in ONE reusable exchange (dropDuplicates after repartition("src")
+    adds no exchange of its own) and the frontier is the shuffled-hash
+    build side, so a depth-3 walk carries 3 SHJ, 0 SMJ, 0 Sort."""
+    from fastpyvectordb_spark.operators.graph import traverse
+    from fastpyvectordb_spark.plans.advisor import physical_plan
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 40}") for i in range(120)],
+        "src string, dst string",
+    )
+    df = traverse(edges, ["n1"], max_depth=3)
+    plan = physical_plan(df)
+    # the depth-d output unions hop 1..d steps and hop h's branch
+    # re-contains hops 1..h's joins: d(d+1)/2 = 6 join nodes at d=3
+    # (exchanges between them dedup at runtime via ReusedExchange)
+    assert plan.count("ShuffledHashJoin") == 6, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("Sort ") == 0, plan

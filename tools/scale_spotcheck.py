@@ -513,7 +513,9 @@ def _section_big(spark, dims: int, out: dict) -> None:
     )
     q0 = [float(x) for x in qpdf["query_vec"].iloc[0]]
     t0 = time.perf_counter()
-    hits = c.search_ann(q0, k=10, nprobe=8)
+    # no nprobe: config ef_search (50) resolves through the scaled
+    # anchor — auto_nprobe(n_lists) — exercising the round-11 default
+    hits = c.search_ann(q0, k=10)
     out["ann_distributed_scan_10m_sec"] = round(time.perf_counter() - t0, 1)
     assert hits and len(hits) == 10
     _partial(out)
@@ -535,6 +537,9 @@ def _section_big(spark, dims: int, out: dict) -> None:
     out["ivfpq_codes_mb_10m"] = round(n * 16 / 2**20, 1)
     _partial(out)
 
+    from fastpyvectordb_spark.ann.ivf import auto_nprobe
+
+    out["ivfpq_auto_nprobe_10m"] = auto_nprobe(len(idx.centroids))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -543,15 +548,28 @@ def _section_big(spark, dims: int, out: dict) -> None:
     assert cnt == len(qpdf) * 10
     out["ivfpq_batch_100q_10m_sec"] = round(best, 1)
     out["ivfpq_batch_qps_10m"] = round(len(qpdf) / best, 1)
+    # same batch at the round-11 DEFAULT width (None → 2.5% of lists,
+    # 80 probes here): the honest cost of holding the scan fraction
+    t0 = time.perf_counter()
+    cnt = ivfpq_search_batch(idx, qpdf, k=10).count()
+    dt = time.perf_counter() - t0
+    assert cnt == len(qpdf) * 10
+    out["ivfpq_batch_100q_auto_10m_sec"] = round(dt, 1)
+    out["ivfpq_batch_auto_qps_10m"] = round(len(qpdf) / dt, 1)
 
-    # recall vs exact on 32 queries (refined path = the production plan)
+    # recall vs exact on 32 queries: fixed nprobe=8 (the r11 finding's
+    # degraded point), the auto default (must restore ≈0.90), and the
+    # refined path (= the production plan)
     sample = qpdf.head(32)
     exact = knn_batch_gemm(emb, sample, k=10, metric="l2").toPandas()
     adc = ivfpq_search_batch(idx, sample, k=10, nprobe=8).toPandas()
+    adc_auto = ivfpq_search_batch(idx, sample, k=10).toPandas()
     ref = ivfpq_search_batch(
         idx, sample, k=10, nprobe=32, refine_df=emb, refine=200
     ).toPandas()
-    for name, df in (("ivfpq_recall_10m", adc), ("ivfpq_refined_recall_10m", ref)):
+    for name, df in (("ivfpq_recall_10m", adc),
+                     ("ivfpq_recall_auto_10m", adc_auto),
+                     ("ivfpq_refined_recall_10m", ref)):
         hits_n = 0
         for qid in sample["query_id"]:
             a = set(df.loc[df.query_id == qid, "vec_id"])
