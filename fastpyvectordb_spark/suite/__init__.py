@@ -45,8 +45,9 @@ def register(name: str, oracle: str | None = None):
 # prefix, keeping every query ≤3 rounds stale. The 50 names the r10
 # driver just re-verified go last.
 _PRIORITY = [
-    # round-11 code changes
+    # round-11 code changes (incl. the hop-join reshape + auto-nprobe)
     "gv_edge_similarity", "ann_ivfpq_knn",
+    "graph_traverse", "graph_bfs_levels", "ann_partitioned_knn",
     # last driver-verified round 8 (oldest green rows — 30 names)
     "graph_shortest_path",
     "graph_degree_topk", "graph_stats", "graph_hyperedge_membership",
@@ -80,7 +81,7 @@ _PRIORITY = [
     "cypher_match_where", "cypher_nation_customer_counts",
     "cypher_node_props", "cypher_region_chain_counts",
     "dedup_substring_spans",
-    "ann_lsh_knn", "ann_partitioned_knn", "ann_nsw_knn",
+    "ann_lsh_knn", "ann_nsw_knn",
     "events_conversion_funnel",
     "events_gap_percentiles", "events_ohlc_hourly",
     "events_retention_cohorts", "events_transition_bigrams",
@@ -108,7 +109,6 @@ _PRIORITY = [
     "sq_train_stats", "sq_knn_cosine", "sq_knn_l2", "sq_knn_ip",
     "pq_adc_knn", "hybrid_search_alpha05", "hybrid_search_alpha08",
     "hybrid_search_batch", "graph_find_nodes", "graph_neighbors",
-    "graph_traverse", "graph_bfs_levels",
 ]
 
 
