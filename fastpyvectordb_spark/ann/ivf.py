@@ -46,30 +46,30 @@ def centroid_probe_scores(centroids: np.ndarray, qmat) -> np.ndarray:
     return c_sq[None, :] - 2.0 * (q @ c.T)
 
 
-# Fraction of lists a probed search scans when the caller passes
-# nprobe=None. 2.5% is the bench operating point (8 probes at the
-# √N-auto 316 lists of a 100k corpus) and held recall 0.90 there; the
-# 10M spotcheck showed that holding the PROBE COUNT instead (nprobe=8
-# at 3,162 lists = 0.25% coverage) makes candidate recall the limiter
-# (raw ADC 0.80). Holding the fraction is the scale-stable default.
-DEFAULT_SCAN_FRACTION = 0.025
+def auto_nprobe(n_lists: int, floor: int = 8) -> int:
+    """Probe width for ``nprobe=None``: ``max(floor, ⌊√n_lists⌋ // 2)``
+    — grows with the index (coverage insurance as neighborhoods get
+    harder) but keeps per-query cost SUBLINEAR: with √N-auto lists
+    this is ≈N^0.25 probes → N^0.75/2 rows scanned, vs 0.025·N for a
+    constant scan fraction (linear — the exact scan's cost law) and a
+    flat 8·√N for a fixed count. Width 8 at the 100k bench point
+    (316 lists), 28 at 10M (3,162 lists).
 
+    Calibrated by the round-11 10M decomposition (tools/
+    scale_spotcheck.py big): candidate COVERAGE at 8 probes over
+    3,162 lists measured 1.0000 (every exact top-10 neighbor's list
+    probed; refined recall identical at nprobe 8 and 32), while raw
+    ADC recall sat FLAT at 0.80 from 8 to 80 probes — on clusterable
+    data the coverage term doesn't bind, and a fraction-holding
+    default (first r11 cut) paid 2.8× batch wall for nothing. Probe
+    growth is kept (slowly) because coverage loss is data-dependent;
+    the measured flat range says anything in [8, 80] is
+    recall-equivalent at 10M, and √/2 stays inside it for another
+    two decades of scale. Floor of 8 keeps tiny indexes from probing
+    too few lists to fill k."""
+    import math
 
-def auto_nprobe(
-    n_lists: int,
-    scan_fraction: float = DEFAULT_SCAN_FRACTION,
-    floor: int = 8,
-) -> int:
-    """Probe count that holds a constant *fraction* of lists scanned as
-    the corpus (and hence the √N-auto ``n_lists``) grows — the FAISS
-    guidance of scaling nprobe with nlist, made the default. With √N
-    lists, a fixed fraction keeps per-query scanned rows at
-    ``scan_fraction · N`` — the same contract the exact scan has, just
-    40× cheaper — instead of silently degrading candidate recall by
-    √(N ratio) the way a fixed probe count does. Floor of 8 keeps tiny
-    indexes from probing too few lists to fill k."""
-    want = int(np.ceil(scan_fraction * n_lists))
-    return max(1, min(n_lists, max(floor, want)))
+    return max(1, min(n_lists, max(floor, math.isqrt(n_lists) // 2)))
 
 
 def _resolve_nprobe(nprobe: int | None, n_lists: int) -> int:
@@ -335,7 +335,7 @@ def ivf_search_batch(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Batch ANN: every query probes its ``nprobe`` nearest lists
-    (``None`` → :func:`auto_nprobe`, a constant scan fraction); each
+    (``None`` → :func:`auto_nprobe`, sublinear width growth); each
     list is scanned ONCE for all queries probing it (one GEMM per list
     against that list's query subset), then a global window merge keeps
     the exact top-k of the probed candidates.

@@ -256,8 +256,8 @@ def _scan_lists(
 ):
     """Probe the nprobe nearest lists, exact distances on their rows.
     Returns (ids, dists) of the partition-local top-k. ``nprobe=None``
-    holds the scan FRACTION of this artifact's local lists
-    (:func:`ann.ivf.auto_nprobe`), so recall is stable however many
+    resolves against this artifact's local list count
+    (:func:`ann.ivf.auto_nprobe`), so the width tracks however many
     lists the partition was built with."""
     from fastpyvectordb_spark.ann.ivf import _resolve_nprobe
 

@@ -2637,14 +2637,14 @@ class Collection:
     @classmethod
     def nprobe_from_ef(cls, ef_search: int, n_lists: int | None = None) -> int:
         """ef_search → probe width. With ``n_lists`` the anchor scales:
-        ef 50 ≡ :func:`ann.ivf.auto_nprobe` lists (a constant FRACTION
-        of lists, floor 8 — identical to the fixed ``8`` at ≤320 lists,
-        i.e. every corpus up to ~100k rows under √N auto-sizing).
-        Holding the probe COUNT instead silently degrades candidate
-        recall as the index grows: the 10M spotcheck measured raw ADC
-        recall 0.80 at nprobe=8 over 3,162 lists (0.25% of lists)
-        vs 0.90 at the 2.5% operating fraction. Without ``n_lists``
-        (n/a or unknown) the fixed anchor applies."""
+        ef 50 ≡ :func:`ann.ivf.auto_nprobe` lists (⌊√n_lists⌋//2,
+        floor 8 — identical to the fixed ``8`` at ≤324 lists, i.e.
+        every corpus up to ~100k rows under √N auto-sizing; 28 at the
+        10M point). The growth is coverage insurance at sublinear
+        cost — the 10M decomposition measured coverage 1.0 already at
+        8 probes on clusterable data, so the width stays modest rather
+        than holding a (linear-cost) scan fraction. Without
+        ``n_lists`` (n/a or unknown) the fixed anchor applies."""
         if n_lists is None:
             return max(1, round(ef_search * cls._NPROBE_PER_EF))
         from fastpyvectordb_spark.ann.ivf import auto_nprobe

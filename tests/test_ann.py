@@ -282,13 +282,15 @@ def test_ivfpq_auto_n_lists(embeddings, spark):
     assert idx.codes.count() == n
 
 
-def test_auto_nprobe_holds_scan_fraction(embeddings):
-    """``nprobe=None`` resolves to a constant scan FRACTION of the
-    lists (floor 8), not a fixed probe count — the 10M spotcheck
-    showed fixed nprobe=8 over 3,162 lists (0.25% coverage) drops raw
-    candidate recall to 0.80 while 2.5% holds 0.90. The ef_search
-    anchor (ef 50 ≡ nprobe 8) scales the same way once the trained
-    list count is known."""
+def test_auto_nprobe_grows_sublinearly(embeddings):
+    """``nprobe=None`` resolves to ``max(8, ⌊√n_lists⌋//2)`` — probe
+    width grows with the index (coverage insurance) at sublinear scan
+    cost. The 10M decomposition that set the rule: candidate coverage
+    at 8 probes over 3,162 lists measured 1.0000 and raw ADC recall
+    was FLAT 0.80 from 8 to 80 probes, so a fraction-holding width
+    (linear cost) buys nothing on clusterable data. The ef_search
+    anchor (ef 50 ≡ the auto width) scales the same way once the
+    trained list count is known."""
     from fastpyvectordb_spark.ann.ivf import (
         auto_nprobe,
         ivf_build,
@@ -297,15 +299,16 @@ def test_auto_nprobe_holds_scan_fraction(embeddings):
     )
     from fastpyvectordb_spark.catalog import Collection
 
-    # fraction math: bench point (√100k → 316 lists) keeps today's 8;
-    # the 10M point (3,162 lists) scales to 80; tiny indexes clamp
+    # bench point (√100k → 316 lists) keeps width 8; the 10M point
+    # (3,162 lists) grows to 28 — inside the measured recall-flat
+    # [8, 80] band; tiny indexes clamp to their list count
     assert auto_nprobe(316) == 8
-    assert auto_nprobe(3162) == 80
+    assert auto_nprobe(3162) == 28
     assert auto_nprobe(4) == 4
-    # ef anchor: identical to the fixed map at ≤320 lists, scaled above
+    # ef anchor: identical to the fixed map at ≤324 lists, scaled above
     assert Collection.nprobe_from_ef(50, n_lists=316) == 8
-    assert Collection.nprobe_from_ef(50, n_lists=3162) == 80
-    assert Collection.nprobe_from_ef(100, n_lists=3162) == 160
+    assert Collection.nprobe_from_ef(50, n_lists=3162) == 28
+    assert Collection.nprobe_from_ef(100, n_lists=3162) == 56
     assert Collection.nprobe_from_ef(50) == Collection.nprobe_from_ef(
         50, n_lists=316
     )

@@ -557,18 +557,26 @@ def _section_big(spark, dims: int, out: dict) -> None:
     out["ivfpq_batch_100q_auto_10m_sec"] = round(dt, 1)
     out["ivfpq_batch_auto_qps_10m"] = round(len(qpdf) / dt, 1)
 
-    # recall vs exact on 32 queries: fixed nprobe=8 (the r11 finding's
-    # degraded point), the auto default (must restore ≈0.90), and the
-    # refined path (= the production plan)
+    # recall vs exact on 32 queries, decomposed: raw ADC at fixed
+    # nprobe=8 and at the auto width (80), refined at 8/32, plus the
+    # DIRECT candidate-coverage number (is the true neighbor's list in
+    # the probe set?) — this separates the two loss sources: coverage
+    # (what nprobe buys) vs ADC code resolution (what M/K buy). The
+    # first auto-width run measured raw ADC FLAT at 0.80 from 8 to 80
+    # probes — code resolution, not coverage, caps raw recall at 10M.
     sample = qpdf.head(32)
     exact = knn_batch_gemm(emb, sample, k=10, metric="l2").toPandas()
     adc = ivfpq_search_batch(idx, sample, k=10, nprobe=8).toPandas()
     adc_auto = ivfpq_search_batch(idx, sample, k=10).toPandas()
+    ref8 = ivfpq_search_batch(
+        idx, sample, k=10, nprobe=8, refine_df=emb, refine=200
+    ).toPandas()
     ref = ivfpq_search_batch(
         idx, sample, k=10, nprobe=32, refine_df=emb, refine=200
     ).toPandas()
     for name, df in (("ivfpq_recall_10m", adc),
                      ("ivfpq_recall_auto_10m", adc_auto),
+                     ("ivfpq_refined8_recall_10m", ref8),
                      ("ivfpq_refined_recall_10m", ref)):
         hits_n = 0
         for qid in sample["query_id"]:
@@ -576,6 +584,30 @@ def _section_big(spark, dims: int, out: dict) -> None:
             e = set(exact.loc[exact.query_id == qid, "vec_id"])
             hits_n += len(a & e)
         out[name] = round(hits_n / (len(sample) * 10), 4)
+
+    # candidate coverage: list assignment of every exact top-10 id vs
+    # each query's ranked probe list (same centroid scorer the search
+    # uses) — one 320-id semi-join against the codes table
+    from fastpyvectordb_spark.ann.ivf import centroid_probe_scores
+
+    eids = [int(x) for x in exact["vec_id"].unique()]
+    lmap = {
+        int(r["vec_id"]): int(r["list_id"])
+        for r in idx.codes.select("vec_id", "list_id")
+        .filter(F.col("vec_id").isin(eids)).collect()
+    }
+    qm = np.stack([np.asarray(v, float) for v in sample["query_vec"]])
+    order = np.argsort(centroid_probe_scores(idx.centroids, qm), axis=1)
+    for width, name in ((8, "ivfpq_coverage8_10m"),
+                        (out["ivfpq_auto_nprobe_10m"],
+                         "ivfpq_coverage_auto_10m")):
+        hit = tot = 0
+        for i, qid in enumerate(sample["query_id"]):
+            probes = set(int(x) for x in order[i, :width])
+            for vid in exact.loc[exact.query_id == qid, "vec_id"]:
+                tot += 1
+                hit += int(lmap[int(vid)] in probes)
+        out[name] = round(hit / tot, 4)
     _partial(out)
 
 def _section_bignd(spark, dims: int, out: dict) -> None:
