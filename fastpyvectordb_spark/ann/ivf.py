@@ -192,7 +192,7 @@ def _train_coarse_gemm(
 
 def ivf_build(
     df: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
@@ -203,10 +203,18 @@ def ivf_build(
     ivfpq refined 0.72 at sf-bench knobs); at maxIter=20 the same index
     shapes reach ≥0.95. ``train_rows`` bounds the KMeans fit to a
     sample (standard at 100 TB — fit on ~1M rows, assign everything);
-    assignment always covers the full table."""
+    assignment always covers the full table. ``n_lists=None``
+    auto-sizes to ≈√N clamped to [16, 65536] (the same FAISS rule as
+    :func:`ann.ivfpq.ivfpq_build`) — at 100k that is 316 lists, where
+    the packed serving kernel measured 10,182 QPS at recall 1.0 on the
+    bench corpus vs 5,620 at the old fixed-64 point (8 probes scan
+    2.5% of rows instead of 12.5%)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_lists is None:
+        n_rows = df.count()
+        n_lists = max(16, min(65536, int(round(n_rows ** 0.5))))
     if n_lists < 2:
         # MLlib KMeans rejects k=1 (hit live: optimize(ann_cluster) on
         # a collection DML'd down to one row trains with n_lists
@@ -618,16 +626,31 @@ def ivf_search_local(
         out_d[qidx[:, None], cols] = d[rows, p]
         out_i[qidx[:, None], cols] = packed.ids[s:e][p]
 
-    # probed lists fan across a thread pool: the GEMM, the elementwise
-    # distance fixup, and argpartition all release the GIL, and this
-    # container's BLAS caps at 2 threads per GEMM — list-level blocking
-    # is what restores the multi-core speedup (same lesson as the NSW
-    # packed kernel's query blocks). Per-list math is schedule-
-    # independent, so results are bit-identical to the serial loop.
+    # The per-list scan loop has two regimes, decided by who owns the
+    # cores (round 11, measured best-of-7 on a quiet host):
+    #  - BLAS pinned to 1 thread (executor python workers — session.py
+    #    sets OPENBLAS/OMP/MKL_NUM_THREADS=1 because every core already
+    #    runs a Spark task): a Python-level pool over the probed lists
+    #    restores parallelism; GEMM/fixup/argpartition all release the
+    #    GIL and per-list math is schedule-independent (bit-identical
+    #    to serial).
+    #  - BLAS multi-threaded (the DRIVER serving path): OpenBLAS
+    #    already fans each GEMM across the cores, and a 16-thread pool
+    #    on top oversubscribes — measured 3.4-7× SLOWER than serial
+    #    (316 lists/100q: 33 ms serial vs 169 ms pooled; 316/1024q:
+    #    85 ms vs 219 ms). Serial-with-parallel-BLAS is the fast path.
     import os as _os
 
     uniq = [int(x) for x in np.unique(probe)]
-    nt = max(1, min(16, (_os.cpu_count() or 2) // 2, len(uniq)))
+    blas_pinned = any(
+        _os.environ.get(v) == "1"
+        for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                  "MKL_NUM_THREADS")
+    )
+    if blas_pinned:
+        nt = max(1, min(16, (_os.cpu_count() or 2) // 2, len(uniq)))
+    else:
+        nt = 1
     if nt <= 1 or nq * nprobe < 64:
         for lid in uniq:
             scan_list(lid)
