@@ -184,6 +184,13 @@ class CollectionANN:
 
         n, seq_max = self._watermark()
         if n_lists is None:
+            # √N like ivf_build's auto rule, but clamped at 256: the
+            # collection's distributed fallback and at-rest clustering
+            # assign lists through the _list_id CODEGEN expression (one
+            # struct per centroid, chunked 64 wide) — 256 is sized to
+            # what that expression tree handles; raising the clamp
+            # needs a different assignment path (e.g. the Arrow-GEMM
+            # assigner ivfpq_build uses above _MLLIB_ASSIGN_MAX_WORK)
             n_lists = int(max(8, min(256, round(np.sqrt(max(n, 1))))))
         n_lists = min(n_lists, max(1, n))
         idx = ivf_build(
