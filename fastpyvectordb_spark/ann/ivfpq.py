@@ -262,46 +262,109 @@ def _kmeanspp_init(xs: np.ndarray, k: int, r: np.random.RandomState) -> np.ndarr
     return cents
 
 
-def _pq_assign_all(x3: np.ndarray, cbs: np.ndarray) -> np.ndarray:
-    """(n, M) codes — nearest codebook entry per subspace. Per-subspace
-    f32 BLAS GEMM into a reused chunked buffer (||x||² dropped:
-    constant per row, argmin-invariant). TRAINER-internal assignment
-    only (the production encoder in ivfpq_build stays float64): f32 is
-    fine for Lloyd/Procrustes iterates, and the full-matrix f64 form
-    wrote 1.6 GB of temporaries per 50k-row assign — the chunked f32
-    buffer stays cache-resident and measured ~4× faster end-to-end."""
-    n, m_subspaces, _ = x3.shape
+def _subspace_map(fn, m_subspaces: int, n_rows: int) -> None:
+    """Run ``fn(m)`` for every subspace, pooled when the work is big
+    enough to pay for threads. Subspaces are arithmetically independent
+    (disjoint input slices, disjoint output slices), so pooled results
+    are bit-identical to the serial loop — determinism pins
+    (test_opq_trainer_properties) hold. The per-m body is GIL-releasing
+    NumPy (tiny inner-dim-4 GEMMs, argmin, bincount) over large slices:
+    exactly the regime where the repo's driver-side pools win (README
+    "which local kernels pool"); the small-shape cutoff keeps unit-test
+    shapes on the serial path."""
+    import os
+
+    # cap at 8: the per-m bodies saturate memory bandwidth well before
+    # 16 threads (measured on the r11 host: nt=16 ran 1.6× SLOWER than
+    # serial from cache thrash, nt=8 was neutral-to-better everywhere)
+    nt = min(m_subspaces, os.cpu_count() or 1, 8)
+    if nt <= 1 or n_rows * m_subspaces < (1 << 16):
+        for m in range(m_subspaces):
+            fn(m)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=nt) as pool:
+        for _ in pool.map(fn, range(m_subspaces)):
+            pass
+
+
+def _pq_prepare(x3: np.ndarray) -> np.ndarray:
+    """(n, M, sub) f64 → C-contiguous (M, n, sub) f32 in ONE pass.
+    The old per-subspace ``ascontiguousarray(x3[:, m], f32)`` re-read
+    the entire sample's cache lines M times per assign (strided
+    middle-axis slice) — on a bandwidth-bound host that copy traffic
+    rivalled the GEMM's. Element-wise f64→f32 conversion is identical
+    either way, so codes are bit-identical."""
+    return np.ascontiguousarray(x3.transpose(1, 0, 2), dtype=np.float32)
+
+
+def _pq_assign_prepared(xT: np.ndarray, cbs: np.ndarray) -> np.ndarray:
+    """Assign against a ``_pq_prepare``d sample. Distance surrogate per
+    chunk: ``b = x @ (−2·cbᵀ); b += ‖cb‖²; argmin`` — the −2 is folded
+    into the (tiny) codebook operand because scaling by a power of two
+    is exact in IEEE f32 and commutes with the GEMM's rounding, so the
+    fold is bit-identical to the old separate ``b *= −2`` pass while
+    removing a full read+write sweep of the distance buffer (the
+    kernel is memory-bound: that pass was ~1/3 of its traffic)."""
+    m_subspaces, n, _ = xT.shape
     n_centroids = cbs.shape[1]
     codes = np.empty((n, m_subspaces), dtype=np.int64)
     chunk = 8192
-    buf = np.empty((min(chunk, n), n_centroids), dtype=np.float32)
-    for m in range(m_subspaces):
-        cb_t = np.ascontiguousarray(cbs[m].T, dtype=np.float32)
+
+    def run_m(m: int) -> None:
+        cb_t2 = cbs[m].T.astype(np.float32)  # always a fresh copy
+        cb_t2 *= np.float32(-2.0)
         cb_n2 = (cbs[m] ** 2).sum(1).astype(np.float32)
-        xm = np.ascontiguousarray(x3[:, m], dtype=np.float32)
+        xm = xT[m]
+        buf = np.empty((min(chunk, n), n_centroids), dtype=np.float32)
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             b = buf[: e - s]
-            np.dot(xm[s:e], cb_t, out=b)
-            b *= -2.0
+            np.dot(xm[s:e], cb_t2, out=b)
             b += cb_n2[None, :]
             codes[s:e, m] = b.argmin(1)
+
+    _subspace_map(run_m, m_subspaces, n)
     return codes
+
+
+def _pq_assign_all(x3: np.ndarray, cbs: np.ndarray) -> np.ndarray:
+    """(n, M) codes — nearest codebook entry per subspace. Per-subspace
+    f32 BLAS GEMM into a chunked buffer (||x||² dropped: constant per
+    row, argmin-invariant). TRAINER-internal assignment only (the
+    production encoder in ivfpq_build stays float64): f32 is fine for
+    Lloyd/Procrustes iterates, and the full-matrix f64 form wrote
+    1.6 GB of temporaries per 50k-row assign — the chunked f32 buffer
+    stays cache-resident and measured ~4× faster end-to-end."""
+    return _pq_assign_prepared(_pq_prepare(x3), cbs)
 
 
 def _pq_lloyd_all(x3: np.ndarray, cbs: np.ndarray, iters: int) -> np.ndarray:
     """Batch Lloyd over all M subspaces; dead centroids stay put (the
     ++ init makes them rare on real residuals). Centroid update via
-    per-dimension bincount (np.add.at is ~10× slower here)."""
+    per-dimension bincount (np.add.at is ~10× slower here); updates
+    keep reading the f64 sample (unchanged numerics) while the assigns
+    share ONE f32 transpose hoisted out of the iteration loop. The
+    per-m updates write disjoint ``cbs[m]`` rows, so they pool like
+    the assign."""
     m_subspaces, n_centroids, sub = cbs.shape
-    for _ in range(iters):
-        codes = _pq_assign_all(x3, cbs)
-        for m in range(m_subspaces):
+    n = x3.shape[0]
+    xT = _pq_prepare(x3)
+    # f64 twin of the transpose for the centroid update: bincount must
+    # keep averaging the ORIGINAL f64 values (numerics unchanged), but
+    # the strided x3[:, m, j] reads touched every sample cache line
+    # M·sub times per update — one contiguous copy removes that
+    x64T = np.ascontiguousarray(x3.transpose(1, 0, 2))
+
+    def upd_m_factory(codes):
+        def upd_m(m: int) -> None:
             cnt = np.bincount(codes[:, m], minlength=n_centroids)
+            xm64 = x64T[m]
             sums = np.stack(
                 [
                     np.bincount(
-                        codes[:, m], weights=x3[:, m, j],
+                        codes[:, m], weights=xm64[:, j],
                         minlength=n_centroids,
                     )
                     for j in range(sub)
@@ -310,6 +373,12 @@ def _pq_lloyd_all(x3: np.ndarray, cbs: np.ndarray, iters: int) -> np.ndarray:
             )
             nz = cnt > 0
             cbs[m][nz] = sums[nz] / cnt[nz][:, None]
+
+        return upd_m
+
+    for _ in range(iters):
+        codes = _pq_assign_prepared(xT, cbs)
+        _subspace_map(upd_m_factory(codes), m_subspaces, n)
     return cbs
 
 
@@ -333,16 +402,20 @@ def _train_opq(
     n, dims = sample.shape
     sub = dims // m_subspaces
     x3 = sample.reshape(n, m_subspaces, sub)
-    cbs = np.stack(
-        [
-            _kmeanspp_init(
-                np.ascontiguousarray(x3[:, m]),
-                n_centroids,
-                np.random.RandomState(seed + m),
-            )
-            for m in range(m_subspaces)
-        ]
-    )
+    # per-subspace ++ inits are independent (each has its own seeded
+    # RandomState), so they pool like the assign — same draws, same
+    # centroids as the serial loop
+    inits: list[np.ndarray | None] = [None] * m_subspaces
+
+    def init_m(m: int) -> None:
+        inits[m] = _kmeanspp_init(
+            np.ascontiguousarray(x3[:, m]),
+            n_centroids,
+            np.random.RandomState(seed + m),
+        )
+
+    _subspace_map(init_m, m_subspaces, n)
+    cbs = np.stack(inits)
     cbs = _pq_lloyd_all(x3, cbs, 8)
     rot = np.eye(dims)
     rotated = sample
