@@ -584,7 +584,14 @@ def main() -> None:
         _st = _h._ann()
         _st._serving = None
         _q0 = _qvl[0]
-        _h.search_ann(_q0, k=K, nprobe=8)  # warm plan
+        # warm the BATCH plan itself (r11 measurement fix): the old
+        # single-query warm compiled a different plan, so the timed
+        # call paid Janino codegen of the 256-centroid _list_id
+        # expression (~10-30 s, adjudicated against the r10 tree on
+        # one host: both versions show the identical cold/warm split —
+        # the r10→r11 8.4→1.6 QPS movement was this compile + host,
+        # not code). The row intends to measure the probed SCAN.
+        _h.search_ann_batch(_qvl[:2], k=K, nprobe=8)
         t0 = time.perf_counter()
         _r = _h.search_ann_batch(_qvl[:32], k=K, nprobe=8)  # ONE job
         extras["ann_fallback_scan_qps"] = round(
@@ -621,7 +628,7 @@ def main() -> None:
         extras["ann_files_skipped_frac"] = round(
             1 - len(_keep) / max(len(_files), 1), 4
         )
-        _h.search_ann(_q0, k=K, nprobe=8)  # warm clustered plan
+        _h.search_ann_batch(_qvl[:2], k=K, nprobe=8)  # warm batch plan
         t0 = time.perf_counter()
         _r = _h.search_ann_batch(_qvl[:32], k=K, nprobe=8)  # ONE job
         extras["ann_fallback_clustered_qps"] = round(
