@@ -359,12 +359,16 @@ def _pq_lloyd_all(x3: np.ndarray, cbs: np.ndarray, iters: int) -> np.ndarray:
 
     def upd_m_factory(codes):
         def upd_m(m: int) -> None:
-            cnt = np.bincount(codes[:, m], minlength=n_centroids)
+            # contiguous copy once: the strided codes[:, m] column
+            # would re-touch every row's cache line for EACH of the
+            # sub+1 bincounts below
+            cm = np.ascontiguousarray(codes[:, m])
+            cnt = np.bincount(cm, minlength=n_centroids)
             xm64 = x64T[m]
             sums = np.stack(
                 [
                     np.bincount(
-                        codes[:, m], weights=xm64[:, j],
+                        cm, weights=xm64[:, j],
                         minlength=n_centroids,
                     )
                     for j in range(sub)
