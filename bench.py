@@ -586,11 +586,13 @@ def main() -> None:
         _q0 = _qvl[0]
         # warm the BATCH plan itself (r11 measurement fix): the old
         # single-query warm compiled a different plan, so the timed
-        # call paid Janino codegen of the 256-centroid _list_id
-        # expression (~10-30 s, adjudicated against the r10 tree on
-        # one host: both versions show the identical cold/warm split —
-        # the r10→r11 8.4→1.6 QPS movement was this compile + host,
-        # not code). The row intends to measure the probed SCAN.
+        # call paid the batch plan's first-run costs — plan+codegen
+        # compilation and Arrow python-worker spin-up for the GEMM
+        # list-id UDF (~10-30 s cold vs 2-10 s warm, adjudicated
+        # against the r10 tree on one host: both versions show the
+        # identical cold/warm split — the r10→r11 8.4→1.6 QPS movement
+        # was this cold cost + host, not code). The row intends to
+        # measure the probed SCAN.
         _h.search_ann_batch(_qvl[:2], k=K, nprobe=8)
         t0 = time.perf_counter()
         _r = _h.search_ann_batch(_qvl[:32], k=K, nprobe=8)  # ONE job
