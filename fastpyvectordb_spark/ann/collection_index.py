@@ -645,16 +645,20 @@ class CollectionANN:
         if sub is None:
             sub = self.c.df()
         lid = self._list_id(F.col("embedding"), cents)
+        # (query, probed list) pairs PRE-EXPLODED on the driver (tiny:
+        # nq × nprobe rows) so the probe attach is an EQUI-join on the
+        # list id — the old array_contains(probes, _lid) condition made
+        # Spark pick BroadcastNestedLoopJoin, whose predicate-eval cost
+        # is O(candidate rows × queries) and grows with the batch; the
+        # broadcast hash join matches the identical pair set (probe
+        # lists are distinct argsort indices) at O(candidates + pairs)
         qdf = self.c.spark.createDataFrame(
             [
-                (
-                    int(i),
-                    [float(x) for x in Q[i]],
-                    [int(p) for p in probe[i]],
-                )
+                (int(i), [float(x) for x in Q[i]], int(p))
                 for i in range(Q.shape[0])
+                for p in probe[i]
             ],
-            "query_id long, query_vec array<float>, probes array<int>",
+            "query_id long, query_vec array<float>, _lid int",
         )
         cand = sub.withColumn("_lid", lid).filter(
             F.col("_lid").isin(union)
@@ -663,10 +667,9 @@ class CollectionANN:
             distance(F.col("embedding"), F.col("query_vec"), meta["metric"]),
             6,
         )
-        scored = cand.join(
-            F.broadcast(qdf),
-            F.array_contains(F.col("probes"), F.col("_lid")),
-        ).select("query_id", F.col("id"), dist.alias("dist"))
+        scored = cand.join(F.broadcast(qdf), "_lid").select(
+            "query_id", F.col("id"), dist.alias("dist")
+        )
         w = Window.partitionBy("query_id").orderBy("dist", "id")
         return (
             scored.withColumn("rank", F.row_number().over(w))
