@@ -594,6 +594,18 @@ class CollectionANN:
         launches or Q corpus reads. File planning skips against the
         UNION of all queries' probes. Returns pandas
         ``(query_id, rank, id, dist)``."""
+        plan = self._distributed_batch_plan(query_vecs, k=k, nprobe=nprobe)
+        if plan is None:
+            return None
+        if not hasattr(plan, "toPandas"):
+            return plan  # clean-empty: already a pandas frame
+        return plan.toPandas()
+
+    def _distributed_batch_plan(
+        self, query_vecs, k: int = 10, nprobe: int | None = None
+    ):
+        """The lazy DataFrame behind :meth:`search_distributed_batch`
+        (split out so plan tests can assert its join strategy)."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -675,7 +687,6 @@ class CollectionANN:
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "id", "dist")
-            .toPandas()
         )
 
     def search_one(

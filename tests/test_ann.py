@@ -1053,3 +1053,37 @@ def test_ivfpq_packed_codes_gb_matches_direct():
     for lid, (s, e) in enumerate(((0, 10), (10, 22), (22, 30))):
         cf = packed.codes[s:e].astype(np.intp) + _code_offsets(m, kc)
         assert np.array_equal(g[s:e], _gather_b_f32(cf, c_all[lid]))
+
+
+def test_pq_assign_matches_naive_reference():
+    """Bit-identity pin for the round-11 assign traffic fold: the −2
+    scale folded into the f32 codebook operand and the one-pass f32
+    sample transpose must produce EXACTLY the codes of the naive
+    per-subspace formulation (power-of-two scaling is exact in IEEE
+    and commutes with the GEMM's rounding; the element-wise f64→f32
+    conversion is slice-order-independent)."""
+    import numpy as np
+
+    from fastpyvectordb_spark.ann.ivfpq import _pq_assign_all
+
+    rng = np.random.RandomState(5)
+    n, m_sub, sub, kc = 20_000, 16, 4, 256
+    x3 = rng.randn(n, m_sub, sub) * 0.3
+    cbs = rng.randn(m_sub, kc, sub)
+
+    ref = np.empty((n, m_sub), dtype=np.int64)
+    chunk = 8192
+    buf = np.empty((min(chunk, n), kc), dtype=np.float32)
+    for m in range(m_sub):
+        cb_t = np.ascontiguousarray(cbs[m].T, dtype=np.float32)
+        cb_n2 = (cbs[m] ** 2).sum(1).astype(np.float32)
+        xm = np.ascontiguousarray(x3[:, m], dtype=np.float32)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            b = buf[: e - s]
+            np.dot(xm[s:e], cb_t, out=b)
+            b *= -2.0
+            b += cb_n2[None, :]
+            ref[s:e, m] = b.argmin(1)
+
+    assert np.array_equal(_pq_assign_all(x3, cbs), ref)

@@ -676,3 +676,21 @@ def test_legacy_index_load_survives_readonly_dir(spark, db, monkeypatch):
     assert fresh2.load() is True
     with open(mp) as f:
         assert json.load(f).get("train_nonce") == fresh2.meta["train_nonce"]
+
+
+def test_distributed_batch_probe_attach_is_hash_join(spark, db):
+    """Round-11 plan pin: the batch fallback's (query × probed-list)
+    attach must be an equi-join (BroadcastHashJoin) on the list id —
+    the old array_contains(probes, _lid) condition planned a
+    BroadcastNestedLoopJoin whose predicate-eval cost grows with the
+    batch size."""
+    c = _mk(db, spark, n=200, name="planfb", metric="l2")
+    c.build_ann_index(n_lists=8, max_iter=10)
+    st = c._ann()
+    qs = [r[1] for r in _rows(3, seed=17, prefix="pq")]
+    plan_df = st._distributed_batch_plan(qs, k=5, nprobe=4)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
