@@ -1521,105 +1521,122 @@ def main() -> None:
     }
     # Full record first (for humans / logs)…
     print(json.dumps(full))
-    # …then the FINAL stdout line is a compact summary guaranteed to fit
-    # inside the driver's fixed-size stdout tail window (~2.4 KB): the
-    # round-1 full line was ~2.9 KB, got front-truncated by the tail
-    # capture, and parsed as null. Keep this line short and last.
-    headline = [
+    line = compact_tape(total, sf, timings, extras)
+    sys.stdout.flush()
+    print(line, flush=True)
+
+
+def _tape_num(v):
+    """Compress a numeric value for the tail-window line only (the
+    full first line keeps full precision). ≥100 → integer (a QPS row
+    loses <0.5 % — far under host noise); ≥1 → 2 decimals; <1 → 4
+    decimals (recall margins like 0.9008 must survive intact)."""
+    if isinstance(v, float):
+        if abs(v) >= 100:
+            return int(round(v))
+        if v == int(v):
+            return int(v)  # 1.0 → 1 (recalls at ceiling)
+        if abs(v) >= 1:
+            return round(v, 2)
+        return round(v, 4)
+    return v
+
+
+def compact_tape(total, sf, timings, extras, budget: int = 1995) -> str:
+    """Build the FINAL stdout line: a compact summary guaranteed to fit
+    the driver's fixed-size stdout tail window (~2.4 KB; the round-1
+    full line was ~2.9 KB, got front-truncated and parsed as null).
+
+    Priority packing (VERDICT r11 #1 — the old top-4 shed starved the
+    driver's per-query comparison to a 2-row geomean and emptied the
+    scaling block): per-query timings are packed FIRST (all 51 at
+    bench scale; never fewer than 16 — extras are sacrificed before
+    queries), then optional extras fill the remaining budget in
+    priority order. Recalls, host_index and the reran count are
+    mandatory (not derivable from the timings); most *_qps rows ARE
+    derivable from their timing twin (qps = n/sec) and every shed key
+    stays on the full first line with full precision.
+    """
+    mandatory = {
+        k: _tape_num(v)
+        for k, v in extras.items()
+        if "recall" in k or k in (
+            "host_index", "ann_files_skipped_frac", "ivfpq_build_sec",
+        )
+    }
+    if "reran" in extras:
+        # the full first line carries the row list; the tail-window
+        # line only needs the count
+        mandatory["reran"] = len(extras["reran"])
+
+    # Optional extras, most-important first: the primary calibration
+    # probe pair, the six baseline-gate serving rows + the gemm_100k
+    # watch-list row, build walls under active optimization, then
+    # every remaining headline row, then the derived norm twins.
+    prio = [
+        "cal_mem_bw_gbps", "cal_gemm_gflops",
+        "serving_local_qps", "collection_ann_batch_qps",
+        "exact_local_qps", "bq_local_qps", "sq_local_qps",
+        "gemm_100k_qps", "ivfpq_batch_qps", "ingest_vec_per_sec",
+        "neardup_routed_moderate_overlap",
+    ]
+    prio += [
         k
         for k in extras
-        if k.endswith(("_qps", "_recall_at_k", "_per_sec", "_gbps", "_gflops"))
-    ] + [
-        k
-        for k in (
-            "norm_per_gflops", "norm_per_gbps", "host_index",
-            "headline_norm",
+        if k not in prio
+        and (
+            k.endswith(("_qps", "_per_sec", "_gbps", "_gflops"))
+            or k in (
+                "neardup_kept_block_frac", "neardup_routed",
+                "neardup_routed_sec", "ann_cluster_optimize_sec",
+                "ivf_build_sec", "partitioned_build_sec",
+                "nsw_build_sec", "collection_ann_build_sec",
+            )
         )
-        if k in extras
-    ] + [
-        k
-        for k in (
-            "neardup_kept_block_frac",
-            "neardup_routed",
-            "neardup_routed_sec",
-            "neardup_routed_moderate_overlap",
-            "neardup_routed_planted_recall",
-            "reran",
-            "ann_files_skipped_frac",
-            "ann_cluster_optimize_sec",
-        )
-        if k in extras
     ]
+    prio += [k for k in ("headline_norm",) if k in extras]
+
     compact = {
         "metric": "suite_total_runtime",
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "queries": timings,
-        **{k: extras[k] for k in headline},
+        "queries": {
+            k: round(v, 2)
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])
+        },
+        **mandatory,
     }
-    if "reran" in compact:
-        # the full first line carries the row list; the tail-window
-        # line only needs the count (on a host whose regime changed
-        # between rounds the confirm can fire on most rows — 21 names
-        # is ~500 chars of a 2000-char budget)
-        compact["reran"] = len(extras["reran"])
+
+    def _len() -> int:
+        return len(json.dumps(compact, separators=(",", ":")))
+
+    # Queries first: trim smallest-first, but never below 16 rows.
+    n_keep = len(timings)
+    while _len() > budget and n_keep > 16:
+        n_keep -= 1
+        compact["queries"] = {
+            k: round(v, 2)
+            for k, v in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:n_keep]
+        }
+    # Then extras fill whatever budget remains, in priority order.
+    for k in prio:
+        if k not in extras or k in compact:
+            continue
+        v = extras[k]
+        compact[k] = (
+            v if isinstance(v, dict) else _tape_num(v)
+        )
+        if _len() > budget:
+            del compact[k]
     line = json.dumps(compact, separators=(",", ":"))
-
-    def _shed_queries(keep: int) -> None:
-        if keep:
-            compact["queries"] = {
-                k: v
-                for k, v in sorted(
-                    timings.items(), key=lambda kv: -kv[1]
-                )[:keep]
-            }
-        else:
-            compact.pop("queries", None)
-
-    def _shed_norms() -> None:
-        # the per-block norm dicts are derivable from the full first
-        # line (norm = raw row / adjacent calibration probe). The
-        # host_index *_norm twins are NOT shed here — they are the
-        # r10-#5 deliverable the judge reads from this tape, and they
-        # stay until the very last shed step.
-        compact.pop("norm_per_gflops", None)
-        compact.pop("norm_per_gbps", None)
-
-    def _shed_norm_twins() -> None:
-        # last resort only: host_index + the raw rows remain, so the
-        # twins stay derivable (row ÷ host_index) even if shed
-        compact.pop("headline_norm", None)
-
-    def _shed_misc() -> None:
-        # secondary markers, all present in the full first line
-        for k in ("neardup_routed_sec", "neardup_kept_block_frac",
-                  "neardup_routed", "ann_cluster_optimize_sec"):
-            compact.pop(k, None)
-
-    # shed order: per-query timings (12→8→4), then the derived norm
-    # blocks, then secondary markers, and only then the last 4
-    # queries — the driver should always see the top-4 query timings
-    # when anything has to give (VERDICT r8 #5; norms/markers are
-    # derivable from the full first line, queries are not). Headline
-    # raw metrics (value + *_qps/*_per_sec/recalls/cal_*) are never
-    # dropped. Round 7 overflowed at keep=4 (2,269 chars) and the
-    # driver recorded parsed:null; the tail window is 2,000 chars and
-    # this line MUST fit.
-    sheds = [lambda: _shed_queries(12), lambda: _shed_queries(8),
-             lambda: _shed_queries(4), _shed_norms, _shed_misc,
-             lambda: _shed_queries(0), _shed_norm_twins]
-    for shed in sheds:
-        if len(line) <= 2000:
-            break
-        shed()
-        line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= 2000, (
-        f"compact bench line still {len(line)} chars after full shed; "
-        "trim headline metrics"
+    assert len(line) <= budget, (
+        f"compact bench line still {len(line)} chars with 16-query "
+        "floor and zero optional extras; trim mandatory metrics"
     )
-    sys.stdout.flush()
-    print(line, flush=True)
+    return line
 
 
 if __name__ == "__main__":
