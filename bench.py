@@ -592,8 +592,12 @@ def main() -> None:
         # against the r10 tree on one host: both versions show the
         # identical cold/warm split — the r10→r11 8.4→1.6 QPS movement
         # was this cold cost + host, not code). The row intends to
-        # measure the probed SCAN.
-        _h.search_ann_batch(_qvl[:2], k=K, nprobe=8)
+        # measure the probed SCAN. r12 (ADVICE r11 #3): warm with the
+        # IDENTICAL 32-query batch — a 2-query warm compiled a plan
+        # whose isin(union) literal list and broadcast rows differ, so
+        # whole-stage codegen could still compile fresh in the timed
+        # call.
+        _h.search_ann_batch(_qvl[:32], k=K, nprobe=8)
         t0 = time.perf_counter()
         _r = _h.search_ann_batch(_qvl[:32], k=K, nprobe=8)  # ONE job
         extras["ann_fallback_scan_qps"] = round(
@@ -630,7 +634,8 @@ def main() -> None:
         extras["ann_files_skipped_frac"] = round(
             1 - len(_keep) / max(len(_files), 1), 4
         )
-        _h.search_ann_batch(_qvl[:2], k=K, nprobe=8)  # warm batch plan
+        # warm with the identical timed batch (ADVICE r11 #3)
+        _h.search_ann_batch(_qvl[:32], k=K, nprobe=8)
         t0 = time.perf_counter()
         _r = _h.search_ann_batch(_qvl[:32], k=K, nprobe=8)  # ONE job
         extras["ann_fallback_clustered_qps"] = round(

@@ -184,14 +184,20 @@ class CollectionANN:
 
         n, seq_max = self._watermark()
         if n_lists is None:
-            # √N like ivf_build's auto rule, but clamped at 256: the
-            # collection's distributed fallback and at-rest clustering
-            # assign lists through the _list_id CODEGEN expression (one
-            # struct per centroid, chunked 64 wide) — 256 is sized to
-            # what that expression tree handles; raising the clamp
-            # needs a different assignment path (e.g. the Arrow-GEMM
-            # assigner ivfpq_build uses above _MLLIB_ASSIGN_MAX_WORK)
-            n_lists = int(max(8, min(256, round(np.sqrt(max(n, 1))))))
+            # √N, same rule and ceiling as ivf_build (r12: the old 256
+            # clamp predated the _list_id UDF dispatch — every caller
+            # of list assignment (distributed fallback, at-rest
+            # clustering, batch fallback) routes through _list_id,
+            # which switches from the codegen expression to the
+            # Arrow-GEMM pandas_udf above _CODEGEN_MAX_CENTROID_FLOATS
+            # (1,024 floats ≈ 16 centroids at 64 dims), so no Janino
+            # mega-expression can arise at ANY list count; clusterer
+            # and fallback share the one dispatcher, so footer-stat
+            # pruning sees the identical assignment it was written
+            # under). √N keeps probe-pruned scan fractions flat as the
+            # collection grows: 1M rows → 1,000 lists instead of a
+            # 4× coarser 256.
+            n_lists = int(max(8, min(65536, round(np.sqrt(max(n, 1))))))
         n_lists = min(n_lists, max(1, n))
         idx = ivf_build(
             self.c.df(),

@@ -262,31 +262,58 @@ def _kmeanspp_init(xs: np.ndarray, k: int, r: np.random.RandomState) -> np.ndarr
     return cents
 
 
+_POOL = None
+_POOL_PID = None
+
+
+def _get_pool():
+    """ONE persistent trainer pool per process (r12: the r11 trainer
+    created and tore down a fresh ThreadPoolExecutor per _subspace_map
+    call — 173 pools / 1,321 thread spawns per bench-point train,
+    ~2 s of pure pool churn in the cProfile). Lazy + PID-guarded so a
+    forked PySpark worker never inherits dead threads."""
+    global _POOL, _POOL_PID
+    import os
+
+    if _POOL is None or _POOL_PID != os.getpid():
+        from concurrent.futures import ThreadPoolExecutor
+
+        _POOL = ThreadPoolExecutor(
+            max_workers=min(8, os.cpu_count() or 1),
+            thread_name_prefix="pq-subspace",
+        )
+        _POOL_PID = os.getpid()
+    return _POOL
+
+
 def _subspace_map(fn, m_subspaces: int, n_rows: int) -> None:
     """Run ``fn(m)`` for every subspace, pooled when the work is big
     enough to pay for threads. Subspaces are arithmetically independent
     (disjoint input slices, disjoint output slices), so pooled results
     are bit-identical to the serial loop — determinism pins
     (test_opq_trainer_properties) hold. The per-m body is GIL-releasing
-    NumPy (tiny inner-dim-4 GEMMs, argmin, bincount) over large slices:
+    NumPy (tiny inner-dim GEMMs, argmin, bincount) over large slices:
     exactly the regime where the repo's driver-side pools win (README
     "which local kernels pool"); the small-shape cutoff keeps unit-test
-    shapes on the serial path."""
+    shapes on the serial path.
+
+    Concurrency is capped at 8 pool threads: the per-m bodies saturate
+    memory bandwidth well before 16 (measured on the r11 host: nt=16
+    ran 1.6× SLOWER than serial from cache thrash). BLAS-internal
+    threading on this build is bounded too — the wheel's OpenBLAS is
+    compiled MAX_THREADS=2, so the worst case is 8×2 = 16 runnable
+    threads (ADVICE r11 #2: no threadpoolctl in this sandbox, so the
+    expectation is documented here; hosts with an uncapped BLAS should
+    export OPENBLAS/OMP_NUM_THREADS=1 around training)."""
     import os
 
-    # cap at 8: the per-m bodies saturate memory bandwidth well before
-    # 16 threads (measured on the r11 host: nt=16 ran 1.6× SLOWER than
-    # serial from cache thrash, nt=8 was neutral-to-better everywhere)
     nt = min(m_subspaces, os.cpu_count() or 1, 8)
     if nt <= 1 or n_rows * m_subspaces < (1 << 16):
         for m in range(m_subspaces):
             fn(m)
         return
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=nt) as pool:
-        for _ in pool.map(fn, range(m_subspaces)):
-            pass
+    for _ in _get_pool().map(fn, range(m_subspaces)):
+        pass
 
 
 def _pq_prepare(x3: np.ndarray) -> np.ndarray:
@@ -313,7 +340,11 @@ def _pq_assign_prepared(xT: np.ndarray, cbs: np.ndarray) -> np.ndarray:
     chunk = 8192
 
     def run_m(m: int) -> None:
-        cb_t2 = cbs[m].T.astype(np.float32)  # always a fresh copy
+        # ascontiguousarray (ADVICE r11 #1): .T.astype(order='K') gave
+        # an F-contiguous operand — the fold itself is exact either
+        # way, but pinning the C layout keeps the GEMM on the SAME
+        # transpose kernel as the pinned naive reference on any BLAS
+        cb_t2 = np.ascontiguousarray(cbs[m].T, dtype=np.float32)
         cb_t2 *= np.float32(-2.0)
         cb_n2 = (cbs[m] ** 2).sum(1).astype(np.float32)
         xm = xT[m]
@@ -340,22 +371,36 @@ def _pq_assign_all(x3: np.ndarray, cbs: np.ndarray) -> np.ndarray:
     return _pq_assign_prepared(_pq_prepare(x3), cbs)
 
 
-def _pq_lloyd_all(x3: np.ndarray, cbs: np.ndarray, iters: int) -> np.ndarray:
+def _pq_lloyd_all(
+    x3: np.ndarray,
+    cbs: np.ndarray,
+    iters: int,
+    xT: np.ndarray | None = None,
+    x64T: np.ndarray | None = None,
+) -> np.ndarray:
     """Batch Lloyd over all M subspaces; dead centroids stay put (the
     ++ init makes them rare on real residuals). Centroid update via
     per-dimension bincount (np.add.at is ~10× slower here); updates
     keep reading the f64 sample (unchanged numerics) while the assigns
     share ONE f32 transpose hoisted out of the iteration loop. The
     per-m updates write disjoint ``cbs[m]`` rows, so they pool like
-    the assign."""
+    the assign. Callers that already hold the sample's transposes
+    (``_train_opq`` prepares each rotation exactly once and reuses it
+    across the iteration's assign + Lloyd calls — r12: the r11 loop
+    re-transposed the identical 90k×64 rotation up to 3× per OPQ
+    iteration, ~2.5 s of pure copy traffic at the bench point) pass
+    them in; values are identical by construction (same input array,
+    same element-wise conversion)."""
     m_subspaces, n_centroids, sub = cbs.shape
     n = x3.shape[0]
-    xT = _pq_prepare(x3)
+    if xT is None:
+        xT = _pq_prepare(x3)
     # f64 twin of the transpose for the centroid update: bincount must
     # keep averaging the ORIGINAL f64 values (numerics unchanged), but
     # the strided x3[:, m, j] reads touched every sample cache line
     # M·sub times per update — one contiguous copy removes that
-    x64T = np.ascontiguousarray(x3.transpose(1, 0, 2))
+    if x64T is None:
+        x64T = np.ascontiguousarray(x3.transpose(1, 0, 2))
 
     def upd_m_factory(codes):
         def upd_m(m: int) -> None:
@@ -420,20 +465,35 @@ def _train_opq(
 
     _subspace_map(init_m, m_subspaces, n)
     cbs = np.stack(inits)
-    cbs = _pq_lloyd_all(x3, cbs, 8)
+    # each rotation of the sample is transposed exactly ONCE (f32 for
+    # the assigns, f64 for the Lloyd updates) and shared by every
+    # assign/Lloyd pass over that rotation — the r11 shape re-derived
+    # these identical copies inside _pq_assign_all and _pq_lloyd_all
+    # (up to 3 re-transposes of the same 90k×64 array per OPQ
+    # iteration). Same input array + same element-wise conversion →
+    # bit-identical codes and centroids (pinned by
+    # test_pq_assign_matches_naive_reference / _trainer_properties).
+    xT = _pq_prepare(x3)
+    x64T = np.ascontiguousarray(x3.transpose(1, 0, 2))
+    cbs = _pq_lloyd_all(x3, cbs, 8, xT=xT, x64T=x64T)
     rot = np.eye(dims)
-    rotated = sample
+    dec = np.empty((n, dims))
     for _ in range(opq_iters):
-        x3 = rotated.reshape(n, m_subspaces, sub)
-        codes = _pq_assign_all(x3, cbs)
-        dec = np.concatenate(
-            [cbs[m][codes[:, m]] for m in range(m_subspaces)], axis=1
-        )
+        # xT always holds the CURRENT rotation (identity on entry)
+        codes = _pq_assign_prepared(xT, cbs)
+        for m in range(m_subspaces):
+            dec[:, m * sub:(m + 1) * sub] = cbs[m][codes[:, m]]
         u, _, vt = np.linalg.svd(sample.T @ dec)
         rot = (u @ vt).T
         rotated = sample @ rot.T
-        cbs = _pq_lloyd_all(rotated.reshape(n, m_subspaces, sub), cbs, 3)
-    cbs = _pq_lloyd_all(rotated.reshape(n, m_subspaces, sub), cbs, 8)
+        x3r = rotated.reshape(n, m_subspaces, sub)
+        xT = _pq_prepare(x3r)
+        x64T = np.ascontiguousarray(x3r.transpose(1, 0, 2))
+        cbs = _pq_lloyd_all(x3r, cbs, 3, xT=xT, x64T=x64T)
+    if opq_iters > 0:
+        cbs = _pq_lloyd_all(x3r, cbs, 8, xT=xT, x64T=x64T)
+    else:
+        cbs = _pq_lloyd_all(x3, cbs, 8, xT=xT, x64T=x64T)
     return rot, cbs
 
 

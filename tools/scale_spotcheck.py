@@ -107,6 +107,8 @@ def main() -> None:
         _section_big(spark, dims, out)
     if "bignd" in sections:
         _section_bignd(spark, dims, out)
+    if "graph" in sections:
+        _section_graph(spark, out)
 
     print(json.dumps(out))
 
@@ -641,3 +643,102 @@ def _section_bignd(spark, dims: int, out: dict) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def _section_graph(spark, out: dict, n_edges: int = 10_000_000) -> None:
+    """At-scale traversal evidence (VERDICT r11 #7): depth-3
+    ``traverse_df`` over a 10M-edge synthetic graph, production
+    (src-clustered edge table + shuffled-hash hops, r11 shape) vs the
+    pre-r11 shape (per-hop join of a ``distinct`` edge table, unhinted
+    — above the broadcast threshold Spark sort-merge-joins it, i.e.
+    re-sorts the 10M-edge side EVERY hop). Asserts the production
+    at-scale plan has no edge-table broadcast and no sort, and that
+    both variants return identical row counts. The frontier here is
+    deliberately small (32 seeds x ~10 out-degree): hop compute is
+    negligible, so wall-clock isolates the per-hop edge-table cost —
+    the term that scales with corpus size at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from fastpyvectordb_spark.operators.graph import traverse_df
+
+    n_nodes = max(1, n_edges // 10)
+    edges = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).cast("string").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes))
+        .cast("string").alias("dst"),
+    )
+    start = spark.createDataFrame(
+        [(str(i),) for i in range(32)], "start_id string"
+    )
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def _plan(df) -> str:
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # production shape (r11/r12 operator)
+    spark.sparkContext.setJobDescription("graph spotcheck: traverse r11 shape")
+    res_after = traverse_df(edges, start, max_depth=3)
+    plan_after = _plan(res_after)
+    t0 = time.perf_counter()
+    _noop(res_after)
+    out["graph_traverse10m_shj_sec"] = round(time.perf_counter() - t0, 1)
+
+    # pre-r11 shape: distinct edge table, unhinted hop joins
+    spark.sparkContext.setJobDescription("graph spotcheck: traverse pre-r11")
+    e0 = edges.select("src", "dst").distinct()
+    frontier = start.select(
+        "start_id",
+        F.col("start_id").alias("node"),
+        F.array(F.col("start_id")).alias("path_arr"),
+        F.lit(0).alias("depth"),
+    )
+    results = None
+    for hop in range(1, 4):
+        frontier = (
+            frontier.join(e0, frontier.node == e0.src)
+            .filter(~F.array_contains(F.col("path_arr"), F.col("dst")))
+            .select(
+                "start_id",
+                F.col("dst").alias("node"),
+                F.concat(
+                    F.col("path_arr"), F.array(F.col("dst"))
+                ).alias("path_arr"),
+                F.lit(hop).alias("depth"),
+            )
+        )
+        step = frontier.select(
+            "start_id",
+            F.col("node").alias("end_id"),
+            "depth",
+            F.array_join("path_arr", "->").alias("path"),
+        )
+        results = step if results is None else results.unionByName(step)
+    plan_before = _plan(results)
+    t0 = time.perf_counter()
+    _noop(results)
+    out["graph_traverse10m_unhinted_sec"] = round(time.perf_counter() - t0, 1)
+
+    for tag, plan in (("shj", plan_after), ("unhinted", plan_before)):
+        out[f"graph_traverse10m_{tag}_nodes"] = {
+            k: plan.count(k)
+            for k in (
+                "ShuffledHashJoin", "SortMergeJoin",
+                "BroadcastHashJoin", "Exchange", "Sort ",
+            )
+        }
+    # the at-scale production plan must never broadcast or sort the
+    # edge table
+    assert out["graph_traverse10m_shj_nodes"]["BroadcastHashJoin"] == 0
+    assert out["graph_traverse10m_shj_nodes"]["Sort "] == 0
+    assert out["graph_traverse10m_shj_nodes"]["ShuffledHashJoin"] >= 3
+
+    # result parity between the two shapes
+    n_after = res_after.count()
+    n_before = results.count()
+    out["graph_traverse10m_rows"] = int(n_after)
+    assert n_after == n_before, (n_after, n_before)
+    _partial(out)
