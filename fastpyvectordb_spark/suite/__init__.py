@@ -35,46 +35,23 @@ def register(name: str, oracle: str | None = None):
 
 # The driver samples a capped prefix (50 names) of this list each round.
 # Every query has at least one driver-green row, so ordering is
-# STALENESS-based (VERDICT r5 item #2, re-affirmed each round; r11
-# rotation is VERDICT r10 item #3): round-11 code changes first
-# (vector_search_edges' tuple tie-break touches gv_edge_similarity;
-# ivfpq.py's auto n_lists sizing touches ann_ivfpq_knn), then the 30
-# names last driver-verified in round 8 — the stalest green rows at
-# r11 (the block after graph_bfs_levels, exactly as the r10 verdict
-# prescribed) — then the oldest r9-verified names to fill the 50
-# prefix, keeping every query ≤3 rounds stale. The 50 names the r10
-# driver just re-verified go last.
+# STALENESS-based (VERDICT r5 item #2, re-affirmed each round; the r12
+# rotation is VERDICT r11 item #6): the two dedup queries whose live
+# plans changed in r11 (shuffle-hash hints) but which the r11 driver
+# did not re-sample lead, then ann_ivfpq_knn (its trainer kernel was
+# rewritten in r12 — bit-identical, but re-verify it anyway), then the
+# 32 names last driver-verified in round 9 (the stalest green rows —
+# everything after the r11 sample's 50-prefix cut), then r10-verified
+# names to fill the 50 prefix. The 50 names the r11 driver just
+# re-verified go last.
 _PRIORITY = [
-    # round-11 code changes (incl. the hop-join reshape + auto-nprobe)
-    "gv_edge_similarity", "ann_ivfpq_knn",
-    "graph_traverse", "graph_bfs_levels", "ann_partitioned_knn",
-    # last driver-verified round 8 (oldest green rows — 30 names)
-    "graph_shortest_path",
-    "graph_degree_topk", "graph_stats", "graph_hyperedge_membership",
-    "graph_part_copurchase_topk", "gv_semantic_expansion",
-    "gv_traverse_rerank", "dedup_minhash_lsh", "dedup_simhash",
-    "text_corpus_stats", "text_fingerprint", "text_lang_id",
-    "text_postings_top_terms", "pipeline_clean_corpus",
-    "pipeline_split_counts",
-    "dedup_incremental_lsh", "pipeline_source_cap", "text_quality",
-    "text_scrub_audit", "text_token_counts", "agg_order_trend_pivot",
-    "codec_int8_roundtrip_error", "dedup_decontaminate",
-    "events_replay_last10", "events_sessionize",
-    "events_subscription_filter", "events_user_outlier_counts",
-    "events_value_percentiles", "events_window_hourly",
-    "join_shipping_priority_q3",
-    # oldest round-9-verified names (fill the 50 prefix)
-    "ann_ivf_knn",
-    "media_audio_chunks", "media_features",
-    "media_frame_sample", "media_manifest", "pipeline_stratified_counts",
-    "pipeline_token_budget", "text_repetition_filter",
-    "agg_cube_status_priority", "agg_cust_order_distribution",
-    "agg_disjunctive_parts_q19", "agg_forecast_revenue",
-    "agg_grouping_sets_orders", "agg_important_parts_q11", "agg_large_orders",
+    # r11-code-touched, last driver-verified r10 (VERDICT r11 #6)
+    "dedup_embedding_topk", "dedup_embedding_lsh_threshold",
+    # r12-code-touched (OPQ trainer rewrite, bit-identity-tested)
+    "ann_ivfpq_knn",
+    # last driver-verified round 9 (oldest green rows — 32 names)
     "agg_late_ship_priority", "agg_nation_market_share",
-    "agg_priority_class_by_linestatus",
-    # remaining round-9-verified names (next in line)
-    "agg_priority_line_counts",
+    "agg_priority_class_by_linestatus", "agg_priority_line_counts",
     "agg_product_profit_q9", "agg_promo_revenue_ratio",
     "agg_returned_item_ranking", "agg_rollup_nation_year",
     "agg_supplier_part_counts_q16", "cluster_centroid_profile",
@@ -90,14 +67,14 @@ _PRIORITY = [
     "join_orders_above_cust_avg", "join_promotion_suppliers_q20",
     "join_range_click_burst", "join_sales_opportunity",
     "join_salted_customer_nation",
-    # freshest: re-verified by the r10 driver (CORRECTNESS_r10 green)
-    "dedup_embedding_lsh_threshold", "dedup_embedding_topk",
+    # round-10-verified names (fill the 50 prefix)
     "agg_count_by_source", "agg_embedding_dim_stats",
     "agg_lang_source_matrix", "agg_pricing_summary", "agg_revenue_by_nation",
     "agg_rollup_suppliers", "agg_top_customers_by_orders",
     "agg_top_orders_by_revenue", "bm25_search", "bm25_search_batch",
     "bq_hamming_knn", "dedup_clusters", "dedup_exact",
     "dedup_lines_reconstruct", "dedup_ngram_jaccard",
+    # remaining round-10-verified names (next in line)
     "join_semi_anti_segments", "join_small_qty_orders_q17",
     "join_top_supplier_q15", "join_volume_shipping_q7",
     "join_waiting_suppliers_q21", "page_customers",
@@ -109,6 +86,30 @@ _PRIORITY = [
     "sq_train_stats", "sq_knn_cosine", "sq_knn_l2", "sq_knn_ip",
     "pq_adc_knn", "hybrid_search_alpha05", "hybrid_search_alpha08",
     "hybrid_search_batch", "graph_find_nodes", "graph_neighbors",
+    # freshest: re-verified by the r11 driver (CORRECTNESS_r11 green)
+    "gv_edge_similarity",
+    "graph_traverse", "graph_bfs_levels", "ann_partitioned_knn",
+    "graph_shortest_path",
+    "graph_degree_topk", "graph_stats", "graph_hyperedge_membership",
+    "graph_part_copurchase_topk", "gv_semantic_expansion",
+    "gv_traverse_rerank", "dedup_minhash_lsh", "dedup_simhash",
+    "text_corpus_stats", "text_fingerprint", "text_lang_id",
+    "text_postings_top_terms", "pipeline_clean_corpus",
+    "pipeline_split_counts",
+    "dedup_incremental_lsh", "pipeline_source_cap", "text_quality",
+    "text_scrub_audit", "text_token_counts", "agg_order_trend_pivot",
+    "codec_int8_roundtrip_error", "dedup_decontaminate",
+    "events_replay_last10", "events_sessionize",
+    "events_subscription_filter", "events_user_outlier_counts",
+    "events_value_percentiles", "events_window_hourly",
+    "join_shipping_priority_q3",
+    "ann_ivf_knn",
+    "media_audio_chunks", "media_features",
+    "media_frame_sample", "media_manifest", "pipeline_stratified_counts",
+    "pipeline_token_budget", "text_repetition_filter",
+    "agg_cube_status_priority", "agg_cust_order_distribution",
+    "agg_disjunctive_parts_q19", "agg_forecast_revenue",
+    "agg_grouping_sets_orders", "agg_important_parts_q11", "agg_large_orders",
 ]
 
 

@@ -641,8 +641,6 @@ def _section_bignd(spark, dims: int, out: dict) -> None:
     _partial(out)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _section_graph(spark, out: dict, n_edges: int = 10_000_000) -> None:
@@ -742,3 +740,7 @@ def _section_graph(spark, out: dict, n_edges: int = 10_000_000) -> None:
     out["graph_traverse10m_rows"] = int(n_after)
     assert n_after == n_before, (n_after, n_before)
     _partial(out)
+
+
+if __name__ == "__main__":
+    main()
