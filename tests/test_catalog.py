@@ -1411,3 +1411,32 @@ def test_pack_delta_duplicate_id_falls_back_to_full_rebuild(spark, db):
     c2.insert_batch(_batch(spark, [("w1", [1.0] * 4, "C")]))
     merged = c2._pack_refresh_delta(v0, c2._current_version(), p2)
     assert merged is not None and len(merged["ids"]) == 51
+
+
+def test_insert_inbatch_dup_aborts_before_publish(spark, db):
+    """Round-12 insert path pin: validation/dup checks moved to a
+    post-write / pre-publish gate against the staged bytes — a failed
+    in-batch dup check must abort with the historic message, leave the
+    version chain unmoved, publish no CDC events, and leave no staged
+    garbage behind."""
+    import os
+
+    c = db.create_collection("col_dupb", dimensions=4)
+    c.insert_batch(_batch(spark, _vecs(2)))
+    base_ver = c._current_version()
+    dup = _batch(spark, _vecs(1) + _vecs(1))  # id v0 twice
+    with pytest.raises(ValueError, match="duplicate id in batch"):
+        c.insert_batch(dup)
+    assert c._current_version() == base_ver
+    assert c.count() == 2
+    # only the 2 original insert events exist
+    ev = c.events_df().collect()
+    assert len(ev) == 2
+    # the aborted version's stage dir and version dir are gone
+    stage_root = os.path.join(c.path, "_stage")
+    if os.path.isdir(stage_root):
+        assert os.listdir(stage_root) == [], os.listdir(stage_root)
+    vdirs = {
+        d for d in os.listdir(c.path) if d.startswith("v_")
+    }
+    assert vdirs == {base_ver}, vdirs
